@@ -1,7 +1,187 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Analytic / windowed / time-series operators.
+  *
+  * The reference is incremental batch over a time-keyed lake (SURVEY.md §2.8)
+  * — no window functions of its own — but an engine replacing it needs the
+  * standard analytic surface: ranking, offsets, running totals, tumbling
+  * windows (the Structured Streaming agg shape), rollups, and as-of
+  * association. All windows partition by a key, so at 100 TB they hash-shuffle
+  * once on the partition key and sort within partitions — no global sort.
+  */
 object Analytics {
-  val entries: Seq[QueryDef] = Seq()
+
+  private def tsOrdered = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** First-3-per-key via row_number (dedup/top-k pattern). */
+  def qWindowRowNumber(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(tsOrdered))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("rn"))
+
+  val qWindowRowNumberSql: String =
+    """SELECT user_id, rn, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** Offset function: per-user delta vs previous event value (exact cents). */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("delta",
+        (cents(col("value")) - lag(cents(col("value")), 1).over(tsOrdered)) / 100.0)
+      .select(col("event_id"), col("user_id"), col("delta"))
+      .orderBy(col("event_id"))
+
+  val qWindowLagSql: String =
+    """SELECT event_id, user_id,
+      |  (round(value*100) - lag(round(value*100), 1)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 100.0 AS delta
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Running total per user (frame-bounded window agg, exact cents). */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("running",
+        sum(cents(col("value")))
+          .over(tsOrdered.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+      .select(col("event_id"), col("user_id"), col("running"))
+      .orderBy(col("event_id"))
+
+  val qWindowRunningSql: String =
+    """SELECT event_id, user_id,
+      |  sum(round(value*100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Tumbling 5-minute event-time window — the batch shape of the Structured
+    * Streaming aggregation in graft.streaming (same plan modulo watermark).
+    */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val qStreamTumblingSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+      |  event_type, count(*) AS n, sum(round(value*100))/100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin
+
+  /** Rollup (hierarchical aggregate) over (event_type, day). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .rollup(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"))
+      .orderBy(col("event_type"), col("day"))
+
+  val qRollupSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(day, 'ALL') AS day, n
+      |FROM (
+      |  SELECT event_type, day, count(*) AS n
+      |  FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+      |  GROUP BY ROLLUP(event_type, day))
+      |ORDER BY event_type, day""".stripMargin
+
+  /** As-of association: for each purchase, the user's most recent click at or
+    * before it. Spark-first formulation: no per-row range join blowup — one
+    * pass with last(_, ignoreNulls) over a range frame, which shuffles once
+    * on user_id and scales linearly. Oracle uses DuckDB's native ASOF JOIN.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Top-2-per-group ranking over a broadcast dim join. */
+  def qTopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  val qTopPerGroupSql: String =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 2
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** JSON extraction from the events props column (P-series scalar surface). */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_bucket"))
+
+  val qJsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_window_rownum", qWindowRowNumber, Some(qWindowRowNumberSql)),
+    QueryDef("q_window_lag", qWindowLag, Some(qWindowLagSql), bench = true),
+    QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
+    QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql), bench = true),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql), bench = true),
+    QueryDef("q_top_per_group", qTopPerGroup, Some(qTopPerGroupSql)),
+    QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+  )
 }

@@ -1,7 +1,73 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Multimodal-column plumbing: media payloads are opaque binary columns with
+  * typed metadata. Real decode (image/audio libs) is stubbed — see
+  * graft.multimodal.MediaPipeline for the mapPartitions-based decode path with
+  * a deterministic fake decoder — but the Spark-side plumbing (binary casts,
+  * digests, metadata extraction, batch shape) is real and oracle-checked here
+  * by treating document text bytes as the payload.
+  */
 object Multimodal {
-  val entries: Seq[QueryDef] = Seq()
+
+  /** Binary metadata extraction: byte length, content digest, and stub
+    * "decoded" dimensions derived deterministically from the first bytes
+    * (stand-in for a real header parse).
+    */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        (ascii(substring(col("text"), 1, 1)) * 4).as("fake_width"),
+        (ascii(substring(col("text"), 2, 1)) * 3).as("fake_height"),
+        substring(col("text"), 1, 16).as("header_prefix"))
+      .orderBy(col("doc_id"))
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS digest,
+      |  ascii(substring(text, 1, 1)) * 4 AS fake_width,
+      |  ascii(substring(text, 2, 1)) * 3 AS fake_height,
+      |  substring(text, 1, 16) AS header_prefix
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling shape: split the payload into fixed 64-byte "frames"
+    * (the batch shape a video pipeline hands to a decode UDF), keep every
+    * 4th frame, and fingerprint each kept frame.
+    */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(octet_length(col("text").cast("binary")) / 64.0).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nFrames - 1),
+          i => substring(col("text"), i * 64 + 1, lit(64)))).as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % 4 === 0)
+      .select(col("doc_id"), col("frame_no"),
+        md5(col("frame").cast("binary")).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val qMultimodalFramesSql: String =
+    """SELECT doc_id, frame_no, md5(frame) AS frame_digest
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER))) AS frame_no,
+      |    unnest(list_transform(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER)),
+      |      i -> substring(text, CAST(i AS INTEGER) * 64 + 1, 64))) AS frame
+      |  FROM documents)
+      |WHERE frame_no % 4 = 0
+      |ORDER BY doc_id, frame_no""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
+    QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
+  )
 }

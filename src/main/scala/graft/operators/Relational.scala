@@ -138,7 +138,7 @@ object Relational {
     */
   def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") >= lit("2001-01-01"))
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -147,7 +147,8 @@ object Relational {
   val qAntiJoinSql: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2001-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   /** Left-semi membership (EXISTS): customers having at least one urgent

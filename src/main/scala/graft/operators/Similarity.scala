@@ -1,7 +1,125 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.EmbeddingFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query vector; one narrow
+  * pass + a k-row total sort — at 100 TB this is a full scan but no shuffle
+  * beyond the final top-k, which Spark executes as TakeOrderedAndProject).
+  * Scale path: random-hyperplane LSH signatures bucket the vectors so queries
+  * only probe matching buckets; signatures are deterministic (hyperplane
+  * component i of plane j is ±1 from md5(j|i)), so the oracle reproduces them.
+  */
 object Similarity {
-  val entries: Seq[QueryDef] = Seq()
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val qAnnBruteForceSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cos
+       |FROM embeddings, q
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Random-hyperplane LSH: 8-bit signature per vector. Hyperplane j has
+    * components h_ji = ±1 derived from md5("j|i"); bit j = sign of the
+    * (exact scaled-int) projection.
+    */
+  private val NPlanes = 8
+  private val Dim = 64
+
+  def qAnnLshSignature(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
+    val sig = (0 until NPlanes).map { j =>
+      // projection_j = sum_i sign(md5(j|i)) * v[i], exact integers
+      val proj = (1 to Dim).map { i =>
+        val sign = when(substring(md5(lit(s"$j|$i")), 1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0))
+        sign * element_at(col("v"), i)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), col("label"), sig.as("lsh_sig"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qAnnLshSignatureSql: String = {
+    val bits = (0 until NPlanes).map { j =>
+      val proj = (1 to Dim).map { i =>
+        s"(CASE WHEN substring(md5('$j|$i'), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END) * ${scaledElemSql("embedding", i.toString)}"
+      }.mkString(" + ")
+      s"CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT vec_id, label, ($bits) AS lsh_sig
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** IVF-style assignment: centroid per label (re-scaled to exact ints),
+    * assign each vector to its nearest centroid by exact squared L2.
+    * This is the coarse-quantizer step of IVF ANN: at scale the centroid
+    * table is tiny and broadcast, the assignment is a narrow map, and probe
+    * queries read only matching centroid partitions.
+    */
+  def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
+    // centroid: per-label elementwise mean of scaled components, re-rounded
+    val comp = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = comp.groupBy(col("label"), col("i"))
+      .agg(round(sum(col("x")) / count(lit(1))).as("c"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label").as("c_label"), expr("transform(ic, p -> p.c)").as("cv"))
+    val dist = dotScaled(zip_with(col("v"), col("cv"), (x, c) => x - c),
+      zip_with(col("v"), col("cv"), (x, c) => x - c))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("c_label"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qAnnIvfAssignSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM e),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    list_sum(list_transform(range(1, $Dim+1), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS dist
+       |  FROM e, cent c)
+       |SELECT vec_id, label, c_label AS assigned, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rk
+       |  FROM d)
+       |WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
+    QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
+    QueryDef("q_ann_ivf_assign", qAnnIvfAssign, Some(qAnnIvfAssignSql)),
+  )
 }

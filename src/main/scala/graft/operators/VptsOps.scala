@@ -1,7 +1,107 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.OdimPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** The reference's own inventory/path pipeline (SURVEY.md §2: P8-P13, A1, A5,
+  * F1) exercised on synthetic data: ODIM file names are synthesized from the
+  * events table, then parsed and aggregated with the same column functions
+  * the lake controller uses (graft.functions.OdimPaths).
+  */
 object VptsOps {
-  val entries: Seq[QueryDef] = Seq()
+
+  private val radars = Seq("bejab", "bewid", "nosta", "fiuta", "plpoz")
+
+  /** Synthesized inventory: one ODIM h5 key per event. */
+  private def inventory(s: SparkSession, dir: String): DataFrame = {
+    val radar = element_at(
+      array(radars.map(lit): _*), (col("user_id") % radars.size).cast("int") + 1)
+    Tables.events(s, dir).select(
+      col("event_id"),
+      lit("baltrad").as("source"),
+      concat(radar, lit("_vp_"), date_format(col("ts"), "yyyyMMdd"), lit("T"),
+        date_format(col("ts"), "HHmm"), lit("Z_0x9.h5")).as("file"))
+  }
+
+  // Single line: this fragment is interpolated into stripMargin strings, so
+  // it must not start a line with '|'.
+  private val inventorySql: String =
+    "SELECT event_id, 'baltrad' AS source, " +
+      "(['bejab','bewid','nosta','fiuta','plpoz'])[CAST(user_id % 5 AS INTEGER) + 1] " +
+      "|| '_vp_' || strftime(ts, '%Y%m%d') || 'T' || strftime(ts, '%H%M') || 'Z_0x9.h5' AS file " +
+      "FROM events"
+
+  // The Scala literal already holds single-backslash escapes (\d); DuckDB's
+  // single-quoted strings pass them to RE2 unchanged.
+  private val fileRegexSql = OdimPaths.FileNameRegex
+
+  /** P8 parse + P9 path algebra: every derived field of OdimFilePath. */
+  def qOdimPathParse(s: SparkSession, dir: String): DataFrame = {
+    val inv = inventory(s, dir)
+    inv.select(
+        col("event_id"),
+        col("file"),
+        OdimPaths.radarCode(col("file")).as("radar"),
+        OdimPaths.dataType(col("file")).as("data_type"),
+        OdimPaths.country(col("file")).as("country"),
+        OdimPaths.year(col("file")).as("yyyy"),
+        OdimPaths.month(col("file")).as("mm"),
+        OdimPaths.day(col("file")).as("dd"),
+        OdimPaths.dailyVptsKey(col("source"), col("file")).as("daily_key"),
+        OdimPaths.monthlyVptsKey(col("source"), col("file")).as("monthly_key"))
+      .orderBy(col("event_id"))
+  }
+
+  val qOdimPathParseSql: String = {
+    val re = fileRegexSql
+    s"""WITH inv AS ($inventorySql)
+       |SELECT event_id, file,
+       |  lower(regexp_extract(file, '$re', 1)) AS radar,
+       |  regexp_extract(file, '$re', 2) AS data_type,
+       |  substring(lower(regexp_extract(file, '$re', 1)), 1, 2) AS country,
+       |  regexp_extract(file, '$re', 3) AS yyyy,
+       |  regexp_extract(file, '$re', 4) AS mm,
+       |  regexp_extract(file, '$re', 5) AS dd,
+       |  'baltrad/daily/' || lower(regexp_extract(file, '$re', 1)) || '/' ||
+       |    regexp_extract(file, '$re', 3) || '/' || lower(regexp_extract(file, '$re', 1)) ||
+       |    '_vpts_' || regexp_extract(file, '$re', 3) || regexp_extract(file, '$re', 4) ||
+       |    regexp_extract(file, '$re', 5) || '.csv' AS daily_key,
+       |  'baltrad/monthly/' || lower(regexp_extract(file, '$re', 1)) || '/' ||
+       |    regexp_extract(file, '$re', 3) || '/' || lower(regexp_extract(file, '$re', 1)) ||
+       |    '_vpts_' || regexp_extract(file, '$re', 3) || regexp_extract(file, '$re', 4) ||
+       |    '.csv.gz' AS monthly_key
+       |FROM inv
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** A1/A5 coverage: file counts per radar-day prefix (the coverage.csv
+    * aggregation, s3.py:243-260).
+    */
+  def qOdimCoverage(s: SparkSession, dir: String): DataFrame = {
+    val inv = inventory(s, dir)
+    inv.filter(col("file").endsWith(".h5"))
+      .groupBy(OdimPaths.h5DayPrefix(col("source"), col("file")).as("directory"))
+      .agg(count(lit(1)).as("file_count"))
+      .orderBy(col("directory"))
+  }
+
+  val qOdimCoverageSql: String = {
+    val re = fileRegexSql
+    s"""WITH inv AS ($inventorySql)
+       |SELECT 'baltrad/hdf5/' || lower(regexp_extract(file, '$re', 1)) || '/' ||
+       |    regexp_extract(file, '$re', 3) || '/' || regexp_extract(file, '$re', 4) ||
+       |    '/' || regexp_extract(file, '$re', 5) AS directory,
+       |  count(*) AS file_count
+       |FROM inv
+       |WHERE file LIKE '%.h5'
+       |GROUP BY 1
+       |ORDER BY directory""".stripMargin
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_odim_path_parse", qOdimPathParse, Some(qOdimPathParseSql)),
+    QueryDef("q_odim_coverage", qOdimCoverage, Some(qOdimCoverageSql)),
+  )
 }
