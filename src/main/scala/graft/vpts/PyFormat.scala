@@ -1,0 +1,60 @@
+package graft.vpts
+
+/** Python-`str()`-compatible number rendering.
+  *
+  * The reference serializes every cell with pandas `astype(str)`, i.e.
+  * Python's shortest-repr float formatting (`vpts.py:123,134`). Java's
+  * legacy `Double.toString` differs (e-notation thresholds, occasional
+  * non-shortest output), so golden-file byte parity needs an explicit
+  * implementation: find the shortest round-tripping decimal, then apply
+  * Python's positional/scientific rules (positional iff -4 <= exp10 < 16).
+  */
+object PyFormat {
+
+  def pyFloat(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isPosInfinity) return "inf"
+    if (d.isNegInfinity) return "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val a = math.abs(d)
+    // shortest precision whose %.*e round-trips
+    var p = 0
+    var s = ""
+    var ok = false
+    while (!ok && p <= 17) {
+      s = String.format("%." + p + "e", Double.box(a))
+      ok = s.toDouble == a
+      if (!ok) p += 1
+    }
+    // s = "d.dddde±XX"
+    val Array(mant, expStr) = s.split("e")
+    val exp = expStr.toInt
+    val digits = mant.replace(".", "")
+    val body =
+      if (exp >= 16 || exp < -4) {
+        // scientific, python style: 1e+16, 1.234e-05
+        val m = if (digits.length == 1) digits else digits.head + "." + digits.tail
+        val es = (if (exp < 0) "-" else "+") + f"${math.abs(exp)}%02d"
+        s"${m}e$es"
+      } else if (exp >= digits.length - 1) {
+        // integer-valued: pad zeros, add .0
+        digits + "0" * (exp - digits.length + 1) + ".0"
+      } else if (exp >= 0) {
+        digits.substring(0, exp + 1) + "." + digits.substring(exp + 1)
+      } else {
+        "0." + "0" * (-exp - 1) + digits
+      }
+    if (neg) "-" + body else body
+  }
+
+  /** str() of a value that numpy `astype(float32)` produced: the f32 is
+    * widened exactly to double and repr'd (`vpts.py:58-63` tolist()).
+    */
+  def pyFloat32(f: Float): String = pyFloat(f.toDouble)
+
+  /** numpy-compatible round-half-even to `scale` decimals (np.round). */
+  def roundHalfEven(d: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
+}
