@@ -134,6 +134,40 @@ object Analytics {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Session windows (30-minute inactivity gap) — the stateful-streaming
+    * sessionization shape (KeyValueGroupedDataset/session_window), expressed
+    * with the built-in session_window so Catalyst plans one shuffle on
+    * user_id. Oracle reproduces the semantics via lag + cumulative session
+    * ids.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sstart"),
+        col("user_id"), col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("sstart"))
+
+  val qSessionWindowSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart, user_id,
+      |  count(*) AS n, sum(round(value*100))/100.0 AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, sstart""".stripMargin
+
   /** Top-2-per-group ranking over a broadcast dim join. */
   def qTopPerGroup(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -181,6 +215,7 @@ object Analytics {
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql), bench = true),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql), bench = true),
+    QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_top_per_group", qTopPerGroup, Some(qTopPerGroupSql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
   )

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is incremental batch (SURVEY.md
+  * §2.8) — its streaming analog is a file-source stream with
+  * Trigger.AvailableNow: each run drains newly-arrived files, aggregates by
+  * event time, and stops; watermarks bound state exactly like the reference's
+  * modified-days-ago look-back bounds recomputation.
+  */
+object EventStream {
+
+  /** events.parquet schema with ts as raw nanos (see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events table (file stream; new files = new
+    * micro-batches).
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 5-minute aggregation with a 10-minute watermark — the
+    * streaming twin of Analytics.qStreamTumbling (same plan modulo the
+    * watermark node).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Drain everything currently in the source into an in-memory table and
+    * return the result (Trigger.AvailableNow + complete mode: every window,
+    * exactly the batch answer — used by tests for batch/stream parity).
+    */
+  def runAvailableNow(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q: StreamingQuery = tumblingCounts(source(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
