@@ -1,23 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology: a warmup pass initializes the JVM/codegen and populates the
+  * file-listing caches, then each query is timed end-to-end with a noop-sink
+  * write (full materialization of every column — `count()` would let Catalyst
+  * prune the work).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val benchQueries = Registry.all.filter(_.bench)
+
+    def materialize(q: QueryDef): Unit =
+      q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+
+    // warmup: JVM/codegen/scan caches (not timed)
+    benchQueries.foreach { q =>
+      try materialize(q) catch { case _: Throwable => }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = benchQueries.map { q =>
+      val t0 = System.nanoTime()
+      try materialize(q) catch { case _: Throwable => }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

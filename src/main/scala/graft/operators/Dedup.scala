@@ -35,55 +35,81 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY content_hash""".stripMargin
 
-  private val MinhashSeeds = 0 until 8
   private val ShingleK = 3
 
-  /** Per-document MinHash signature (8 hashes over 3-word shingles). */
-  def qMinhashSignature(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  /** Per-doc 8-slot minhash columns from the single-pass fold
+    * (TextFunctions.minhashSig8: exactly 2 md5 calls per shingle).
+    */
+  private def withMinhashes(d: DataFrame): DataFrame = {
+    val base = d
       .withColumn("sh", shingles(words(col("text")), ShingleK))
-    val sig = concat_ws("|", MinhashSeeds.map(j => minhash(col("sh"), j)): _*)
-    d.select(col("doc_id"), sig.as("minhash_sig")).orderBy(col("doc_id"))
+      .withColumn("mhs", minhashSig8(col("sh")))
+    (0 until 8).foldLeft(base) { (df, j) =>
+      df.withColumn(s"mh$j", element_at(col("mhs"), j + 1))
+    }
   }
 
-  val qMinhashSignatureSql: String = {
+  private val minhashCte: String = {
     val sh = shinglesSql("ws", ShingleK)
-    val parts = MinhashSeeds.map(j => minhashSql("sh", j)).mkString(", ")
-    s"""SELECT doc_id, concat_ws('|', $parts) AS minhash_sig
-       |FROM (SELECT doc_id, $sh AS sh
-       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-       |ORDER BY doc_id""".stripMargin
+    val slots = (0 until 8).map { j =>
+      s"${minhashSlotSql(if (j < 4) "h0" else "h1", j % 4)} AS mh$j"
+    }.mkString(", ")
+    s"""m AS (
+       |  SELECT doc_id, $slots
+       |  FROM (SELECT doc_id, ${md5ArraySql("sh", 0)} AS h0, ${md5ArraySql("sh", 1)} AS h1
+       |        FROM (SELECT doc_id, $sh AS sh
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))))""".stripMargin
   }
 
-  /** Banded LSH: 8 minhashes -> 4 bands of 2; docs sharing a band key are
-    * candidate near-duplicates. The band explode is a narrow generate; the
-    * candidate search is an equi-join on (band, key) — bucket-local, never
-    * all-pairs.
+  /** Per-document MinHash signature (8 hash slots over 3-word shingles).
+    * Sorted BEFORE the signature projection: orderBy-after would make the
+    * range partitioner's sampling pass execute the md5 fold twice.
+    */
+  def qMinhashSignature(s: SparkSession, dir: String): DataFrame = {
+    val sig = concat_ws("|", (0 until 8).map(j => col(s"mh$j")): _*)
+    withMinhashes(Tables.documents(s, dir).orderBy(col("doc_id")))
+      .select(col("doc_id"), sig.as("minhash_sig"))
+  }
+
+  val qMinhashSignatureSql: String =
+    s"""WITH $minhashCte
+       |SELECT doc_id, concat_ws('|', ${(0 until 8).map(j => s"mh$j").mkString(", ")}) AS minhash_sig
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  /** Banded LSH: 8 minhash slots -> 4 bands of 2; docs sharing a band key
+    * are candidate near-duplicates. The band explode is a narrow generate;
+    * the candidate search is an equi-join on (band, key) — bucket-local,
+    * never all-pairs.
     */
   def qLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .withColumn("sh", shingles(words(col("text")), ShingleK))
+    val d = withMinhashes(Tables.documents(s, dir))
     val bands = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        concat(minhash(col("sh"), 2 * b), minhash(col("sh"), 2 * b + 1)).as("key"))
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
     }: _*)
     val exploded = d.select(col("doc_id"), explode(bands).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = exploded.as("a"); val b = exploded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bucket-collect instead of a self-join: one signature computation, one
+    // shuffle on (band, key); within-bucket pairs are generated from the
+    // (tiny) sorted doc list.
+    val bucketed = exploded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    bucketed
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val qLshCandidatesSql: String = {
-    val sh = shinglesSql("ws", ShingleK)
     val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, ${minhashSql("sh", 2 * b)} || ${minhashSql("sh", 2 * b + 1)} AS key FROM m"
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS key FROM m"
     }.mkString("\n  UNION ALL ")
-    s"""WITH m AS (SELECT doc_id, $sh AS sh
-       |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    s"""WITH $minhashCte,
        |bands AS ($bandRows)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
@@ -91,11 +117,12 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Per-document 16-bit SimHash (majority vote over word-hash bits). */
+  /** Per-document 16-bit SimHash (majority vote over word-hash bits).
+    * Sort-before-project: see qMinhashSignature.
+    */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(col("doc_id"), simhash16(words(col("text"))).as("simhash"))
-      .orderBy(col("doc_id"))
 
   val qSimhashSql: String =
     s"""SELECT doc_id, ${simhash16Sql("string_split(text, ' ')")} AS simhash

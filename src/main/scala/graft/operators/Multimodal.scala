@@ -18,7 +18,7 @@ object Multimodal {
     * (stand-in for a real header parse).
     */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .withColumn("payload", col("text").cast("binary"))
       .select(
         col("doc_id"),
@@ -27,7 +27,6 @@ object Multimodal {
         (ascii(substring(col("text"), 1, 1)) * 4).as("fake_width"),
         (ascii(substring(col("text"), 2, 1)) * 3).as("fake_height"),
         substring(col("text"), 1, 16).as("header_prefix"))
-      .orderBy(col("doc_id"))
 
   val qMultimodalMetaSql: String =
     """SELECT doc_id,
@@ -45,14 +44,13 @@ object Multimodal {
     */
   def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val nFrames = ceil(octet_length(col("text").cast("binary")) / 64.0).cast("int")
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), nFrames - 1),
           i => substring(col("text"), i * 64 + 1, lit(64)))).as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % 4 === 0)
       .select(col("doc_id"), col("frame_no"),
         md5(col("frame").cast("binary")).as("frame_digest"))
-      .orderBy(col("doc_id"), col("frame_no"))
   }
 
   val qMultimodalFramesSql: String =

@@ -54,8 +54,8 @@ object Similarity {
       }.reduce(_ + _)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    e.select(col("vec_id"), col("label"), sig.as("lsh_sig"))
-      .orderBy(col("vec_id"))
+    e.orderBy(col("vec_id"))
+      .select(col("vec_id"), col("label"), sig.as("lsh_sig"))
   }
 
   val qAnnLshSignatureSql: String = {

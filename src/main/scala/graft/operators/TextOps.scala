@@ -22,7 +22,7 @@ object TextOps {
     val nWords = size(w)
     val sumLen = aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x)
     val nStop = size(filter(w, x => x.isInCollection(Stopwords)))
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_m"),
@@ -30,7 +30,6 @@ object TextOps {
         (sumLen.cast("double") / nWords).as("avg_word_len"),
         (nStop.cast("double") / nWords).as("stopword_ratio"),
         (length(col("text")) === col("n_chars")).cast("int").as("len_ok"))
-      .orderBy(col("doc_id"))
   }
 
   val qTextQualitySql: String = {
@@ -66,11 +65,10 @@ object TextOps {
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) { case (acc, (lang, sc)) =>
       when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
     }
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(col("doc_id") +: col("lang").as("lang_meta") +:
         scores.map { case (l, c) => c.as(s"score_$l") } :+
         best.getField("l").as("predicted"): _*)
-      .orderBy(col("doc_id"))
   }
 
   val qTextLangIdSql: String = {
@@ -95,13 +93,12 @@ object TextOps {
 
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer. */
   def qTextTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
         length(col("text")).as("n_chars_m"))
-      .orderBy(col("doc_id"))
 
   val qTextTokensSql: String =
     """SELECT doc_id,
@@ -115,11 +112,10 @@ object TextOps {
     * (order-insensitive content fingerprint).
     */
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(col("doc_id"),
         substring(md5(array_join(array_sort(array_distinct(words(col("text")))), " ")
           .cast("binary")), 1, 16).as("fingerprint"))
-      .orderBy(col("doc_id"))
 
   val qTextFingerprintSql: String =
     """SELECT doc_id,
