@@ -37,13 +37,14 @@ object Dedup {
 
   private val ShingleK = 3
 
-  /** Per-doc 8-slot minhash columns from the single-pass fold
-    * (TextFunctions.minhashSig8: exactly 2 md5 calls per shingle).
+  /** Per-doc 8-slot minhash columns via the native Catalyst expression
+    * (graft.plans.MinhashSigExpr — one compiled loop, 2 md5 calls per
+    * shingle, no intermediate arrays). Values identical to the declarative
+    * TextFunctions.minhashSig8(shingles(words(text), k)) and to the oracle.
     */
   private def withMinhashes(d: DataFrame): DataFrame = {
-    val base = d
-      .withColumn("sh", shingles(words(col("text")), ShingleK))
-      .withColumn("mhs", minhashSig8(col("sh")))
+    val base = d.withColumn("mhs",
+      graft.plans.MinhashSigExpr.minhashSig8Native(col("text"), ShingleK))
     (0 until 8).foldLeft(base) { (df, j) =>
       df.withColumn(s"mh$j", element_at(col("mhs"), j + 1))
     }

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 8-slot MinHash signature.
+  *
+  * Semantically identical to the declarative formulation in
+  * `graft.functions.TextFunctions.minhashSig8(shingles(words(text), k))` —
+  * element j = min over k-word shingles of
+  * `substring(md5((j<4 ? "0|" : "1|") + shingle), 1 + 8*(j%4), 8)` — and
+  * verified against the same DuckDB oracle.
+  *
+  * Why a custom Expression: Spark's higher-order functions evaluate
+  * interpreted (no whole-stage codegen), allocating per-element Catalyst
+  * structures for the shingle array, two md5 arrays, and the fold state.
+  * Here the whole signature is one compiled per-row loop with two MessageDigest
+  * updates per shingle and zero intermediate arrays. CodegenFallback is fine:
+  * the per-row call overhead is trivial next to the hashing itself.
+  */
+case class MinhashSigExpr(child: Expression, k: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig8"
+
+  @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.split(' ')
+    if (words.length < k) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // mins(j) holds the 8-char hex min for slot j
+    val mins = Array.fill(8)("~~~~~~~~")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var w = 0
+      while (w < k) {
+        if (w > 0) sb.append(' ')
+        sb.append(words(i + w))
+        w += 1
+      }
+      val shingle = sb.toString
+      var seed = 0
+      while (seed < 2) {
+        md.reset()
+        md.update((seed + "|").getBytes("UTF-8"))
+        md.update(shingle.getBytes("UTF-8"))
+        val digest = md.digest()
+        // hex-encode 16 bytes -> 32 chars; compare 8-char slots in place
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexDigits((digest(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexDigits(digest(b) & 0xf)
+          b += 1
+        }
+        var slot = 0
+        while (slot < 4) {
+          val s = new String(hex, slot * 8, 8)
+          val j = seed * 4 + slot
+          if (s.compareTo(mins(j)) < 0) mins(j) = s
+          slot += 1
+        }
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSigExpr {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column API: 8-slot minhash signature of a text column. */
+  def minhashSig8Native(text: Column, k: Int = 3): Column =
+    GraftSqlBridge.column(MinhashSigExpr(GraftSqlBridge.expression(text), k))
+}
