@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.odim.OdimReader
+import graft.vpts.{BirdProfile, Vpts, VptsCsvVersion}
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 `odim` format: `spark.read.format("odim").load(dir)` scans a
+  * lake of ODIM HDF5 VP files into the VPTS v1 string schema.
+  *
+  * Planning lists *.h5 recursively (driver side, Hadoop FS — works on
+  * s3a://) and bin-packs the small files into partitions of
+  * `maxPartitionBytes` (default 128 MiB, i.e. thousands of ~25 KB profiles
+  * per task — the small-file mitigation SURVEY.md §4 calls for). Each
+  * partition reader decodes its files with the pure-JVM reader and emits
+  * one InternalRow per altitude level. Options: `version` (vpts-csv ruleset,
+  * default v1.0), `failFast` (default true; false = warn-and-skip corrupt
+  * files).
+  */
+class OdimDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "odim"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Vpts.schemaV1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new OdimTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class OdimTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"odim(${options.get("path")})"
+  override def schema(): StructType = Vpts.schemaV1
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new OdimScanBuilder(o)
+}
+
+final class OdimScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
+  override def build(): Scan = new OdimScan(options)
+}
+
+final case class OdimFileRef(path: String, size: Long)
+final case class OdimInputPartition(files: Seq[OdimFileRef]) extends InputPartition
+
+final class OdimScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
+  override def readSchema(): StructType = Vpts.schemaV1
+  override def toBatch: Batch = this
+  override def description(): String = s"OdimScan(${options.get("path")})"
+
+  private def listH5(root: String): Seq[OdimFileRef] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new HPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[OdimFileRef]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st: FileStatus = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".h5"))
+        out += OdimFileRef(st.getPath.toString, st.getLen)
+    }
+    out.result()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val paths = Option(options.get("paths"))
+      .map(_.split(",").toSeq).getOrElse(Seq(options.get("path")))
+    val files = paths.flatMap(listH5).sortBy(_.path)
+    val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    // first-fit bin-packing in sorted order (keeps day-locality per task)
+    val parts = Seq.newBuilder[OdimInputPartition]
+    var cur = Vector.empty[OdimFileRef]
+    var curBytes = 0L
+    files.foreach { f =>
+      if (cur.nonEmpty && curBytes + f.size > maxBytes) {
+        parts += OdimInputPartition(cur); cur = Vector.empty; curBytes = 0
+      }
+      cur :+= f; curBytes += f.size
+    }
+    if (cur.nonEmpty) parts += OdimInputPartition(cur)
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OdimPartitionReaderFactory(
+      Option(options.get("version")).getOrElse("v1.0"),
+      Option(options.get("failFast")).forall(_.toBoolean))
+}
+
+final class OdimPartitionReaderFactory(version: String, failFast: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[OdimInputPartition].files
+    new OdimPartitionReader(files, version, failFast)
+  }
+}
+
+final class OdimPartitionReader(files: Seq[OdimFileRef], version: String,
+    failFast: Boolean) extends PartitionReader[InternalRow] {
+
+  private val ruleset = VptsCsvVersion(version)
+  private val fileIt = files.iterator
+  private var rowIt: Iterator[Seq[String]] = Iterator.empty
+  private var current: InternalRow = _
+  private val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  private def decodeNextFile(): Boolean = {
+    while (fileIt.hasNext) {
+      val f = fileIt.next()
+      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+      try {
+        val p = new HPath(f.path)
+        val fs = p.getFileSystem(hadoopConf)
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val reader = OdimReader.checkVpOdim(OdimReader(bytes, name))
+        rowIt = ruleset.rows(BirdProfile.fromOdim(reader, name)).iterator
+        if (rowIt.hasNext) return true
+      } catch {
+        case e: Exception if !failFast =>
+          System.err.println(s"[odim] skipping $name: ${e.getMessage}")
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (!rowIt.hasNext && !decodeNextFile()) return false
+    val cells = rowIt.next()
+    current = InternalRow.fromSeq(cells.map(UTF8String.fromString))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

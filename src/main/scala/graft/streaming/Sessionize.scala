@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operator: per-user sessionization with
+  * flatMapGroupsWithState (the KeyValueGroupedDataset path for semantics the
+  * built-in session_window can't express — here we also carry running value
+  * sums and emit sessions only when closed by a gap or event-time timeout).
+  *
+  * State per user is O(1); the shuffle is one hash partition on user_id.
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts_micros: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sumCents: Long)
+  final case class Session(user_id: Long, start_micros: Long, end_micros: Long,
+      n: Long, sum_value: Double)
+
+  val GapMicros: Long = 30L * 60 * 1000 * 1000
+
+  /** Sessionize a (possibly streaming) Dataset[Event]. Events within a group
+    * arrive batched; we sort each batch (streaming micro-batches are small)
+    * and emit every session closed by the gap rule, keeping the open tail in
+    * state.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_micros))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val cents = math.round(e.value * 100)
+            cur match {
+              case Some(s) if e.ts_micros - s.last < GapMicros =>
+                cur = Some(s.copy(last = e.ts_micros, n = s.n + 1,
+                  sumCents = s.sumCents + cents))
+              case Some(s) =>
+                closed += Session(user, s.start, s.last, s.n, s.sumCents / 100.0)
+                cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+              case None =>
+                cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-mode helper: sessionize the events table and ALSO flush the open
+    * tail sessions (batch has no "future" to wait for).
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): Dataset[Session] = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_micros", "value")
+      .as[Event]
+    // one pass closes sessions; the open tails are exactly one session per
+    // user (the last one), reconstructed by a second grouped pass
+    val all = ev.groupByKey(_.user_id).flatMapGroups { (user, it) =>
+      val sorted = it.toSeq.sortBy(_.ts_micros)
+      val out = Seq.newBuilder[Session]
+      var st: Option[SessionState] = None
+      sorted.foreach { e =>
+        val cents = math.round(e.value * 100)
+        st match {
+          case Some(s) if e.ts_micros - s.last < GapMicros =>
+            st = Some(s.copy(last = e.ts_micros, n = s.n + 1, sumCents = s.sumCents + cents))
+          case Some(s) =>
+            out += Session(user, s.start, s.last, s.n, s.sumCents / 100.0)
+            st = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+          case None =>
+            st = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+        }
+      }
+      st.foreach(s => out += Session(user, s.start, s.last, s.n, s.sumCents / 100.0))
+      out.result().iterator
+    }
+    all
+  }
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import graft.vpts.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 "odim" format must agree with the mapPartitions pipeline. */
+class OdimDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  test("format(\"odim\") reads the VP fixtures into the VPTS schema") {
+    val df = spark.read.format("odim").load("/root/reference/tests/data/vp")
+    assert(df.schema == graft.vpts.Vpts.schemaV1)
+    assert(df.count() == 150)
+    val viaPipeline = graft.vpts.Vpts.vpts(spark, Seq("/root/reference/tests/data/vp"))
+      .collect().map(_.toSeq.mkString("|")).sorted
+    val viaSource = graft.vpts.Vpts.sortCanonical(df)
+      .collect().map(_.toSeq.mkString("|")).sorted
+    assert(viaSource.sameElements(viaPipeline))
+  }
+
+  test("failFast=false skips corrupt files") {
+    val df = spark.read.format("odim")
+      .option("failFast", "false")
+      .load("/root/reference/tests/data/vp_no_odim_h5")
+    assert(df.count() == 0)
+  }
+
+  test("failFast default surfaces corrupt files as task failures") {
+    val df = spark.read.format("odim").load("/root/reference/tests/data/vp_no_odim_h5")
+    assertThrows[org.apache.spark.SparkException](df.count())
+  }
+}
