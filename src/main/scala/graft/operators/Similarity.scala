@@ -44,19 +44,10 @@ object Similarity {
   private val NPlanes = 8
   private val Dim = 64
 
-  def qAnnLshSignature(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
-    val sig = (0 until NPlanes).map { j =>
-      // projection_j = sum_i sign(md5(j|i)) * v[i], exact integers
-      val proj = (1 to Dim).map { i =>
-        val sign = when(substring(md5(lit(s"$j|$i")), 1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0))
-        sign * element_at(col("v"), i)
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    e.orderBy(col("vec_id"))
-      .select(col("vec_id"), col("label"), sig.as("lsh_sig"))
-  }
+  def qAnnLshSignature(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        graft.plans.LshSigExpr.lshSigNative(col("embedding"), NPlanes, Dim).as("lsh_sig"))
 
   val qAnnLshSignatureSql: String = {
     val bits = (0 until NPlanes).map { j =>

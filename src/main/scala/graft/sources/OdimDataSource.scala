@@ -59,24 +59,22 @@ final class OdimScan(options: CaseInsensitiveStringMap) extends Scan with Batch 
 
   private def listH5(root: String): Seq[OdimFileRef] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val p = new HPath(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = Seq.newBuilder[OdimFileRef]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st: FileStatus = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".h5"))
-        out += OdimFileRef(st.getPath.toString, st.getLen)
-    }
-    out.result()
+    org.apache.spark.sql.GraftSqlBridge.listFilesRecursive(spark, Seq(root))
+      .collect { case (p, len) if p.endsWith(".h5") => OdimFileRef(p, len) }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val paths = Option(options.get("paths"))
       .map(_.split(",").toSeq).getOrElse(Seq(options.get("path")))
     val files = paths.flatMap(listH5).sortBy(_.path)
-    val maxBytes = Option(options.get("maxPartitionBytes")).map(_.toLong)
+    // cap partition size BOTH by maxPartitionBytes and by total/parallelism:
+    // a lake of small files must still fan out across all cores
+    val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism.max(1)
+    val totalBytes = files.map(_.size).sum.max(1L)
+    val maxBytes = math.max(1L, math.min(confMax, totalBytes / parallelism))
     // first-fit bin-packing in sorted order (keeps day-locality per task)
     val parts = Seq.newBuilder[OdimInputPartition]
     var cur = Vector.empty[OdimFileRef]
@@ -121,8 +119,11 @@ final class OdimPartitionReader(files: Seq[OdimFileRef], version: String,
       try {
         val p = new HPath(f.path)
         val fs = p.getFileSystem(hadoopConf)
+        // single positioned readFully: java.io readAllBytes over the Hadoop
+        // stream degrades to many small reads (7x slowdown on small files)
+        val bytes = new Array[Byte](f.size.toInt)
         val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
+        try in.readFully(0, bytes) finally in.close()
         val reader = OdimReader.checkVpOdim(OdimReader(bytes, name))
         rowIt = ruleset.rows(BirdProfile.fromOdim(reader, name)).iterator
         if (rowIt.hasNext) return true

@@ -100,6 +100,29 @@ object Vpts {
     } finally out.close()
   }
 
+  /** Frictionless resource-descriptor sink next to a VPTS CSV (reference
+    * `_write_resource_descriptor`, vpts.py:320-343): same fields, 4-space
+    * indent, sorted keys.
+    */
+  def writeResourceDescriptor(vptsCsvPath: String, schemaVersion: String = "v1.0"): Unit = {
+    val p = java.nio.file.Paths.get(vptsCsvPath)
+    val json =
+      s"""{
+         |    "dialect": {
+         |        "delimiter": ","
+         |    },
+         |    "encoding": "utf8",
+         |    "format": "csv",
+         |    "mediatype": "text/csv",
+         |    "name": "vpts",
+         |    "path": "${p.getFileName}",
+         |    "schema": "https://raw.githubusercontent.com/aloftdata/vpts-csv/$schemaVersion/vpts-csv-table-schema.json"
+         |}""".stripMargin
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("vpts.resource.json"), json)
+  }
+
   /** pandas to_csv minimal quoting. */
   private def csvQuote(s: String): String =
     if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))

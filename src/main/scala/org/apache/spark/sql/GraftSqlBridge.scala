@@ -9,4 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Recursive file listing through Spark's InMemoryFileIndex (cached,
+    * parallelized, and free of RawLocalFileSystem's per-file permission
+    * exec that makes naive listFiles() pathological on many small files).
+    */
+  def listFilesRecursive(spark: SparkSession, paths: Seq[String]): Seq[(String, Long)] = {
+    val index = new execution.datasources.InMemoryFileIndex(
+      spark.asInstanceOf[classic.SparkSession],
+      paths.map(new org.apache.hadoop.fs.Path(_)),
+      Map("recursiveFileLookup" -> "true"), None)
+    index.allFiles().map(f => (f.getPath.toString, f.getLen))
+  }
 }
