@@ -208,7 +208,72 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin
 
+  /** Cube (all grouping-set combinations) over (event_type, day). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"))
+      .orderBy(col("event_type"), col("day"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(day, 'ALL') AS day, n
+      |FROM (
+      |  SELECT event_type, day, count(*) AS n
+      |  FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+      |  GROUP BY CUBE(event_type, day))
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Set ops: EXCEPT/INTERSECT (distinct semantics in both engines). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val big = o.filter(col("o_totalprice") > 250000)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    urgent.except(big).withColumn("op", lit("except"))
+      .unionByName(urgent.intersect(big).withColumn("op", lit("intersect")))
+      .orderBy(col("op"), col("o_orderkey"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH urgent AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |big AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000)
+      |SELECT o_orderkey, o_orderstatus, 'except' AS op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, 'intersect' AS op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+      |ORDER BY op, o_orderkey""".stripMargin
+
+  /** Pivot: per-day event-type count matrix. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    base.select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  val qPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |  $cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_cube", qCube, Some(qCubeSql)),
+    QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_window_rownum", qWindowRowNumber, Some(qWindowRowNumberSql)),
     QueryDef("q_window_lag", qWindowLag, Some(qWindowLagSql), bench = true),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningSql)),

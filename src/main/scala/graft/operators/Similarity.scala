@@ -108,9 +108,64 @@ object Similarity {
        |WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Full IVF probe-search: pick the centroid nearest to the query vector,
+    * then rank only that bucket's vectors by cosine — the two-stage ANN
+    * pattern (coarse quantizer -> in-bucket scan). At 100 TB the bucket scan
+    * reads one label partition instead of the full table.
+    */
+  def qAnnIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // per-label centroid in scaled-int space (same construction as assign)
+    val comp = e.withColumn("v", scaled(col("embedding")))
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = comp.groupBy(col("label"), col("i"))
+      .agg(round(sum(col("x")) / count(lit(1))).as("c"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label").as("c_label"), expr("transform(ic, p -> p.c)").as("cv"))
+    val qs = cent.crossJoin(broadcast(q))
+      .withColumn("qv", scaled(col("qe")))
+      .withColumn("dist", dotScaled(zip_with(col("qv"), col("cv"), (a, b) => a - b),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b)))
+      .orderBy(col("dist"), col("c_label"))
+      .limit(1)
+      .select(col("c_label").as("probe_label"), col("qe"))
+    e.join(broadcast(qs), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val qAnnIvfSearchSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v,
+       |    embedding
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe,
+       |        list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM e),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |probe AS (
+       |  SELECT c_label FROM cent, q
+       |  ORDER BY list_sum(list_transform(range(1, $Dim+1), i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), c_label
+       |  LIMIT 1)
+       |SELECT vec_id, label, ${cosineSql("e.embedding", "qe")} AS cos
+       |FROM e, q, probe
+       |WHERE e.label = probe.c_label AND vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 5""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
     QueryDef("q_ann_ivf_assign", qAnnIvfAssign, Some(qAnnIvfAssignSql)),
+    QueryDef("q_ann_ivf_search", qAnnIvfSearch, Some(qAnnIvfSearchSql)),
   )
 }
