@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reusable scale patterns for 100 TB operation.
+  *
+  * - saltedJoin: hot-key mitigation for shuffle joins. The skewed fact side
+  *   gets a pseudo-random salt in [0, saltFactor); the dimension side is
+  *   replicated saltFactor times, so one hot key spreads over saltFactor
+  *   reducers instead of one. (AQE's skewedJoin handles sort-merge skew
+  *   automatically; explicit salting is for aggregations and for joins AQE
+  *   can't split.)
+  * - saltedGroupCount: two-phase (salted partial -> final) aggregation for
+  *   skewed group keys.
+  */
+object ScalePatterns {
+
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  def saltedGroupCount(df: DataFrame, key: String, saltFactor: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("cnt"))
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScalePatternsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("salted join equals plain join and spreads keys") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val o = graft.Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = ScalePatterns.saltedJoin(li, o, "l_orderkey", 4).count()
+    assert(salted == plain)
+  }
+
+  test("salted group count equals plain group count") {
+    val e = graft.Tables.events(spark, sfDir)
+    val plain = e.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = ScalePatterns.saltedGroupCount(e, "event_type", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val o = graft.Tables.orders(spark, sfDir)
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val j = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    // force a non-broadcast join so bucketing matters
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
