@@ -100,6 +100,20 @@ object Vpts {
     } finally out.close()
   }
 
+  /** String-preserving VPTS CSV scan (reference S7, `vph5_to_vpts.py:
+    * 230-240`): all 26 columns as raw strings, no NA inference — "" and
+    * "NaN" sentinels survive the round-trip.
+    */
+  def readVptsCsv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read
+      .schema(schemaV1)
+      .option("header", "true")
+      .option("emptyValue", "")
+      .csv(paths: _*)
+      // univocity yields null for unquoted empty fields no matter the
+      // options; the reference's keep_default_na=False semantics are ""
+      .na.fill("")
+
   /** Frictionless resource-descriptor sink next to a VPTS CSV (reference
     * `_write_resource_descriptor`, vpts.py:320-343): same fields, 4-space
     * indent, sorted keys.
