@@ -28,6 +28,19 @@ class ScalePatternsSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // clean both catalog entries and leftover warehouse dirs (the in-memory
+    // catalog forgets tables across JVMs but the directories persist)
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val li = graft.Tables.lineitem(spark, sfDir)
     val o = graft.Tables.orders(spark, sfDir)
     li.write.mode("overwrite").bucketBy(4, "l_orderkey")
