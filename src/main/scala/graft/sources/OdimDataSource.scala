@@ -64,8 +64,14 @@ final class OdimScan(options: CaseInsensitiveStringMap) extends Scan with Batch 
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val paths = Option(options.get("paths"))
-      .map(_.split(",").toSeq).getOrElse(Seq(options.get("path")))
+    // multi-path load() hands us a JSON-array "paths" option; single-path a
+    // plain "path"
+    val paths = Option(options.get("paths")).map { s =>
+      if (s.startsWith("["))
+        s.substring(1, s.length - 1).split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      else s.split(",").toSeq
+    }.getOrElse(Seq(options.get("path")))
     val files = paths.flatMap(listH5).sortBy(_.path)
     // cap partition size BOTH by maxPartitionBytes and by total/parallelism:
     // a lake of small files must still fan out across all cores

@@ -27,8 +27,24 @@ object Vpts {
   val schemaV1: StructType =
     StructType(VptsCsvV1.columns.map(StructField(_, StringType, nullable = false)))
 
-  /** Many ODIM VP files -> canonical VPTS DataFrame (reference `vpts()`). */
+  /** Many ODIM VP files -> canonical VPTS DataFrame (reference `vpts()`).
+    * Scans through the DSv2 `odim` source (parallel listing + small-file
+    * bin-packing; ~2x the binaryFile path on many-file lakes), then applies
+    * the canonical total sort.
+    */
   def vpts(spark: SparkSession, paths: Seq[String], version: String = "v1.0",
+      failFast: Boolean = true): DataFrame = {
+    val df = spark.read.format("odim")
+      .option("version", version)
+      .option("failFast", failFast.toString)
+      .load(paths: _*)
+    sortCanonical(df)
+  }
+
+  /** binaryFile + mapPartitions variant of [[vpts]] (kept for comparison and
+    * as the no-custom-source fallback).
+    */
+  def vptsViaBinaryFile(spark: SparkSession, paths: Seq[String], version: String = "v1.0",
       failFast: Boolean = true): DataFrame = {
     val ruleset = VptsCsvVersion(version)
     import spark.implicits._

@@ -12,7 +12,7 @@ class OdimDataSourceSpec extends AnyFunSuite {
     val df = spark.read.format("odim").load("/root/reference/tests/data/vp")
     assert(df.schema == graft.vpts.Vpts.schemaV1)
     assert(df.count() == 150)
-    val viaPipeline = graft.vpts.Vpts.vpts(spark, Seq("/root/reference/tests/data/vp"))
+    val viaPipeline = graft.vpts.Vpts.vptsViaBinaryFile(spark, Seq("/root/reference/tests/data/vp"))
       .collect().map(_.toSeq.mkString("|")).sorted
     val viaSource = graft.vpts.Vpts.sortCanonical(df)
       .collect().map(_.toSeq.mkString("|")).sorted
