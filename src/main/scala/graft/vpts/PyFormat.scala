@@ -23,7 +23,7 @@ object PyFormat {
     var s = ""
     var ok = false
     while (!ok && p <= 17) {
-      s = String.format("%." + p + "e", Double.box(a))
+      s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(a))
       ok = s.toDouble == a
       if (!ok) p += 1
     }

@@ -19,6 +19,12 @@ class OdimDataSourceSpec extends AnyFunSuite {
     assert(viaSource.sameElements(viaPipeline))
   }
 
+  test("single-file load works (vp() path)") {
+    val df = spark.read.format("odim").load(
+      "/root/reference/tests/data/vp/bewid/bewid_vp_20221113T023500Z_0xb.h5")
+    assert(df.count() == 25)
+  }
+
   test("failFast=false skips corrupt files") {
     val df = spark.read.format("odim")
       .option("failFast", "false")
