@@ -45,17 +45,35 @@ final class OdimTable(options: CaseInsensitiveStringMap) extends Table with Supp
     new OdimScanBuilder(o)
 }
 
-final class OdimScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
-  override def build(): Scan = new OdimScan(options)
+/** Optimizer integration: Catalyst hands us the required columns (pruning
+  * the 26-column profile to what the query projects) and any LIMIT (readers
+  * early-stop; Spark still applies the exact global limit).
+  */
+final class OdimScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  private var required: StructType = Vpts.schemaV1
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.fields.nonEmpty) required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = new OdimScan(options, required, limit)
 }
 
 final case class OdimFileRef(path: String, size: Long)
 final case class OdimInputPartition(files: Seq[OdimFileRef]) extends InputPartition
 
-final class OdimScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
-  override def readSchema(): StructType = Vpts.schemaV1
+final class OdimScan(options: CaseInsensitiveStringMap,
+    required: StructType = null, limit: Int = -1) extends Scan with Batch {
+  private val schema0: StructType = Option(required).getOrElse(Vpts.schemaV1)
+  override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
-  override def description(): String = s"OdimScan(${options.get("path")})"
+  override def description(): String =
+    s"OdimScan(${options.get("path")}, columns=${schema0.fieldNames.mkString(",")}" +
+      (if (limit >= 0) s", limit=$limit" else "") + ")"
 
   private def listH5(root: String): Seq[OdimFileRef] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -98,21 +116,26 @@ final class OdimScan(options: CaseInsensitiveStringMap) extends Scan with Batch 
   override def createReaderFactory(): PartitionReaderFactory =
     new OdimPartitionReaderFactory(
       Option(options.get("version")).getOrElse("v1.0"),
-      Option(options.get("failFast")).forall(_.toBoolean))
+      Option(options.get("failFast")).forall(_.toBoolean),
+      schema0.fieldNames, limit)
 }
 
-final class OdimPartitionReaderFactory(version: String, failFast: Boolean)
-    extends PartitionReaderFactory {
+final class OdimPartitionReaderFactory(version: String, failFast: Boolean,
+    columns: Array[String], limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[OdimInputPartition].files
-    new OdimPartitionReader(files, version, failFast)
+    new OdimPartitionReader(files, version, failFast, columns, limit)
   }
 }
 
 final class OdimPartitionReader(files: Seq[OdimFileRef], version: String,
-    failFast: Boolean) extends PartitionReader[InternalRow] {
+    failFast: Boolean, columns: Array[String], limit: Int)
+    extends PartitionReader[InternalRow] {
 
   private val ruleset = VptsCsvVersion(version)
+  // indices of the pruned columns within the full 26-column row
+  private val colIdx: Array[Int] = columns.map(ruleset.columns.indexOf)
+  private var emitted = 0L
   private val fileIt = files.iterator
   private var rowIt: Iterator[Seq[String]] = Iterator.empty
   private var current: InternalRow = _
@@ -142,9 +165,11 @@ final class OdimPartitionReader(files: Seq[OdimFileRef], version: String,
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // early stop per reader
     if (!rowIt.hasNext && !decodeNextFile()) return false
     val cells = rowIt.next()
-    current = InternalRow.fromSeq(cells.map(UTF8String.fromString))
+    current = InternalRow.fromSeq(colIdx.toSeq.map(i => UTF8String.fromString(cells(i))))
+    emitted += 1
     true
   }
 

@@ -19,6 +19,16 @@ class OdimDataSourceSpec extends AnyFunSuite {
     assert(viaSource.sameElements(viaPipeline))
   }
 
+  test("column pruning and limit reach the odim scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("odim").load("/root/reference/tests/data/vp")
+      .select(col("radar"), col("height")).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=radar,height"), s"pruning missing in:\n$plan")
+    assert(plan.contains("limit=3"), s"limit missing in:\n$plan")
+    assert(df.collect().length == 3)
+  }
+
   test("single-file load works (vp() path)") {
     val df = spark.read.format("odim").load(
       "/root/reference/tests/data/vp/bewid/bewid_vp_20221113T023500Z_0xb.h5")

@@ -25,6 +25,31 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stateful streaming: sessions survive micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionize(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_test")
+      .start()
+    val min = 60L * 1000 * 1000 // micros
+    // batch 1: user 1 events at t=0 and t=10min (same session, stays open)
+    input.addData(Sessionize.Event(1, 0, 1.0), Sessionize.Event(1, 10 * min, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_test").count() == 0) // nothing closed yet
+    // batch 2: t=45min -> gap > 30min closes the first session
+    input.addData(Sessionize.Event(1, 45 * min, 3.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_test").as[Sessionize.Session].collect()
+    assert(closed.length == 1)
+    assert(closed.head.n == 2 && closed.head.start_micros == 0 &&
+      closed.head.end_micros == 10 * min && closed.head.sum_value == 3.0)
+    q.stop()
+  }
+
   test("partitioned lake writer round-trips with pruning layout") {
     val dir = java.nio.file.Files.createTempDirectory("vptslake").toString
     val df = graft.vpts.Vpts.vpts(spark, Seq("/root/reference/tests/data/vp"))
