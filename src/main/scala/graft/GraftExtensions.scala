@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_sig"),
       new ExpressionInfo(classOf[LshSigExpr].getName, "lsh_sig"),
       exprs => LshSigExpr(exprs.head)))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

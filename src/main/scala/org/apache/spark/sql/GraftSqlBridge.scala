@@ -10,6 +10,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  def plan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
+
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Recursive file listing through Spark's InMemoryFileIndex (cached,
     * parallelized, and free of RawLocalFileSystem's per-file permission
     * exec that makes naive listFiles() pathological on many small files).

@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom as-of physical operator must agree with the declarative
+  * window formulation (Analytics.qAsofJoin) on the events table.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("native as-of join matches the window-based formulation") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+
+    val native = AsOfJoin.asof(purchases, clicks,
+        purchases("user_id"), clicks("c_user"), purchases("ts"), clicks("c_ts"))
+      .select(col("event_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val windowed = graft.operators.Analytics.qAsofJoin(spark, sfDir)
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    assert(native.length == windowed.length && native.length > 0)
+    assert(native.toSeq == windowed.toSeq)
+  }
+
+  test("physical plan uses AsOfJoinExec with clustered exchanges") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val l = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.select(col("user_id").as("u2"), col("ts").as("t2"))
+    val j = AsOfJoin.asof(l, r, l("user_id"), r("u2"), l("ts"), r("t2"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+  }
+}
