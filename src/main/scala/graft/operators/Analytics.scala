@@ -107,21 +107,24 @@ object Analytics {
       |ORDER BY event_type, day""".stripMargin
 
   /** As-of association: for each purchase, the user's most recent click at or
-    * before it. Spark-first formulation: no per-row range join blowup — one
-    * pass with last(_, ignoreNulls) over a range frame, which shuffles once
-    * on user_id and scales linearly. Oracle uses DuckDB's native ASOF JOIN.
+    * before it — runs on the native AsOfJoinExec (graft.plans.AsOfJoin:
+    * custom LogicalPlan + SparkStrategy + one-pass sort-merge physical
+    * operator). A window-over-union formulation (see AsOfJoinSpec) computes
+    * the same result; the custom operator avoids carrying every event type
+    * through one giant window. Oracle uses DuckDB's native ASOF JOIN.
     */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("last_click_ts",
-        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        purchases("user_id"), clicks("c_user"), purchases("ts"), clicks("c_ts"))
       .select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
-        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
       .orderBy(col("event_id"))
   }
 

@@ -12,7 +12,8 @@ class AsOfJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sfDir = "/root/testdata/sf0.001"
 
-  test("native as-of join matches the window-based formulation") {
+  test("native as-of join matches an independent window-based formulation") {
+    import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -26,8 +27,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       .orderBy(col("event_id"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
 
-    val windowed = graft.operators.Analytics.qAsofJoin(spark, sfDir)
-      .select(col("event_id"), col("click_ts"))
+    // independent check: last(click_ts, ignoreNulls) over a range frame
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = ev
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("event_id"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
 
     assert(native.length == windowed.length && native.length > 0)
