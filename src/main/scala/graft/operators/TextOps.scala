@@ -76,14 +76,20 @@ object TextOps {
       val in = ms.map(m => s"'$m'").mkString(", ")
       s"len(list_filter(ws, x -> x IN ($in))) AS score_$lang"
     }.mkString(",\n  ")
-    // same fold: later languages must be STRICTLY greater to win
-    val pred = Markers.tail.foldLeft(
-      s"struct_pack(s := score_${Markers.head._1}, l := '${Markers.head._1}')") {
-      case (acc, (lang, _)) =>
-        s"CASE WHEN score_$lang > ($acc).s THEN struct_pack(s := score_$lang, l := '$lang') ELSE $acc END"
+    // Closed form of the Spark-side fold (ANSI, no struct_pack): the fold's
+    // winner is the LAST language whose score strictly exceeds the max of
+    // all earlier languages.
+    val langs = Markers.map(_._1)
+    val pred = {
+      val cases = (langs.size - 1 to 1 by -1).map { i =>
+        val earlier = langs.take(i).map(l => s"score_$l")
+        val expr = if (earlier.size == 1) earlier.head else s"greatest(${earlier.mkString(", ")})"
+        s"WHEN score_${langs(i)} > $expr THEN '${langs(i)}'"
+      }.mkString(" ")
+      s"CASE $cases ELSE '${langs.head}' END"
     }
     s"""SELECT doc_id, lang_meta, ${Markers.map(m => s"score_${m._1}").mkString(", ")},
-       |  ($pred).l AS predicted
+       |  $pred AS predicted
        |FROM (
        |  SELECT doc_id, lang AS lang_meta,
        |    $scoreExprs
