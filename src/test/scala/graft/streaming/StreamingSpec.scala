@@ -18,6 +18,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming ODIM ingestion equals the batch conversion") {
+    val dir = "/root/reference/tests/data/vp"
+    val streamed = OdimStream.drainAvailable(spark, dir, "odim_stream_test")
+    val batch = graft.vpts.Vpts.vpts(spark, Seq(dir))
+    assert(streamed.count() == 150)
+    val s = streamed.collect().map(_.toSeq.mkString("|")).sorted
+    val b = batch.collect().map(_.toSeq.mkString("|")).sorted
+    assert(s.sameElements(b))
+  }
+
   test("media pipeline: typed decode plumbing is deterministic and complete") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
