@@ -169,8 +169,9 @@ final class Hdf5File(bytes: Array[Byte]) {
       val dataPos = dsPos + pad8(dsSize)
       val dt = parseDatatype(dtPos)
       val dims = parseDataspace(dsPos)
-      val n = dims.product.max(1L).toInt
-      name -> readScalarOrArray(dt, dataPos, n)
+      val nL = dims.product.max(1L)
+      require(nL <= 65536, s"implausible attribute cardinality $nL")
+      name -> readScalarOrArray(dt, dataPos, nL.toInt)
     }.toMap
   }
 
@@ -233,7 +234,13 @@ final class Hdf5File(bytes: Array[Byte]) {
     val dlMsg = msgs.find(_.typ == 0x0008).getOrElse(sys.error("dataset missing layout"))
     val dt = parseDatatype(dtMsg.pos)
     val dims = parseDataspace(dsMsg.pos)
-    val n = dims.product.toInt
+    val nL = dims.product
+    // plausibility guard: a corrupted dimension must fail fast, not allocate
+    // gigabytes (uncompressed data can't exceed a generous multiple of the
+    // file size; ODIM profiles are tiny)
+    require(nL >= 0 && nL * dt.size <= bytes.length.toLong * 256,
+      s"implausible dataset size $nL x ${dt.size}B in ${bytes.length}B file")
+    val n = nL.toInt
     val gzip = msgs.find(_.typ == 0x000B).exists { m =>
       // filter pipeline v1: version(1), nfilters(1), reserved(6), filters
       val nf = u8(m.pos + 1)
@@ -310,7 +317,7 @@ final class Hdf5File(bytes: Array[Byte]) {
       if (level > 0) collectChunks(child, ndimsPlus1, elemSize, gzip, out)
       else {
         val data =
-          if (gzip) inflate(bytes, child.toInt, chunkSize)
+          if (gzip) inflate(bytes, child.toInt, chunkSize, maxOut = out.length)
           else bytes.slice(child.toInt, child.toInt + chunkSize)
         // linear element offset of this chunk (row-major over chunk grid)
         val linearElem = chunkOffsets.dropRight(1).foldLeft(0L)((acc, o) => acc.max(o)) // VP: Nx1, only one dim > 0
@@ -323,12 +330,12 @@ final class Hdf5File(bytes: Array[Byte]) {
     }
   }
 
-  private def inflate(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+  private def inflate(src: Array[Byte], off: Int, len: Int, maxOut: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(src, off, len)
-    val outBuf = new java.io.ByteArrayOutputStream(len * 4)
+    val outBuf = new java.io.ByteArrayOutputStream(math.min(len * 4, maxOut))
     val tmp = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
+    while (!inf.finished() && !inf.needsInput() && outBuf.size <= maxOut) {
       val k = inf.inflate(tmp)
       if (k > 0) outBuf.write(tmp, 0, k)
       else if (k == 0 && inf.needsDictionary()) sys.error("deflate dictionary unsupported")
