@@ -125,6 +125,19 @@ object Dedup {
     Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(col("doc_id"), simhash16(words(col("text"))).as("simhash"))
 
+  /** Full-width 64-bit SimHash via the native expression
+    * (graft.plans.SimhashExpr: one compiled loop, one md5 per word).
+    */
+  def qSimhash64(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        graft.plans.SimhashExpr.simhash64(col("text")).as("simhash64"))
+
+  val qSimhash64Sql: String =
+    s"""SELECT doc_id, ${graft.plans.SimhashExpr.simhash64Sql("string_split(text, ' ')")} AS simhash64
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   val qSimhashSql: String =
     s"""SELECT doc_id, ${simhash16Sql("string_split(text, ' ')")} AS simhash
        |FROM documents
@@ -198,6 +211,7 @@ object Dedup {
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
     QueryDef("q_dedup_simhash", qSimhash, Some(qSimhashSql)),
+    QueryDef("q_dedup_simhash64", qSimhash64, Some(qSimhash64Sql)),
     QueryDef("q_dedup_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
   )
