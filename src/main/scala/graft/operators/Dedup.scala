@@ -143,6 +143,46 @@ object Dedup {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup candidates: band the 64-bit signature into 4x16-bit
+    * keys — any pair within hamming distance 3 shares at least one band
+    * (pigeonhole), so the quadratic comparison collapses to 4 equi-joins.
+    * Exact hamming via bit_count(xor) on the candidates only.
+    */
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.plans.SimhashExpr.simhash64(col("text")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 16)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qSimhashPairsSql: String = {
+    val sig = graft.plans.SimhashExpr.simhash64Sql("string_split(text, ' ')")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM documents),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 16
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** n-gram Jaccard similarity for same-source candidate pairs (blocking-key
     * join). inter/union are exact ints; jaccard is one division.
     */
@@ -212,6 +252,7 @@ object Dedup {
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
     QueryDef("q_dedup_simhash", qSimhash, Some(qSimhashSql)),
     QueryDef("q_dedup_simhash64", qSimhash64, Some(qSimhash64Sql)),
+    QueryDef("q_dedup_simhash_pairs", qSimhashPairs, Some(qSimhashPairsSql)),
     QueryDef("q_dedup_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
   )
