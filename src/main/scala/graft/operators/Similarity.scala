@@ -61,6 +61,42 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** LSH bucket search: the query's 8-bit signature selects a bucket; only
+    * same-signature vectors are ranked by exact cosine (the probe step that
+    * makes the signature table an index — at 100 TB a signature-partitioned
+    * layout turns this into a single-partition read).
+    */
+  def qAnnLshSearch(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.plans.LshSigExpr.lshSigNative(col("embedding"), NPlanes, Dim).as("sig"))
+    val q = sigs.filter(col("vec_id") === 0)
+      .select(col("sig").as("q_sig"), col("embedding").as("qe"))
+    sigs.join(broadcast(q), col("sig") === col("q_sig"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("sig"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val qAnnLshSearchSql: String = {
+    val bits = (0 until NPlanes).map { j =>
+      val proj = (1 to Dim).map { i =>
+        s"(CASE WHEN substring(md5('$j|$i'), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END) * ${scaledElemSql("embedding", i.toString)}"
+      }.mkString(" + ")
+      s"CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, $bits AS sig FROM embeddings),
+       |q AS (SELECT sig AS q_sig, embedding AS qe FROM sigs WHERE vec_id = 0)
+       |SELECT vec_id, label, sig, ${cosineSql("sigs.embedding", "qe")} AS cos
+       |FROM sigs, q
+       |WHERE sig = q_sig AND vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 5""".stripMargin
+  }
+
   /** IVF-style assignment: centroid per label (re-scaled to exact ints),
     * assign each vector to its nearest centroid by exact squared L2.
     * This is the coarse-quantizer step of IVF ANN: at scale the centroid
@@ -167,5 +203,6 @@ object Similarity {
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
     QueryDef("q_ann_ivf_assign", qAnnIvfAssign, Some(qAnnIvfAssignSql)),
     QueryDef("q_ann_ivf_search", qAnnIvfSearch, Some(qAnnIvfSearchSql)),
+    QueryDef("q_ann_lsh_search", qAnnLshSearch, Some(qAnnLshSearchSql)),
   )
 }

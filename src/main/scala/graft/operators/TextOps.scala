@@ -97,6 +97,32 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Character-n-gram language scoring: occurrence counts of profile
+    * bigrams via replace-length arithmetic (exact ints, pure ANSI). The
+    * classic n-gram language-ID heuristic shape; scores only (argmax is
+    * qTextLangId's job).
+    */
+  private val CharNgrams = Seq("th", "er", "an", "ta", "ue", "ow")
+
+  def qTextLangNgram(s: SparkSession, dir: String): DataFrame = {
+    val counts = CharNgrams.map { g =>
+      ((length(col("text")) - length(regexp_replace(col("text"), g, ""))) / g.length)
+        .cast("long").as(s"ng_${g}")
+    }
+    Tables.documents(s, dir).orderBy(col("doc_id"))
+      .select(col("doc_id") +: counts: _*)
+  }
+
+  val qTextLangNgramSql: String = {
+    val counts = CharNgrams.map { g =>
+      s"CAST((length(text) - length(replace(text, '$g', ''))) / ${g.length} AS BIGINT) AS ng_${g}"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $counts
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer. */
   def qTextTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).orderBy(col("doc_id"))
@@ -132,6 +158,7 @@ object TextOps {
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_text_quality", qTextQuality, Some(qTextQualitySql), bench = true),
     QueryDef("q_text_langid", qTextLangId, Some(qTextLangIdSql)),
+    QueryDef("q_text_lang_ngram", qTextLangNgram, Some(qTextLangNgramSql)),
     QueryDef("q_text_tokens", qTextTokens, Some(qTextTokensSql), bench = true),
     QueryDef("q_text_fingerprint", qTextFingerprint, Some(qTextFingerprintSql)),
   )
