@@ -155,7 +155,66 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Pipeline composition: quality gate + exact-dedup keeper in one pass —
+    * the canonical training-data filter chain (score -> threshold -> keep
+    * one doc per content hash).
+    */
+  def qQualityFilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("n_words", size(w))
+      .withColumn("stop_ratio",
+        size(filter(w, x => x.isInCollection(Stopwords))).cast("double") / size(w))
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    val winner = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    scored
+      .filter(col("n_words") >= 30 && col("stop_ratio") <= 0.2)
+      .withColumn("rn", row_number().over(winner))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityFilterPipelineSql: String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, lang, n_words, content_hash FROM (
+       |  SELECT doc_id, lang, n_words, content_hash,
+       |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+       |  FROM (
+       |    SELECT doc_id, lang, len(ws) AS n_words,
+       |      CAST(len(list_filter(ws, x -> x IN ($stop))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |      md5(text) AS content_hash
+       |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents))
+       |  WHERE n_words >= 30 AND stop_ratio <= 0.2)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic stratified sampling: a multiplicative-hash bucket keeps
+    * ~30% per language — reproducible across engines and runs (no RNG),
+    * which is what a training-data pipeline needs for auditable splits.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100)))
+      .filter(col("bucket") < 30)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled"),
+        concat_ws(",", sort_array(collect_set(col("doc_id") % 10))).as("bucket_digits"))
+      .orderBy(col("lang"))
+
+  val qStratifiedSampleSql: String =
+    """SELECT lang, count(*) AS sampled,
+      |  string_agg(DISTINCT (doc_id % 10)::VARCHAR, ',' ORDER BY (doc_id % 10)::VARCHAR) AS bucket_digits
+      |FROM (SELECT lang, doc_id FROM documents
+      |      WHERE ((doc_id * 2654435761) % 100 + 100) % 100 < 30)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_quality_filter_pipeline", qQualityFilterPipeline, Some(qQualityFilterPipelineSql)),
+    QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
     QueryDef("q_text_quality", qTextQuality, Some(qTextQualitySql), bench = true),
     QueryDef("q_text_langid", qTextLangId, Some(qTextLangIdSql)),
     QueryDef("q_text_lang_ngram", qTextLangNgram, Some(qTextLangNgramSql)),
