@@ -212,7 +212,34 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Corpus heavy-hitter words per language via the typed UDAF
+    * (graft.plans.TopKWordsAggregator): partial counter maps merge map-side,
+    * so the corpus never explodes to one row per token. Capacity exceeds the
+    * synthetic vocabulary, so the exact DuckDB oracle applies.
+    */
+  def qTopkWords(s: SparkSession, dir: String): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.plans.TopKWordsAggregator(k = 5, capacity = 4096))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(agg(col("text")).as("top_words"))
+      .orderBy(col("lang"))
+  }
+
+  val qTopkWordsSql: String =
+    """SELECT lang,
+      |  string_agg(word || ':' || cnt, ',' ORDER BY cnt DESC, word) AS top_words
+      |FROM (
+      |  SELECT lang, word, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rk
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY lang, word)
+      |WHERE rk <= 5
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_topk_words", qTopkWords, Some(qTopkWordsSql)),
     QueryDef("q_quality_filter_pipeline", qQualityFilterPipeline, Some(qQualityFilterPipelineSql)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
     QueryDef("q_text_quality", qTextQuality, Some(qTextQualitySql), bench = true),
