@@ -27,6 +27,26 @@ object Inventory {
   def read(spark: SparkSession, paths: String*): DataFrame =
     spark.read.schema(schema).csv(paths: _*)
 
+  /** S5 manifest scan (`list_manifest_file_keys`, s3.py:156-174): parse the
+    * S3-inventory manifest JSON and yield the inventory chunk keys.
+    */
+  def manifestKeys(spark: SparkSession, manifestPath: String): Seq[String] =
+    spark.read.option("multiLine", "true").json(manifestPath)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.key"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** Full manifest-driven read: manifest JSON -> chunk files -> inventory
+    * frame (chunk keys are resolved against the manifest's directory, the
+    * local-FS stand-in for the source bucket).
+    */
+  def readFromManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    val base = manifestPath.substring(0, manifestPath.lastIndexOf('/'))
+    val keys = manifestKeys(spark, manifestPath)
+      .map(k => s"$base/${k.substring(k.lastIndexOf('/') + 1)}")
+    read(spark, keys: _*)
+  }
+
   /** Derived columns: parsed modified ts, path parts, ODIM name parts
     * (P8/P10/P12 in SURVEY.md §2.2).
     */

@@ -18,6 +18,15 @@ class LakeSpec extends AnyFunSuite {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
+  test("manifest scan yields the inventory chunk keys (S5)") {
+    val keys = Inventory.manifestKeys(spark, s"$invDir/dummy_manifest.json")
+    assert(keys == Seq(
+      "dummy-aloftdata/dummy-aloftdata-hdf5-files-inventory/data/dummy_inventory.csv.gz"))
+    // manifest-driven read resolves chunks and produces the same coverage
+    val inv = Inventory.readFromManifest(spark, s"$invDir/dummy_manifest.json")
+    assert(Inventory.coverage(inv).count() == 5)
+  }
+
   test("coverage CSV matches the reference golden") {
     val inv = Inventory.read(spark, s"$invDir/dummy_inventory.csv.gz")
     val out = Files.createTempDirectory("cov").resolve("coverage.csv")
