@@ -47,6 +47,22 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding hour. Watermarks on both sides bound the
+    * join state (Spark drops buffered rows older than watermark - interval),
+    * which is what makes this viable over an unbounded stream.
+    */
+  def purchasesWithRecentClicks(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+    val c = clicks
+      .withColumnRenamed("ts", "c_ts").withColumnRenamed("user_id", "c_user")
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+      expr("""user_id = c_user AND
+              c_ts >= ts - INTERVAL 1 HOUR AND
+              c_ts <= ts"""))
+  }
+
   /** Drain everything currently in the source into an in-memory table and
     * return the result (Trigger.AvailableNow + complete mode: every window,
     * exactly the batch answer — used by tests for batch/stream parity).

@@ -18,6 +18,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join buffers within watermark bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val joined = EventStream.purchasesWithRecentClicks(
+      purchases.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_test").start()
+    // click at 10:05, purchase at 10:30 (same user) -> in the 1h window
+    clicks.addData((7L, ts(5)), (8L, ts(6)))
+    purchases.addData((7L, ts(30)))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_test").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 7L)
+    // purchase with no prior click from that user joins nothing (inner join)
+    purchases.addData((9L, ts(40)))
+    q.processAllAvailable()
+    assert(spark.table("ss_join_test").count() == 1)
+    q.stop()
+  }
+
   test("streaming ODIM ingestion equals the batch conversion") {
     val dir = "/root/reference/tests/data/vp"
     val streamed = OdimStream.drainAvailable(spark, dir, "odim_stream_test")
