@@ -50,6 +50,27 @@ object OdimStream {
     }: _*)
   }
 
+  /** Streaming lake materialization: each micro-batch of decoded profiles is
+    * written to the partitioned parquet lake with dynamic partition
+    * overwrite — late files for an old radar-day rewrite exactly that day's
+    * partition, the streaming version of the reference's whole-day rebuild
+    * (SURVEY.md §2.8).
+    */
+  def writeToLake(spark: SparkSession, inDir: String, lakeDir: String,
+      checkpoint: String): Unit = {
+    val q = vptsStream(spark, inDir).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.lake.VptsLakeWriter.writePartitioned(
+            Vpts.sortCanonical(batch.toDF()), lakeDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain all currently-available files into an in-memory table (test/cron
     * helper).
     */
