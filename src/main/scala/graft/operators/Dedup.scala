@@ -13,11 +13,43 @@ import org.apache.spark.sql.functions._
   * Scale design: signatures/fingerprints are computed as narrow codegen'd
   * projections (no shuffle, no UDF); the only shuffles are the final
   * group-by-hash or bucket-join, which key on short fixed-width strings. At
-  * 100 TB the LSH band join replaces the quadratic all-pairs comparison with
-  * a bucket-local one, and the same-source blocking in the Jaccard op is the
-  * classic blocking-key pattern.
+  * 100 TB every pair-producing operator goes through banded-LSH bucketing
+  * (never all-pairs): candidate pairs are generated bucket-locally on a
+  * high-cardinality (band, key) join key, and the exact measure (Jaccard,
+  * cosine, hamming) is computed only on candidates. Buckets are capped at
+  * [[MaxBucket]] ids — a hot key (e.g. a boilerplate near-constant document
+  * repeated millions of times) would otherwise emit B²/2 pairs from one
+  * bucket and both skew the shuffle and blow up the output; the cap bounds
+  * the worst bucket's work, trading recall on degenerate mass-duplicate
+  * clusters (which exact dedup already catches by content hash).
   */
 object Dedup {
+
+  /** Bucket-size cap for all banded pair generation (skew/quadratic guard). */
+  val MaxBucket = 64
+
+  /** Within-bucket candidate-pair generation. Input: one row per (id, band,
+    * key). One shuffle on (band, key); ids in a bucket are collected sorted
+    * and ordered pairs (a < b) are emitted bucket-locally, so the plan never
+    * contains an all-pairs join. Buckets larger than [[MaxBucket]] are
+    * dropped entirely (see class doc).
+    */
+  private def bucketPairs(exploded: DataFrame, idCol: String,
+                          outA: String, outB: String): DataFrame =
+    exploded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as(outA), col("p.b").as(outB))
+      .distinct()
+
+  /** DuckDB equivalent of the [[MaxBucket]] guard: window-count the bucket
+    * and keep pairs whose bucket is within the cap.
+    */
+  private def sizedCteSql(bandsCte: String): String =
+    s"sized AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS bs FROM $bandsCte)"
 
   /** Exact dedup: group documents by content hash; keeper = min doc_id.
     * (At 100 TB: one shuffle on a 32-char key, partial-agg'd map-side.)
@@ -83,40 +115,40 @@ object Dedup {
     * the candidate search is an equi-join on (band, key) — bucket-local,
     * never all-pairs.
     */
-  def qLshCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** One row per (doc_id, band, key) over the 4 MinHash bands. The (band,
+    * key) space is md5-derived strings — effectively unbounded cardinality,
+    * so the downstream bucket shuffle has no structurally hot key.
+    */
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
     val d = withMinhashes(Tables.documents(s, dir))
     val bands = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
     }: _*)
-    val exploded = d.select(col("doc_id"), explode(bands).as("bk"))
+    d.select(col("doc_id"), explode(bands).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Bucket-collect instead of a self-join: one signature computation, one
-    // shuffle on (band, key); within-bucket pairs are generated from the
-    // (tiny) sorted doc list.
-    val bucketed = exploded.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-    bucketed
-      .select(explode(flatten(transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val qLshCandidatesSql: String = {
+  private val minhashBandsCteSql: String = {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS key FROM m"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $minhashCte,
-       |bands AS ($bandRows)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+    s"bands AS ($bandRows)"
   }
+
+  def qLshCandidates(s: SparkSession, dir: String): DataFrame =
+    bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val qLshCandidatesSql: String =
+    s"""WITH $minhashCte,
+       |$minhashBandsCteSql,
+       |${sizedCteSql("bands")}
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sized a JOIN sized b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE a.bs <= $MaxBucket
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Per-document 16-bit SimHash (majority vote over word-hash bits).
     * Sort-before-project: see qMinhashSignature.
@@ -157,12 +189,19 @@ object Dedup {
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .select(struct(col("doc_id"), col("sig")).as("ds"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // Bucket-collect: sigs travel inside the (doc_id, sig) struct so the
+    // exact hamming is computed bucket-locally on candidates only; MaxBucket
+    // caps the pathological all-same-sig bucket.
+    bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("ds"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 16)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -174,77 +213,128 @@ object Dedup {
       s"SELECT doc_id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM documents),
-       |bands AS ($bandRows)
+       |bands AS ($bandRows),
+       |${sizedCteSql("bands")}
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  bit_count(xor(a.sig, b.sig)) AS hamming
-       |FROM bands a JOIN bands b
+       |FROM sized a JOIN sized b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= 16
+       |WHERE a.bs <= $MaxBucket AND bit_count(xor(a.sig, b.sig)) <= 16
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** n-gram Jaccard similarity for same-source candidate pairs (blocking-key
-    * join). inter/union are exact ints; jaccard is one division.
+  /** n-gram Jaccard over LSH candidate pairs. Candidates come from the
+    * banded-MinHash buckets (high-cardinality (band, key) join key, capped
+    * buckets); the exact shingle intersection runs only on candidates via
+    * array_intersect — never a shingle-explode self-join, whose blocking key
+    * (formerly `source`) goes quadratic on any frequent shingle at scale.
     */
   def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"),
         array_distinct(shingles(words(col("text")), ShingleK)).as("sh"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = d.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
-    val a = ex.as("a"); val b = ex.as("b")
-    val inter = a.join(b, col("a.g") === col("b.g") && col("a.source") === col("b.source")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    val cand = bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("inter") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("inter") >= 2)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val qJaccardPairsSql: String = {
     val sh = shinglesSql("ws", ShingleK)
-    s"""WITH d AS (SELECT doc_id, source, list_distinct($sh) AS sh
-       |           FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM d),
-       |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM d),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, inter,
-       |  inter / (sa.n + sb.n - inter) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
+    s"""WITH $minhashCte,
+       |$minhashBandsCteSql,
+       |${sizedCteSql("bands")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.bs <= $MaxBucket),
+       |d AS (SELECT doc_id, list_distinct($sh) AS sh
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS inter,
+       |    len(da.sh) AS na, len(db.sh) AS nb
+       |  FROM cand
+       |  JOIN d da ON doc_a = da.doc_id
+       |  JOIN d db ON doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, inter, inter / (na + nb - inter) AS jaccard
+       |FROM j
        |WHERE inter >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Embedding-cosine near-dup: same-label blocking, exact scaled-int cosine.
+  /** Random-hyperplane LSH parameters for embedding near-dup: 32 planes cut
+    * into 4 bands of 8 bits. At production scale raise NdBandBits (wider
+    * band keys → higher-cardinality buckets) and/or NdBands (more tables →
+    * higher recall); both sides of the oracle derive from the same
+    * deterministic sign matrix so any setting stays checkable.
+    */
+  private val NdPlanes = 32
+  private val NdBands = 4
+  private val NdBandBits = 8
+  private val NdDim = 64
+
+  /** Embedding-cosine near-dup via LSH bucketing: candidates = vector pairs
+    * sharing a random-hyperplane signature band; exact scaled-int cosine is
+    * computed only on candidates. This replaces the former per-label
+    * all-pairs self-join (O(n²/L) on a ~10-value label column — never
+    * finishes at 100 TB) with a narrow signature projection + one capped
+    * bucket shuffle + an equi-join of the (small) candidate list back to the
+    * embeddings on vec_id.
     */
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val sigs = e.select(col("vec_id"),
+      graft.plans.LshSigExpr.lshSigNative(col("embedding"), NdPlanes, NdDim).as("sig"))
+    val bands = sigs.select(col("vec_id"),
+        explode(array((0 until NdBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), NdBandBits * b)
+              .bitwiseAND(lit((1L << NdBandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketPairs(bands, "vec_id", "vec_a", "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") > 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val qEmbeddingNearDupSql: String =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       |  ${cosineSql("a.embedding", "b.embedding")} AS cos
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.3
+  val qEmbeddingNearDupSql: String = {
+    // Literal ±1 sign rows (same md5-derived matrix as LshSigExpr).
+    val signM = graft.plans.LshSigExpr.signMatrix(NdPlanes, NdDim)
+    val sigSql = (0 until NdPlanes).map { j =>
+      val lst = signM(j).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${NdDim + 1}), i -> ($lst)[i] * ${scaledElemSql("embedding", "i")})) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val bandRows = (0 until NdBands).map { b =>
+      s"SELECT vec_id, $b AS band, (sig >> ${NdBandBits * b}) & ${(1L << NdBandBits) - 1} AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sigs AS (SELECT vec_id, $sigSql AS sig FROM embeddings),
+       |bands AS ($bandRows),
+       |${sizedCteSql("bands")},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |  WHERE a.bs <= $MaxBucket)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT vec_a, vec_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand
+       |  JOIN embeddings ea ON vec_a = ea.vec_id
+       |  JOIN embeddings eb ON vec_b = eb.vec_id)
+       |WHERE cos > 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),

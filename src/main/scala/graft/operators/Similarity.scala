@@ -111,15 +111,21 @@ object Similarity {
       .agg(round(sum(col("x")) / count(lit(1))).as("c"))
       .groupBy(col("label")).agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
       .select(col("label").as("c_label"), expr("transform(ic, p -> p.c)").as("cv"))
-    val dist = dotScaled(zip_with(col("v"), col("cv"), (x, c) => x - c),
-      zip_with(col("v"), col("cv"), (x, c) => x - c))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("c_label"))
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("c_label"), dist.as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("assigned"), col("dist"))
+    // All L centroids folded into ONE broadcast row; the per-vector argmin is
+    // then a narrow projection (array_min over (dist, label) structs — struct
+    // ordering = min by dist, ties by label). The former formulation shuffled
+    // n×L rows through a row_number window just to pick this minimum; this
+    // plan has no exchange on the n-row path at all.
+    val centArr = cent
+      .agg(sort_array(collect_list(struct(col("c_label"), col("cv")))).as("cents"))
+    e.crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(
+          aggregate(zip_with(col("v"), c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0d), (acc, x) => acc + x).as("dist"),
+          c.getField("c_label").as("c_label")))))
+      .select(col("vec_id"), col("label"),
+        col("best.c_label").as("assigned"), col("best.dist").as("dist"))
       .orderBy(col("vec_id"))
   }
 
