@@ -75,25 +75,41 @@ final case class AsOfJoinExec(
       lIt.map { lRow =>
         val lk = lkB.eval(lRow)
         val lt = ltB.eval(lRow)
-        // advance the right side up to (key, time)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val h = rBuf.head
-          val rk = rkB.eval(h)
-          val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-          if (c < 0) {
-            rBuf.next() // right key behind: discard
-          } else if (c == 0 &&
-              timeOrd.lteq(rtB.eval(h).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef])) {
-            matchKey = rk
-            matchRow = rBuf.next().copy() // candidate; later ones may supersede
-          } else {
-            advance = false
+        if (lk == null || lt == null) {
+          // null key/time can match nothing: emit null-extended without
+          // advancing (nulls sort first, so no right rows are skipped early)
+          joined(lRow, nullRight)
+        } else {
+          // advance the right side up to (key, time)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val h = rBuf.head
+            val rk = rkB.eval(h)
+            if (rk == null) {
+              rBuf.next() // null right key never matches; sorted first
+            } else {
+              val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+              if (c < 0) {
+                rBuf.next() // right key behind: discard
+              } else if (c == 0) {
+                val rt = rtB.eval(h)
+                if (rt == null) {
+                  rBuf.next() // null right time never matches; sorted first in key group
+                } else if (timeOrd.lteq(rt.asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef])) {
+                  matchKey = rk
+                  matchRow = rBuf.next().copy() // candidate; later ones may supersede
+                } else {
+                  advance = false
+                }
+              } else {
+                advance = false
+              }
+            }
           }
+          val hit = matchRow != null && keyOrd.compare(
+            matchKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
+          joined(lRow, if (hit) matchRow else nullRight)
         }
-        val hit = matchRow != null && keyOrd.compare(
-          matchKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
-        joined(lRow, if (hit) matchRow else nullRight)
       }
     }
   }

@@ -50,11 +50,14 @@ object OdimStream {
     }: _*)
   }
 
-  /** Streaming lake materialization: each micro-batch of decoded profiles is
-    * written to the partitioned parquet lake with dynamic partition
-    * overwrite — late files for an old radar-day rewrite exactly that day's
-    * partition, the streaming version of the reference's whole-day rebuild
-    * (SURVEY.md §2.8).
+  /** Streaming lake materialization with WHOLE-DAY rebuild semantics
+    * (SURVEY.md §2.8): the micro-batch only identifies which (radar, day)
+    * partitions changed; each affected day is then re-derived from ALL of
+    * that day's files under the input prefix before the dynamic partition
+    * overwrite. A late file for an already-materialized day therefore merges
+    * with the previously ingested files instead of replacing the day with
+    * the batch alone — matching the reference, which re-lists and re-converts
+    * the full day folder on any change (vph5_to_vpts.py:159-202).
     */
   def writeToLake(spark: SparkSession, inDir: String, lakeDir: String,
       checkpoint: String): Unit = {
@@ -62,13 +65,47 @@ object OdimStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.lake.VptsLakeWriter.writePartitioned(
-            Vpts.sortCanonical(batch.toDF()), lakeDir)
+        if (!batch.isEmpty) rebuildAffectedDays(batch.toDF(), inDir, lakeDir)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Name pattern of an ODIM file (driver-side twin of
+    * graft.functions.OdimPaths.FileNameRegex).
+    */
+  private val H5Name =
+    ".*?([a-zA-Z]{5})_([a-z]*)_(\\d{4})(\\d\\d)(\\d\\d)T?(\\d\\d)(\\d\\d).*\\.h5".r
+
+  private def rebuildAffectedDays(batch: DataFrame, inDir: String,
+      lakeDir: String): Unit = {
+    val spark = batch.sparkSession
+    // control-plane: distinct (radar, yyyymmdd) keys of the batch (small)
+    val days = batch
+      .select(col("radar"), concat(substring(col("datetime"), 1, 4),
+        substring(col("datetime"), 6, 2), substring(col("datetime"), 9, 2)).as("ymd"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // re-list the input prefix and keep every file of an affected day —
+    // including files already processed in earlier batches
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inDir), true)
+    val affected = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      p.getName match {
+        case H5Name(radar, _, y, m, d, _, _)
+            if days.contains((radar.toLowerCase, s"$y$m$d")) =>
+          affected += p.toString
+        case _ => ()
+      }
+    }
+    val files = affected.result()
+    if (files.nonEmpty)
+      graft.lake.VptsLakeWriter.writePartitioned(
+        Vpts.vpts(spark, files, failFast = false), lakeDir)
   }
 
   /** Drain all currently-available files into an in-memory table (test/cron

@@ -9,10 +9,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sums and emit sessions only when closed by a gap or event-time timeout).
   *
   * State per user is O(1); the shuffle is one hash partition on user_id.
+  * An event-time watermark bounds both state lifetime and out-of-order
+  * tolerance: events later than the watermark delay are dropped upstream,
+  * and an idle user's open session is flushed by EventTimeTimeout once the
+  * watermark passes last-event + gap (without a timeout the open session
+  * would never be emitted and its state never expire).
   */
 object Sessionize {
 
   final case class Event(user_id: Long, ts_micros: Long, value: Double)
+  final case class EventTs(user_id: Long, ts_micros: Long, value: Double,
+      ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long, sumCents: Long)
   final case class Session(user_id: Long, start_micros: Long, end_micros: Long,
       n: Long, sum_value: Double)
@@ -20,35 +27,56 @@ object Sessionize {
   val GapMicros: Long = 30L * 60 * 1000 * 1000
 
   /** Sessionize a (possibly streaming) Dataset[Event]. Events within a group
-    * arrive batched; we sort each batch (streaming micro-batches are small)
-    * and emit every session closed by the gap rule, keeping the open tail in
-    * state.
+    * arrive batched; each batch is sorted (micro-batches are small) and every
+    * session closed by the gap rule is emitted; the open tail stays in state
+    * with an event-time timeout at last + gap, at which point it is emitted
+    * and the state cleared. Cross-batch out-of-order events within the
+    * watermark delay merge into the open session without moving its end
+    * backwards (start/last are min/max-folded).
     */
-  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+  def sessionize(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    import org.apache.spark.sql.functions._
+    val withTs = events
+      .withColumn("ts", timestamp_micros(col("ts_micros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EventTs]
+    withTs.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts_micros))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val cents = math.round(e.value * 100)
-            cur match {
-              case Some(s) if e.ts_micros - s.last < GapMicros =>
-                cur = Some(s.copy(last = e.ts_micros, n = s.n + 1,
-                  sumCents = s.sumCents + cents))
-              case Some(s) =>
-                closed += Session(user, s.start, s.last, s.n, s.sumCents / 100.0)
-                cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
-              case None =>
-                cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the open
+            // session is final — emit it and expire the state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n, s.sumCents / 100.0))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts_micros)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if e.ts_micros - s.last < GapMicros =>
+                  cur = Some(s.copy(start = math.min(s.start, e.ts_micros),
+                    last = math.max(s.last, e.ts_micros), n = s.n + 1,
+                    sumCents = s.sumCents + cents))
+                case Some(s) =>
+                  closed += Session(user, s.start, s.last, s.n, s.sumCents / 100.0)
+                  cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+                case None =>
+                  cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, cents))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000 + GapMicros / 1000)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

@@ -53,8 +53,14 @@ object PyFormat {
     */
   def pyFloat32(f: Float): String = pyFloat(f.toDouble)
 
-  /** numpy-compatible round-half-even to `scale` decimals (np.round). */
-  def roundHalfEven(d: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
+  /** numpy-compatible round-half-even to `scale` decimals: np.round's own
+    * algorithm (scale by 10^n, rint, divide — numpy documents it as fast but
+    * inexact). Decimal-string-based rounding (BigDecimal.valueOf) diverges on
+    * tie-adjacent binary doubles, e.g. 2.675 (really 2.67499999999999982…)
+    * rounds to 2.68 via the shortest decimal repr but 2.67 in numpy.
+    */
+  def roundHalfEven(d: Double, scale: Int): Double = {
+    val p = math.pow(10, scale)
+    math.rint(d * p) / p
+  }
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew-safety invariant for the banded-LSH pair generators: a degenerate
+  * hot bucket (mass-duplicate text -> one (band, key) bucket with B >>
+  * MaxBucket ids, which would emit B(B-1)/2 pairs) is dropped entirely,
+  * while ordinary small clusters still produce their pairs.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  test("lsh candidate buckets are capped: hot bucket dropped, small cluster kept") {
+    import spark.implicits._
+    val hotText = "the same boilerplate text repeated verbatim in every row of this cluster"
+    val dupText = "a small near duplicate cluster with its own distinct shingle stream here"
+    val hot = (0L until 200L).map(i => (i, hotText))
+    val small = (1000L until 1003L).map(i => (i, dupText))
+    val dir = java.nio.file.Files.createTempDirectory("dedup-cap").toString
+    (hot ++ small).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.qLshCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // the 200-dup bucket exceeds MaxBucket in every band -> zero pairs from it
+    assert(pairs.forall { case (a, b) => a >= 1000L && b >= 1000L },
+      s"hot-bucket pair leaked: ${pairs.filter(_._1 < 1000L).take(5).toSeq}")
+    // the 3-doc cluster is within the cap -> all 3 ordered pairs present
+    assert(pairs.toSet == Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L)))
+    // global bound: no bucket may contribute more than MaxBucket^2/2 pairs
+    assert(pairs.length <= Dedup.MaxBucket * (Dedup.MaxBucket - 1) / 2)
+  }
+}

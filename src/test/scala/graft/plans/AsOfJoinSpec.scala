@@ -43,6 +43,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.toSeq == windowed.toSeq)
   }
 
+  test("null keys/times: left nulls get null-extended, right nulls are skipped") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Option(10L), Option(100L)),   // normal match
+      (2L, None: Option[Long], Option(100L)), // null key -> null right
+      (3L, Option(10L), None: Option[Long]),  // null time -> null right
+      (4L, Option(99L), Option(100L))    // key with only null-time right rows
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (Option(10L), Option(50L), "hit"),
+      (Option(10L), None: Option[Long], "null-time"),
+      (None: Option[Long], Option(50L), "null-key"),
+      (Option(99L), None: Option[Long], "null-time-only")
+    ).toDF("rk", "rt", "tag")
+    val j = AsOfJoin.asof(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .select(col("id"), col("tag"))
+      .collect().map(row => (row.getLong(0), if (row.isNullAt(1)) null else row.getString(1)))
+      .sortBy(_._1)
+    assert(j.toSeq == Seq((1L, "hit"), (2L, null), (3L, null), (4L, null)))
+  }
+
   test("physical plan uses AsOfJoinExec with clustered exchanges") {
     val ev = graft.Tables.events(spark, sfDir)
     val l = ev.select(col("event_id"), col("user_id"), col("ts"))

@@ -67,17 +67,19 @@ class StreamingSpec extends AnyFunSuite {
     OdimStream.writeToLake(spark, in.toString, lake, ckpt)
     val afterFirst = graft.lake.VptsLakeWriter.read(spark, lake).count()
     assert(afterFirst == 25)
-    // late arrival: second file, SAME day -> checkpoint skips the first
-    // file, dynamic overwrite rewrites the day partition with the new batch
+    // late arrival: second file, SAME day -> the checkpoint makes only the
+    // new file part of the micro-batch, but the whole-day rebuild re-lists
+    // the prefix and re-derives the day from BOTH files before the dynamic
+    // partition overwrite (reference semantics: a late file merges, it does
+    // not replace the day)
     java.nio.file.Files.copy(files(1), in.resolve(files(1).getFileName))
     OdimStream.writeToLake(spark, in.toString, lake, ckpt)
     val back = graft.lake.VptsLakeWriter.read(spark, lake)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"$lake/p_radar=bejab/p_year=2022/p_month=11/p_day=11")))
-    // the day partition now holds only the latest batch (whole-day rebuild
-    // semantics would re-list the day's folder; this asserts the dynamic
-    // overwrite mechanics)
-    assert(back.count() == 25)
+    assert(back.count() == 50)
+    // both source files present in the rebuilt day partition
+    assert(back.select("source_file").distinct().count() == 2)
   }
 
   test("media pipeline: typed decode plumbing is deterministic and complete") {
