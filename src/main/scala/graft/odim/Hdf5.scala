@@ -8,11 +8,21 @@ import java.util.zip.Inflater
   * Spark ships no HDF5 source and the build is offline, so this implements
   * exactly the features ODIM VP/PVOL files use (verified against the
   * reference fixtures, cf. /root/reference/src/vptstools/odimh5.py:16-138 for
-  * the consumed surface): superblock v0/v1 with 4- or 8-byte offsets, version-1
-  * object headers (+ continuations), symbol-table groups (B-tree v1 + local
-  * heap + SNOD), attribute messages (fixed/variable-length strings via global
-  * heap, ints, floats), and 2-D datasets with contiguous or gzip-chunked
-  * (B-tree v1 chunk index) layout.
+  * the consumed surface), plus the structures modern writers (libhdf5
+  * `libver='latest'`) emit for the same content:
+  *
+  *   - superblock v0/v1 AND v2/v3, 4- or 8-byte offsets
+  *   - version-1 object headers (+ continuations) AND version-2 'OHDR'
+  *     headers (+ 'OCHK' continuation blocks)
+  *   - old-style symbol-table groups (B-tree v1 + local heap + SNOD) AND
+  *     new-style groups: compact (link messages in the header) and dense
+  *     (fractal heap + v2 B-tree name index, single-direct-block heaps —
+  *     enough for ODIM-sized groups; multi-block heaps fail fast)
+  *   - attribute messages v1 AND v2/v3 (fixed/variable-length strings via
+  *     global heap, ints, floats)
+  *   - N-D datasets with contiguous or gzip-chunked (B-tree v1 chunk index)
+  *     layout; chunks are placed by full row-major coordinates, so 2-D chunk
+  *     grids with more than one column reassemble correctly
   *
   * Byte-parsing only — no JNI, no dependencies — so it can run inside Spark
   * executors in a mapPartitions decode of binaryFile rows.
@@ -32,9 +42,9 @@ final class Hdf5File(bytes: Array[Byte]) {
   require(sigOk, "not an HDF5 file (bad signature)")
 
   private val sbVersion = u8(8)
-  require(sbVersion <= 1, s"unsupported superblock version $sbVersion")
-  val offsetSize: Int = u8(13)
-  val lengthSize: Int = u8(14)
+  require(sbVersion <= 3, s"unsupported superblock version $sbVersion")
+  val offsetSize: Int = if (sbVersion >= 2) u8(9) else u8(13)
+  val lengthSize: Int = if (sbVersion >= 2) u8(10) else u8(14)
   require(offsetSize == 4 || offsetSize == 8, s"unsupported offset size $offsetSize")
 
   private def offAt(p: Int): Long = if (offsetSize == 4) u32(p) else u64(p)
@@ -42,20 +52,36 @@ final class Hdf5File(bytes: Array[Byte]) {
   private def undef(v: Long): Boolean =
     v == (if (offsetSize == 4) 0xffffffffL else -1L)
 
-  // v0: offsets start at 24; v1 adds 4 bytes (indexed-storage k + reserved)
-  private val sbFixed = if (sbVersion == 0) 24 else 28
-  private val baseAddr = offAt(sbFixed)
-  require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
-  // root group symbol-table entry follows the 4 superblock addresses
-  private val rootEntryPos = sbFixed + 4 * offsetSize
-  val rootHeaderAddr: Long = offAt(rootEntryPos + offsetSize)
+  val rootHeaderAddr: Long =
+    if (sbVersion >= 2) {
+      // v2/v3: sig(8) ver(1) sizes(2) flags(1), then base / extension / EOF /
+      // root-object-header addresses + checksum
+      val baseAddr = offAt(12)
+      require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
+      offAt(12 + 3 * offsetSize)
+    } else {
+      // v0: offsets start at 24; v1 adds 4 bytes (indexed-storage k + reserved)
+      val sbFixed = if (sbVersion == 0) 24 else 28
+      val baseAddr = offAt(sbFixed)
+      require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
+      // root group symbol-table entry follows the 4 superblock addresses
+      val rootEntryPos = sbFixed + 4 * offsetSize
+      offAt(rootEntryPos + offsetSize)
+    }
 
-  // --- object header (version 1) ---
+  // --- object headers (version 1, and version 2 'OHDR') ---
   final case class Message(typ: Int, pos: Int, size: Int)
 
   def objectHeader(addr: Long): Seq[Message] = {
     val p0 = addr.toInt
-    require(u8(p0) == 1, s"unsupported object header version ${u8(p0)} @ $addr")
+    if (ascii(p0, 4) == "OHDR") objectHeaderV2(p0)
+    else {
+      require(u8(p0) == 1, s"unsupported object header version ${u8(p0)} @ $addr")
+      objectHeaderV1(p0)
+    }
+  }
+
+  private def objectHeaderV1(p0: Int): Seq[Message] = {
     val totalMsgs = u16(p0 + 2)
     var remaining = totalMsgs
     val out = Vector.newBuilder[Message]
@@ -79,45 +105,191 @@ final class Hdf5File(bytes: Array[Byte]) {
     out.result()
   }
 
-  // --- groups: symbol table message (0x0011) -> B-tree v1 + local heap ---
-  def groupChildren(headerAddr: Long): Map[String, Long] = {
-    objectHeader(headerAddr).find(_.typ == 0x0011) match {
-      case None => Map.empty
-      case Some(m) =>
-        val btreeAddr = offAt(m.pos)
-        val heapAddr = offAt(m.pos + offsetSize)
-        val heapData = localHeapData(heapAddr)
-        val out = Map.newBuilder[String, Long]
-        def walkBtree(addr: Long): Unit = {
-          val p = addr.toInt
-          require(ascii(p, 4) == "TREE", s"expected TREE @ $addr")
-          val level = u8(p + 5); val entries = u16(p + 6)
-          var cp = p + 8 + 2 * offsetSize + lengthSize // skip siblings + key0
-          var i = 0
-          while (i < entries) {
-            val child = offAt(cp)
-            if (level == 0) walkSnod(child) else walkBtree(child)
-            cp += offsetSize + lengthSize // child + next key
-            i += 1
-          }
+  /** Version-2 object header: 'OHDR' + flags-dependent prefix, then
+    * 1-byte-type messages; continuations (type 0x10) point at 'OCHK' blocks
+    * (signature + messages + trailing 4-byte checksum).
+    */
+  private def objectHeaderV2(p0: Int): Seq[Message] = {
+    require(u8(p0 + 4) == 2, s"unsupported OHDR version ${u8(p0 + 4)}")
+    val flags = u8(p0 + 5)
+    var p = p0 + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4  // max-compact / min-dense attr counts
+    val chunk0FieldSize = 1 << (flags & 0x03)
+    val chunk0Size = (chunk0FieldSize match {
+      case 1 => u8(p).toLong
+      case 2 => u16(p).toLong
+      case 4 => u32(p)
+      case 8 => u64(p)
+    }).toInt
+    p += chunk0FieldSize
+    val msgHeadLen = if ((flags & 0x04) != 0) 6 else 4 // +2 creation order
+    val out = Vector.newBuilder[Message]
+    // (start, end) of message regions; chunk 0 excludes its trailing checksum
+    var blocks = List((p, p + chunk0Size))
+    while (blocks.nonEmpty) {
+      var (q, end) = blocks.head
+      blocks = blocks.tail
+      while (q + msgHeadLen <= end) {
+        val typ = u8(q); val size = u16(q + 1) // msg flags at q+3 ignored
+        if (typ == 0x10) { // continuation -> OCHK block
+          val contOff = offAt(q + msgHeadLen)
+          val contLen = lenAt(q + msgHeadLen + offsetSize)
+          val cp = contOff.toInt
+          require(ascii(cp, 4) == "OCHK", s"expected OCHK @ $contOff")
+          blocks = (cp + 4, (contOff + contLen).toInt - 4) :: blocks
+        } else if (typ != 0x00) { // NIL messages carry no payload of interest
+          out += Message(typ, q + msgHeadLen, size)
         }
-        def walkSnod(addr: Long): Unit = {
-          val p = addr.toInt
-          require(ascii(p, 4) == "SNOD", s"expected SNOD @ $addr")
-          val nsyms = u16(p + 6)
-          var sp = p + 8
-          var i = 0
-          while (i < nsyms) {
-            val nameOff = offAt(sp)
-            val objAddr = offAt(sp + offsetSize)
-            out += cstring(heapData + nameOff.toInt) -> objAddr
-            sp += 2 * offsetSize + 8 + 16
-            i += 1
-          }
-        }
-        walkBtree(btreeAddr)
-        out.result()
+        q += msgHeadLen + size
+      }
     }
+    out.result()
+  }
+
+  // --- groups ---
+  // old style: symbol table message (0x0011) -> B-tree v1 + local heap
+  // new style: compact = link messages (0x0006) in the header;
+  //            dense   = link-info message (0x0002) -> fractal heap + v2 B-tree
+  def groupChildren(headerAddr: Long): Map[String, Long] = {
+    val msgs = objectHeader(headerAddr)
+    msgs.find(_.typ == 0x0011) match {
+      case Some(m) => symbolTableChildren(m)
+      case None =>
+        val compact = msgs.filter(_.typ == 0x0006).map(m => parseLink(m.pos))
+        if (compact.nonEmpty) compact.toMap
+        else msgs.find(_.typ == 0x0002).map(denseChildren).getOrElse(Map.empty)
+    }
+  }
+
+  private def symbolTableChildren(m: Message): Map[String, Long] = {
+    val btreeAddr = offAt(m.pos)
+    val heapAddr = offAt(m.pos + offsetSize)
+    val heapData = localHeapData(heapAddr)
+    val out = Map.newBuilder[String, Long]
+    def walkBtree(addr: Long): Unit = {
+      val p = addr.toInt
+      require(ascii(p, 4) == "TREE", s"expected TREE @ $addr")
+      val level = u8(p + 5); val entries = u16(p + 6)
+      var cp = p + 8 + 2 * offsetSize + lengthSize // skip siblings + key0
+      var i = 0
+      while (i < entries) {
+        val child = offAt(cp)
+        if (level == 0) walkSnod(child) else walkBtree(child)
+        cp += offsetSize + lengthSize // child + next key
+        i += 1
+      }
+    }
+    def walkSnod(addr: Long): Unit = {
+      val p = addr.toInt
+      require(ascii(p, 4) == "SNOD", s"expected SNOD @ $addr")
+      val nsyms = u16(p + 6)
+      var sp = p + 8
+      var i = 0
+      while (i < nsyms) {
+        val nameOff = offAt(sp)
+        val objAddr = offAt(sp + offsetSize)
+        out += cstring(heapData + nameOff.toInt) -> objAddr
+        sp += 2 * offsetSize + 8 + 16
+        i += 1
+      }
+    }
+    walkBtree(btreeAddr)
+    out.result()
+  }
+
+  /** Link message (type 0x0006) body -> (name, object header address). */
+  private def parseLink(p: Int): (String, Long) = {
+    require(u8(p) == 1, s"unsupported link message version ${u8(p)}")
+    val flags = u8(p + 1)
+    var q = p + 2
+    val linkType = if ((flags & 0x08) != 0) { val t = u8(q); q += 1; t } else 0
+    require(linkType == 0, s"only hard links supported (type $linkType)")
+    if ((flags & 0x04) != 0) q += 8 // creation order
+    if ((flags & 0x10) != 0) q += 1 // name character set
+    val lenFieldSize = 1 << (flags & 0x03)
+    val nameLen = (lenFieldSize match {
+      case 1 => u8(q).toLong
+      case 2 => u16(q).toLong
+      case 4 => u32(q)
+      case 8 => u64(q)
+    }).toInt
+    q += lenFieldSize
+    val name = new String(bytes, q, nameLen, "UTF-8")
+    name -> offAt(q + nameLen)
+  }
+
+  /** Dense new-style group: the link-info message points at a fractal heap
+    * holding serialized link-message bodies and a v2 B-tree (record type 5)
+    * indexing them by name hash. We enumerate via the B-tree's heap IDs.
+    * Scope: single-direct-block heaps and depth-0 B-trees — ODIM-sized
+    * groups (tens of links) fit comfortably; anything larger fails fast.
+    */
+  private def denseChildren(m: Message): Map[String, Long] = {
+    val p = m.pos
+    require(u8(p) == 0, s"unsupported link-info version ${u8(p)}")
+    val liFlags = u8(p + 1)
+    var q = p + 2
+    if ((liFlags & 0x01) != 0) q += 8 // max creation index
+    val heapAddr = offAt(q)
+    val nameBtreeAddr = offAt(q + offsetSize)
+    if (undef(heapAddr)) return Map.empty // compact group with zero links
+    // fractal heap header (FRHP)
+    val h = heapAddr.toInt
+    require(ascii(h, 4) == "FRHP", s"expected FRHP @ $heapAddr")
+    val heapIdLen = u16(h + 5)
+    val heapFlags = u8(h + 9)
+    // fixed fields: maxManagedObjSize(4) then 12 length-sized + 2 offset-sized
+    // fields interleaved; walk them positionally
+    var f = h + 10 + 4
+    f += lengthSize          // next huge object id
+    f += offsetSize          // huge object btree addr
+    f += lengthSize          // free space
+    f += offsetSize          // free-space manager addr
+    f += lengthSize * 6      // managed space, allocated, iterator, nmanaged, huge size, nhuge
+    f += lengthSize * 2      // tiny size, ntiny
+    val tableWidth = u16(f); f += 2
+    f += lengthSize          // starting block size
+    f += lengthSize          // max direct block size
+    val maxHeapSizeBits = u16(f); f += 2
+    f += 2                   // starting # rows
+    val rootBlockAddr = offAt(f); f += offsetSize
+    val curRows = u16(f)
+    require(curRows == 0, s"multi-block fractal heap (rows=$curRows) unsupported")
+    val heapOffSize = (maxHeapSizeBits + 7) / 8
+    val heapLenSize = heapIdLen - 1 - heapOffSize
+    require(heapLenSize >= 1, s"implausible heap id layout $heapIdLen/$heapOffSize")
+    // root direct block (FHDB): heap offsets count from the block start
+    val db = rootBlockAddr.toInt
+    require(ascii(db, 4) == "FHDB", s"expected FHDB @ $rootBlockAddr")
+    def heapObjPos(heapOff: Long): Int = db + heapOff.toInt
+    // v2 B-tree header (BTHD), record type 5 = link name
+    val bt = nameBtreeAddr.toInt
+    require(ascii(bt, 4) == "BTHD", s"expected BTHD @ $nameBtreeAddr")
+    require(u8(bt + 5) == 5, s"unexpected v2 btree record type ${u8(bt + 5)}")
+    val recordSize = u16(bt + 10)
+    val depth = u16(bt + 12)
+    require(depth == 0, s"multi-level v2 btree (depth=$depth) unsupported")
+    val rootNodeAddr = offAt(bt + 16)
+    val rootNRecs = u16(bt + 16 + offsetSize)
+    val leaf = rootNodeAddr.toInt
+    require(ascii(leaf, 4) == "BTLF", s"expected BTLF @ $rootNodeAddr")
+    val out = Map.newBuilder[String, Long]
+    var rp = leaf + 6
+    var i = 0
+    while (i < rootNRecs) {
+      // record: name hash(4) + fractal heap ID
+      val idPos = rp + 4
+      val idFlags = u8(idPos)
+      require(((idFlags >> 4) & 0x3) == 0, "only managed heap objects supported")
+      var off = 0L
+      var b = 0
+      while (b < heapOffSize) { off |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
+      out += parseLink(heapObjPos(off))
+      rp += recordSize
+      i += 1
+    }
+    out.result()
   }
 
   private def localHeapData(addr: Long): Int = {
@@ -154,19 +326,33 @@ final class Hdf5File(bytes: Array[Byte]) {
     Array.tabulate(rank)(i => lenAt(hp + i * lengthSize))
   }
 
-  // --- attributes (message 0x000C, version 1) ---
+  // --- attributes (message 0x000C, versions 1-3) ---
   def attributes(headerAddr: Long): Map[String, Any] = {
     objectHeader(headerAddr).filter(_.typ == 0x000C).map { m =>
       val p = m.pos
-      require(u8(p) == 1, s"unsupported attribute message version ${u8(p)}")
+      val version = u8(p)
       val nameSize = u16(p + 2)
       val dtSize = u16(p + 4)
       val dsSize = u16(p + 6)
-      val namePos = p + 8
+      val (namePos, dtPos, dsPos, dataPos) = version match {
+        case 1 =>
+          // v1: fields padded to 8-byte multiples
+          val np = p + 8
+          val dt = np + pad8(nameSize)
+          val ds = dt + pad8(dtSize)
+          (np, dt, ds, ds + pad8(dsSize))
+        case 2 | 3 =>
+          // v2/v3: unpadded; v2 has a flags byte at +1, v3 adds a name
+          // character-set byte before the name
+          val flags = u8(p + 1)
+          require((flags & 0x03) == 0, "shared attribute datatype/dataspace unsupported")
+          val np = if (version == 3) p + 9 else p + 8
+          val dt = np + nameSize
+          val ds = dt + dtSize
+          (np, dt, ds, ds + dsSize)
+        case v => sys.error(s"unsupported attribute message version $v")
+      }
       val name = cstring(namePos)
-      val dtPos = namePos + pad8(nameSize)
-      val dsPos = dtPos + pad8(dtSize)
-      val dataPos = dsPos + pad8(dsSize)
       val dt = parseDatatype(dtPos)
       val dims = parseDataspace(dsPos)
       val nL = dims.product.max(1L)
@@ -255,7 +441,7 @@ final class Hdf5File(bytes: Array[Byte]) {
       }
       found
     }
-    val raw = layoutBytes(dlMsg.pos, dt.size, n, gzip)
+    val raw = layoutBytes(dlMsg.pos, dt.size, n, gzip, dims)
     val values = new Array[Double](n)
     var i = 0
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
@@ -276,7 +462,8 @@ final class Hdf5File(bytes: Array[Byte]) {
     DatasetData(dims, values, dt.clazz == 0, dt.size)
   }
 
-  private def layoutBytes(p: Int, elemSize: Int, n: Int, gzip: Boolean): Array[Byte] = {
+  private def layoutBytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
+      dims: Array[Long]): Array[Byte] = {
     require(u8(p) == 3, s"unsupported data layout version ${u8(p)}")
     u8(p + 1) match {
       case 1 => // contiguous: address + size
@@ -285,8 +472,11 @@ final class Hdf5File(bytes: Array[Byte]) {
       case 2 => // chunked: dimensionality (= rank+1), btree address, dim sizes
         val ndimsPlus1 = u8(p + 2)
         val btreeAddr = offAt(p + 3)
+        // chunk dimension sizes (4 bytes each; last entry = element size)
+        val chunkDims = Array.tabulate(ndimsPlus1 - 1)(d =>
+          u32(p + 3 + offsetSize + 4 * d))
         val out = new Array[Byte](n * elemSize)
-        collectChunks(btreeAddr, ndimsPlus1, elemSize, gzip, out)
+        collectChunks(btreeAddr, dims, chunkDims, elemSize, gzip, out)
         out
       case 0 => // compact: size(2) + data
         val size = u16(p + 2)
@@ -295,38 +485,94 @@ final class Hdf5File(bytes: Array[Byte]) {
     }
   }
 
-  /** Walk the v1 B-tree (node type 1) of chunk records; chunks are laid into
-    * `out` at their linear offset. ODIM VP chunks are (levels,1)-shaped so the
-    * first chunk-offset coordinate fixes the linear position.
+  /** Walk the v1 B-tree (node type 1) of chunk records and lay each chunk
+    * into `out` by its full row-major coordinates: for every chunk row (all
+    * leading dimensions), the run along the last dimension is copied to
+    * `sum(coord_d * stride_d)` with dataset strides — correct for any chunk
+    * grid shape, including 2-D grids with more than one column (a max() of
+    * the offsets, as previously used, silently misplaced those).
     */
-  private def collectChunks(addr: Long, ndimsPlus1: Int, elemSize: Int,
-      gzip: Boolean, out: Array[Byte]): Unit = {
+  private def collectChunks(addr: Long, dims: Array[Long], chunkDims: Array[Long],
+      elemSize: Int, gzip: Boolean, out: Array[Byte]): Unit = {
+    val rank = dims.length
+    require(chunkDims.length == rank,
+      s"chunk rank ${chunkDims.length} != dataset rank $rank")
+    // dataset strides (elements), row-major
+    val stride = new Array[Long](rank)
+    var acc = 1L
+    var d = rank - 1
+    while (d >= 0) { stride(d) = acc; acc *= dims(d); d -= 1 }
     val p = addr.toInt
     require(ascii(p, 4) == "TREE", s"expected TREE @ $addr")
     require(u8(p + 4) == 1, "expected chunk btree (type 1)")
     val level = u8(p + 5); val entries = u16(p + 6)
-    // key: chunk size (4) + filter mask (4) + ndimsPlus1 64-bit offsets
+    // key: chunk size (4) + filter mask (4) + (rank+1) 64-bit offsets
     // (the layout message's dimensionality field already counts rank+1)
-    val keySize = 8 + 8 * ndimsPlus1
+    val keySize = 8 + 8 * (rank + 1)
     var cp = p + 8 + 2 * offsetSize
     var i = 0
     while (i < entries) {
       val chunkSize = u32(cp).toInt
-      val chunkOffsets = Array.tabulate(ndimsPlus1)(d => u64(cp + 8 + 8 * d))
+      val chunkOff = Array.tabulate(rank)(d => u64(cp + 8 + 8 * d))
       val child = offAt(cp + keySize)
-      if (level > 0) collectChunks(child, ndimsPlus1, elemSize, gzip, out)
+      if (level > 0) collectChunks(child, dims, chunkDims, elemSize, gzip, out)
       else {
         val data =
           if (gzip) inflate(bytes, child.toInt, chunkSize, maxOut = out.length)
           else bytes.slice(child.toInt, child.toInt + chunkSize)
-        // linear element offset of this chunk (row-major over chunk grid)
-        val linearElem = chunkOffsets.dropRight(1).foldLeft(0L)((acc, o) => acc.max(o)) // VP: Nx1, only one dim > 0
-        val bytePos = (linearElem * elemSize).toInt
-        val len = math.min(data.length, out.length - bytePos)
-        System.arraycopy(data, 0, out, bytePos, len)
+        placeChunk(data, dims, chunkDims, chunkOff, stride, elemSize, out)
       }
       cp += keySize + offsetSize
       i += 1
+    }
+  }
+
+  /** Copy one chunk's rows into the row-major output, clipping edge chunks
+    * to the dataset bounds.
+    */
+  private def placeChunk(data: Array[Byte], dims: Array[Long], chunkDims: Array[Long],
+      chunkOff: Array[Long], stride: Array[Long], elemSize: Int,
+      out: Array[Byte]): Unit = {
+    val rank = dims.length
+    val last = rank - 1
+    val runElems = math.min(chunkDims(last), dims(last) - chunkOff(last)).max(0).toInt
+    if (runElems == 0) return
+    // extents of the leading dimensions within this chunk (clipped)
+    val lead = Array.tabulate(math.max(last, 0))(d =>
+      math.min(chunkDims(d), dims(d) - chunkOff(d)).max(0).toInt)
+    if (lead.exists(_ == 0)) return
+    // chunk-internal strides (elements), row-major over chunkDims
+    val cstride = new Array[Long](rank)
+    var acc = 1L
+    var d = last
+    while (d >= 0) { cstride(d) = acc; acc *= chunkDims(d); d -= 1 }
+    val idx = new Array[Int](math.max(last, 0))
+    var more = true
+    while (more) {
+      var src = 0L; var dst = chunkOff(last) * stride(last)
+      var k = 0
+      while (k < last) {
+        src += idx(k) * cstride(k)
+        dst += (chunkOff(k) + idx(k)) * stride(k)
+        k += 1
+      }
+      val srcByte = (src * elemSize).toInt
+      val dstByte = (dst * elemSize).toInt
+      val len = math.min(runElems * elemSize,
+        math.min(data.length - srcByte, out.length - dstByte))
+      if (len > 0) System.arraycopy(data, srcByte, out, dstByte, len)
+      // odometer over the leading dims
+      if (last == 0) more = false
+      else {
+        var c = last - 1
+        var carry = true
+        while (carry && c >= 0) {
+          idx(c) += 1
+          if (idx(c) < lead(c)) carry = false
+          else { idx(c) = 0; c -= 1 }
+        }
+        if (carry) more = false
+      }
     }
   }
 

@@ -1,0 +1,126 @@
+package graft.odim
+
+import org.scalatest.funsuite.AnyFunSuite
+import MiniHdf5Writer.{WDataset, WGroup}
+
+/** Modern-HDF5 surface: the reference fixtures (written with libhdf5's
+  * oldest format: superblock v0, v1 headers, symbol-table groups) are
+  * structure-round-tripped through MiniHdf5Writer into the LATEST format
+  * (superblock v3, 'OHDR' v2 headers, v3 attributes, compact + dense
+  * new-style groups) and must parse back to identical attributes, datasets,
+  * and — for VP files — identical decoded profile rows.
+  */
+class Hdf5ModernSpec extends AnyFunSuite {
+
+  private val vpFixture =
+    "/root/reference/tests/data/vp/bejab/2022/11/11/bejab_vp_20221111T233000Z_0x9.h5"
+
+  /** Walk a parsed file into a writer tree (ints widened to 8 bytes: the
+    * writer emits signed fixed-point, and decode semantics only consume
+    * int-ness, not width; float widths are preserved — f32 matters).
+    */
+  private def toTree(f: Hdf5File, addr: Long): MiniHdf5Writer.Node = {
+    val attrs = f.attributes(addr).toSeq.sortBy(_._1)
+    if (f.objectHeader(addr).exists(_.typ == 0x0008)) {
+      val dd = f.dataset(addr)
+      WDataset(attrs, dd.dims, dd.values, dd.isInteger,
+        if (dd.isInteger) 8 else dd.elemSize)
+    } else {
+      WGroup(attrs, f.groupChildren(addr).toSeq.sortBy(_._1)
+        .map { case (n, a) => n -> toTree(f, a) })
+    }
+  }
+
+  /** Canonical nested structure for comparison. */
+  private def canon(f: Hdf5File, addr: Long): Any = {
+    val attrs = f.attributes(addr)
+    if (f.objectHeader(addr).exists(_.typ == 0x0008)) {
+      val dd = f.dataset(addr)
+      (attrs, dd.dims.toSeq, dd.values.toSeq, dd.isInteger)
+    } else {
+      (attrs, f.groupChildren(addr).toSeq.sortBy(_._1)
+        .map { case (n, a) => n -> canon(f, a) })
+    }
+  }
+
+  private def rewriteModern(path: String): (Hdf5File, Hdf5File) = {
+    val orig = Hdf5File.read(path)
+    val tree = toTree(orig, orig.rootHeaderAddr).asInstanceOf[WGroup]
+    val modern = Hdf5File(MiniHdf5Writer.write(tree))
+    (orig, modern)
+  }
+
+  test("v3 superblock + OHDR v2 rewrite parses to identical structure") {
+    val (orig, modern) = rewriteModern(vpFixture)
+    // dataset1 has 17 children -> exercises the DENSE group path; root and
+    // the what/where/how groups are compact
+    assert(modern.groupChildren(modern.resolve("dataset1").get).size ==
+      orig.groupChildren(orig.resolve("dataset1").get).size)
+    assert(canon(modern, modern.rootHeaderAddr) == canon(orig, orig.rootHeaderAddr))
+  }
+
+  test("decoded VP profile rows are identical across formats") {
+    val name = vpFixture.substring(vpFixture.lastIndexOf('/') + 1)
+    val origBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(vpFixture))
+    val origRows = graft.vpts.VptsCsvV1.rows(
+      graft.vpts.BirdProfile.fromOdim(
+        OdimReader.checkVpOdim(OdimReader(origBytes, name)), name))
+    val tree = toTree(Hdf5File(origBytes), Hdf5File(origBytes).rootHeaderAddr)
+      .asInstanceOf[WGroup]
+    val modernBytes = MiniHdf5Writer.write(tree)
+    val modernRows = graft.vpts.VptsCsvV1.rows(
+      graft.vpts.BirdProfile.fromOdim(
+        OdimReader.checkVpOdim(OdimReader(modernBytes, name)), name))
+    assert(modernRows == origRows)
+  }
+
+  test("all reference fixtures survive the modern rewrite") {
+    val dir = java.nio.file.Paths.get("/root/reference/tests/data/vp")
+    val files = java.nio.file.Files.walk(dir).iterator()
+    var n = 0
+    files.forEachRemaining { p =>
+      if (p.toString.endsWith(".h5")) {
+        val (orig, modern) = rewriteModern(p.toString)
+        assert(canon(modern, modern.rootHeaderAddr) == canon(orig, orig.rootHeaderAddr),
+          s"mismatch for $p")
+        n += 1
+      }
+    }
+    assert(n >= 6)
+  }
+
+  test("2-D chunk grids with multiple columns reassemble correctly") {
+    // 6x8 dataset cut into 3x4 chunks -> 2x2 chunk grid: a max()-based
+    // linear offset would collapse the (0,4) and (3,0) chunks onto the same
+    // position; the row-major placement must not
+    val dims = Array(6L, 8L)
+    val values = Array.tabulate(48)(_.toDouble)
+    val ds = WDataset(Seq(("q", 1L)), dims, values, isInt = false, elemSize = 8,
+      chunkDims = Some(Array(3L, 4L)))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.dims.toSeq == dims.toSeq)
+    assert(back.values.toSeq == values.toSeq)
+  }
+
+  test("edge chunks are clipped to dataset bounds") {
+    // 5x7 dataset with 3x4 chunks: right/bottom chunks are partial
+    val dims = Array(5L, 7L)
+    val values = Array.tabulate(35)(i => (i * 3 + 1).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(3L, 4L)))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("3-D chunked dataset places chunks by full coordinates") {
+    val dims = Array(4L, 3L, 5L)
+    val values = Array.tabulate(60)(i => (100 - i).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = false, elemSize = 8,
+      chunkDims = Some(Array(2L, 2L, 2L)))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
+  }
+}

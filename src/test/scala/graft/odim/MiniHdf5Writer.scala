@@ -1,0 +1,335 @@
+package graft.odim
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Test-side writer of MODERN-format HDF5 files (superblock v3, version-2
+  * 'OHDR' object headers, v3 attribute messages, new-style groups — compact
+  * link messages or dense fractal-heap + v2 B-tree). No h5py exists in this
+  * environment, so this is how Hdf5ModernSpec synthesizes the fixtures that
+  * prove the reader's modern-file surface: a structure round-trip of the real
+  * ODIM fixtures (written with libhdf5's oldest format) through this writer
+  * must parse to identical attributes, datasets, and profiles.
+  *
+  * Layout choices mirror what libhdf5 `libver='latest'` emits for ODIM-sized
+  * content: groups with more than 8 links go dense (root direct block only),
+  * smaller ones compact. Checksums are written as zeros (the reader does not
+  * validate them).
+  */
+object MiniHdf5Writer {
+
+  sealed trait Node
+  final case class WGroup(attrs: Seq[(String, Any)],
+      children: Seq[(String, Node)]) extends Node
+  final case class WDataset(attrs: Seq[(String, Any)], dims: Array[Long],
+      values: Array[Double], isInt: Boolean, elemSize: Int,
+      chunkDims: Option[Array[Long]] = None) extends Node
+
+  private val Undef = -1L
+
+  private final class Out {
+    private var buf = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+    private def ensure(n: Int): Unit =
+      if (buf.position() + n > buf.capacity()) {
+        val nb = ByteBuffer.allocate(buf.capacity() * 2).order(ByteOrder.LITTLE_ENDIAN)
+        buf.flip(); nb.put(buf); buf = nb
+      }
+    def pos: Int = buf.position()
+    def u8(v: Int): Unit = { ensure(1); buf.put(v.toByte) }
+    def u16(v: Int): Unit = { ensure(2); buf.putShort(v.toShort) }
+    def u32(v: Long): Unit = { ensure(4); buf.putInt(v.toInt) }
+    def u64(v: Long): Unit = { ensure(8); buf.putLong(v) }
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); buf.put(b) }
+    def ascii(s: String): Unit = bytes(s.getBytes("ASCII"))
+    def patch64(at: Int, v: Long): Unit = buf.putLong(at, v)
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  def write(root: WGroup): Array[Byte] = {
+    val o = new Out
+    // superblock v3: sig, version, sizes, flags, 4 addresses, checksum
+    o.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    o.u8(3); o.u8(8); o.u8(8); o.u8(0)
+    o.u64(0)      // base address
+    o.u64(Undef)  // superblock extension
+    o.u64(0)      // EOF (patched at end)
+    val rootAddrPos = o.pos
+    o.u64(0)      // root object header address (patched)
+    o.u32(0)      // checksum
+    val rootAddr = writeNode(o, root)
+    o.patch64(rootAddrPos, rootAddr)
+    val res = o.result()
+    // EOF address field (sig 8 + ver/sizes/flags 4 + base 8 + extension 8)
+    ByteBuffer.wrap(res).order(ByteOrder.LITTLE_ENDIAN).putLong(28, res.length.toLong)
+    res
+  }
+
+  private def writeNode(o: Out, node: Node): Long = node match {
+    case g: WGroup => writeGroup(o, g)
+    case d: WDataset => writeDataset(o, d)
+  }
+
+  // ---- message bodies ----
+
+  private def dtInt(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte); b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size); b.array()
+  }
+  private def dtFloat(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size); b.array()
+  }
+  private def dtString(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size); b.array()
+  }
+  private def dataspace(dims: Array[Long]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + 8 * dims.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte); b.put(dims.length.toByte); b.put(0.toByte); b.put(1.toByte)
+    dims.foreach(b.putLong)
+    b.array()
+  }
+
+  /** v3 attribute message body (unpadded, with name-encoding byte). */
+  private def attrMsg(name: String, value: Any): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val (dt, ds, data) = value match {
+      case v: Long =>
+        val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+        (dtInt(8), dataspace(Array.empty), d)
+      case v: Double =>
+        val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+        (dtFloat(8), dataspace(Array.empty), d)
+      case v: String =>
+        val sb = v.getBytes("UTF-8") :+ 0.toByte
+        (dtString(sb.length), dataspace(Array.empty), sb)
+      case v: Vector[_] if v.nonEmpty && v.head.isInstanceOf[Long] =>
+        val b = ByteBuffer.allocate(8 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+        v.foreach(x => b.putLong(x.asInstanceOf[Long]))
+        (dtInt(8), dataspace(Array(v.length.toLong)), b.array())
+      case v: Vector[_] if v.nonEmpty && v.head.isInstanceOf[Double] =>
+        val b = ByteBuffer.allocate(8 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+        v.foreach(x => b.putDouble(x.asInstanceOf[Double]))
+        (dtFloat(8), dataspace(Array(v.length.toLong)), b.array())
+      case v => sys.error(s"unsupported attribute value $v (${v.getClass})")
+    }
+    val b = ByteBuffer.allocate(9 + nameB.length + dt.length + ds.length + data.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte); b.put(0.toByte)
+    b.putShort(nameB.length.toShort); b.putShort(dt.length.toShort); b.putShort(ds.length.toShort)
+    b.put(0.toByte) // name encoding: ASCII
+    b.put(nameB); b.put(dt); b.put(ds); b.put(data)
+    b.array()
+  }
+
+  /** Link message body (hard link, 1-byte name length). */
+  private def linkBody(name: String, addr: Long): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length < 256)
+    val b = ByteBuffer.allocate(3 + nameB.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte); b.put(nameB.length.toByte)
+    b.put(nameB); b.putLong(addr)
+    b.array()
+  }
+
+  /** OHDR v2 object header from a list of (type, body) messages. */
+  private def writeHeader(o: Out, msgs: Seq[(Int, Array[Byte])]): Long = {
+    val addr = o.pos.toLong
+    val chunk0 = msgs.map(4 + _._2.length).sum
+    o.ascii("OHDR"); o.u8(2); o.u8(0x02) // flags: 4-byte chunk-0 size field
+    o.u32(chunk0.toLong)
+    msgs.foreach { case (t, body) =>
+      o.u8(t); o.u16(body.length); o.u8(0); o.bytes(body)
+    }
+    o.u32(0) // checksum
+    addr
+  }
+
+  // ---- groups ----
+
+  private def writeGroup(o: Out, g: WGroup): Long = {
+    val links = g.children.map { case (n, c) => (n, writeNode(o, c)) }
+    val attrMsgs = g.attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
+    if (links.length <= 8) {
+      // compact: link-info with undefined heap/btree + one link message each
+      val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      li.put(0.toByte); li.put(0.toByte); li.putLong(Undef); li.putLong(Undef)
+      val msgs = Seq(0x0002 -> li.array(), 0x000A -> Array[Byte](0, 0)) ++
+        links.map(l => 0x0006 -> linkBody(l._1, l._2)) ++ attrMsgs
+      writeHeader(o, msgs)
+    } else {
+      // dense: fractal heap (single root direct block) + v2 B-tree leaf
+      val bodies = links.map(l => linkBody(l._1, l._2))
+      val dbAddr = o.pos.toLong
+      o.ascii("FHDB"); o.u8(0)
+      val heapHdrPatch = o.pos
+      o.u64(0)  // heap header address (patched below)
+      o.u32(0)  // block offset (heapOffSize = 4 for 32-bit max heap)
+      val headerLen = 4 + 1 + 8 + 4
+      val heapOffsets = bodies.scanLeft(headerLen)((acc, b) => acc + b.length)
+      bodies.foreach(o.bytes)
+      val frhpAddr = o.pos.toLong
+      o.ascii("FRHP"); o.u8(0)
+      o.u16(7)      // heap ID length: 1 flag + 4 offset + 2 length
+      o.u16(0)      // I/O filter encoded length
+      o.u8(0)       // flags (no checksummed blocks)
+      o.u32(4096)   // max managed object size
+      o.u64(0)      // next huge id
+      o.u64(Undef)  // huge btree addr
+      o.u64(0)      // free space
+      o.u64(Undef)  // free-space manager addr
+      o.u64(heapOffsets.last.toLong) // managed space
+      o.u64(heapOffsets.last.toLong) // allocated managed space
+      o.u64(heapOffsets.last.toLong) // direct block iterator offset
+      o.u64(bodies.length.toLong)    // managed object count
+      o.u64(0); o.u64(0)             // huge size / count
+      o.u64(0); o.u64(0)             // tiny size / count
+      o.u16(4)      // table width
+      o.u64(512)    // starting block size
+      o.u64(65536)  // max direct block size
+      o.u16(32)     // max heap size (bits) -> heapOffSize 4
+      o.u16(1)      // starting rows
+      o.u64(dbAddr) // root block address = the direct block
+      o.u16(0)      // current rows = 0 (root IS a direct block)
+      o.u32(0)      // checksum
+      o.patch64(heapHdrPatch, frhpAddr)
+      // v2 B-tree leaf with (hash, heapId(7)) records
+      val btlfAddr = o.pos.toLong
+      o.ascii("BTLF"); o.u8(0); o.u8(5)
+      links.indices.foreach { i =>
+        o.u32(0)                       // name hash (reader enumerates, ignores)
+        o.u8(0)                        // heap ID flags: managed, v0
+        o.u32(heapOffsets(i).toLong)   // heap offset
+        o.u16(bodies(i).length)        // object length
+      }
+      o.u32(0) // checksum
+      val bthdAddr = o.pos.toLong
+      o.ascii("BTHD"); o.u8(0); o.u8(5)
+      o.u32(512)                 // node size
+      o.u16(4 + 7)               // record size
+      o.u16(0)                   // depth
+      o.u8(100); o.u8(40)        // split / merge percent
+      o.u64(btlfAddr)
+      o.u16(links.length)        // records in root node
+      o.u64(links.length.toLong) // total records
+      o.u32(0)                   // checksum
+      val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      li.put(0.toByte); li.put(0.toByte); li.putLong(frhpAddr); li.putLong(bthdAddr)
+      writeHeader(o, Seq(0x0002 -> li.array(), 0x000A -> Array[Byte](0, 0)) ++ attrMsgs)
+    }
+  }
+
+  // ---- datasets ----
+
+  private def encodeValues(d: WDataset, from: Int, count: Int, stride: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(count * d.elemSize).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < count) {
+      val idx = from + i * stride
+      val v = if (idx < d.values.length) d.values(idx) else 0.0
+      if (d.isInt) d.elemSize match {
+        case 1 => b.put(v.toLong.toByte)
+        case 2 => b.putShort(v.toLong.toShort)
+        case 4 => b.putInt(v.toLong.toInt)
+        case 8 => b.putLong(v.toLong)
+      } else d.elemSize match {
+        case 4 => b.putFloat(v.toFloat)
+        case 8 => b.putDouble(v)
+      }
+      i += 1
+    }
+    b.array()
+  }
+
+  private def writeDataset(o: Out, d: WDataset): Long = {
+    val n = d.dims.product.toInt
+    val layout: Array[Byte] = d.chunkDims match {
+      case None =>
+        val dataAddr = o.pos.toLong
+        o.bytes(encodeValues(d, 0, n, 1))
+        val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(3.toByte); b.put(1.toByte); b.putLong(dataAddr)
+        b.putLong(n.toLong * d.elemSize)
+        b.array()
+      case Some(cd) =>
+        val btreeAddr = writeChunked(o, d, cd)
+        val b = ByteBuffer.allocate(3 + 8 + 4 * (cd.length + 1))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(3.toByte); b.put(2.toByte); b.put((cd.length + 1).toByte)
+        b.putLong(btreeAddr)
+        cd.foreach(c => b.putInt(c.toInt))
+        b.putInt(d.elemSize)
+        b.array()
+    }
+    val dt = if (d.isInt) dtInt(d.elemSize) else dtFloat(d.elemSize)
+    val msgs = Seq(
+      0x0003 -> dt,
+      0x0001 -> dataspace(d.dims),
+      0x0008 -> layout) ++ d.attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
+    writeHeader(o, msgs)
+  }
+
+  /** Write raw (unfiltered) chunks + a flat v1 chunk B-tree (level 0). */
+  private def writeChunked(o: Out, d: WDataset, cd: Array[Long]): Long = {
+    val rank = d.dims.length
+    require(cd.length == rank)
+    val gridDims = Array.tabulate(rank)(i => ((d.dims(i) + cd(i) - 1) / cd(i)).toInt)
+    // dataset strides
+    val stride = new Array[Long](rank)
+    var acc = 1L
+    for (i <- (rank - 1) to 0 by -1) { stride(i) = acc; acc *= d.dims(i) }
+    // enumerate chunks in row-major grid order
+    val chunkCoords = gridDims.foldLeft(Seq(Seq.empty[Int]))((a, g) =>
+      a.flatMap(pre => (0 until g).map(pre :+ _)))
+    val written = chunkCoords.map { cc =>
+      val off = Array.tabulate(rank)(i => cc(i) * cd(i))
+      // serialize the FULL chunk (edge chunks zero-padded), row-major
+      val cn = cd.product.toInt
+      val b = ByteBuffer.allocate(cn * d.elemSize).order(ByteOrder.LITTLE_ENDIAN)
+      val cidx = new Array[Int](rank)
+      var more = true
+      while (more) {
+        val inBounds = (0 until rank).forall(i => off(i) + cidx(i) < d.dims(i))
+        val src = (0 until rank).map(i => (off(i) + cidx(i)) * stride(i)).sum.toInt
+        val v = if (inBounds) d.values(src) else 0.0
+        if (d.isInt) d.elemSize match {
+          case 1 => b.put(v.toLong.toByte)
+          case 2 => b.putShort(v.toLong.toShort)
+          case 4 => b.putInt(v.toLong.toInt)
+          case 8 => b.putLong(v.toLong)
+        } else d.elemSize match {
+          case 4 => b.putFloat(v.toFloat)
+          case 8 => b.putDouble(v)
+        }
+        var c = rank - 1
+        var carry = true
+        while (carry && c >= 0) {
+          cidx(c) += 1
+          if (cidx(c) < cd(c)) carry = false else { cidx(c) = 0; c -= 1 }
+        }
+        if (carry) more = false
+      }
+      val addr = o.pos.toLong
+      val bytes = b.array()
+      o.bytes(bytes)
+      (off, addr, bytes.length)
+    }
+    val btreeAddr = o.pos.toLong
+    o.ascii("TREE"); o.u8(1); o.u8(0)
+    o.u16(written.length)
+    o.u64(Undef); o.u64(Undef) // siblings
+    written.foreach { case (off, addr, size) =>
+      o.u32(size.toLong); o.u32(0)
+      off.foreach(x => o.u64(x.toLong))
+      o.u64(0) // element-size coordinate
+      o.u64(addr)
+    }
+    // final key
+    o.u32(0); o.u32(0)
+    d.dims.foreach(x => o.u64(x))
+    o.u64(0)
+    btreeAddr
+  }
+}
