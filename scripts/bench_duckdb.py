@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""DuckDB wall-time baseline for the bench queries.
+
+The reference publishes no performance numbers, so the honest numeric
+baseline is DuckDB 'single-node state-of-the-art' running the SAME oracle
+SQL on the SAME parquet at the same scale factor. Run after Verify has
+produced oracle_sql.json:
+
+    python3 scripts/bench_duckdb.py [sfDir] [verifyOut] [outJson]
+
+Writes DUCKDB_BASELINE.json: per-query wall seconds (median of 3 runs after
+1 warmup) + total, for the bench-set query names (mirrors Bench.scala's
+noop-sink methodology via a fetch-all, i.e. full materialization).
+"""
+import sys, os, json, time, statistics
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# keep in sync with QueryDef(bench = true) entries in the Scala registry
+BENCH = """q1_pricing_summary q2_filter_pushdown q3_shipping_priority
+q5_local_supplier_volume q_anti_join q_agg_coverage q_window_lag
+q_stream_tumbling q_asof_join q_dedup_exact q_dedup_minhash_sig
+q_dedup_lsh_candidates q_ann_bruteforce_topk q_ann_lsh_signature
+q_text_quality q_text_tokens""".split()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "DUCKDB_BASELINE.json"
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    results = {}
+    for name in BENCH:
+        sql = oracles.get(name)
+        if not sql:
+            results[name] = None
+            continue
+        con.execute(sql).fetchall()  # warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 6)
+    total = round(sum(v for v in results.values() if v), 6)
+    doc = {"engine": "duckdb", "version": duckdb.__version__, "sf": sf,
+           "threads": os.cpu_count(), "metric": "total", "value": total,
+           "unit": "sec", "queries": results}
+    with open(dst, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({"total": total, "n": len([v for v in results.values() if v])}))
+
+
+if __name__ == "__main__":
+    main()

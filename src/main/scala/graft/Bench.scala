@@ -39,10 +39,20 @@ object Bench {
       try materialize(q) catch { case _: Throwable => }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
+    // fixed per-query floor: an empty job through the same timed path
+    // (scheduler + noop-sink commit) — lets BASELINE.md separate engine
+    // overhead from per-query compute when comparing against DuckDB
+    def floorOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    floorOnce() // warmup
+    val floor = (1 to 3).map(_ => floorOnce()).sorted.apply(1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

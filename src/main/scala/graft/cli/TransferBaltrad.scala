@@ -10,12 +10,50 @@ import org.apache.spark.sql.functions._
   * transferred" membership test) -> copy, into the
   * `source/hdf5/radar/yyyy/mm/dd/` lake layout.
   *
-  * The reference's SFTP side is a driver connector; here both ends are
-  * Hadoop FileSystems (file://, s3a://...), which covers the lake semantics
-  * the analytics engine owns. The anti-join is a real Spark left-anti on
+  * The source end is a pluggable [[RemoteSource]] — the same driver-side
+  * connector seam the reference's paramiko SFTP client occupies
+  * (`transfer_baltrad.py:128` listdir_attr, `:146-158` get): any transport
+  * that can list file names and fetch bytes plugs into the pipeline. A
+  * Hadoop-FS implementation covers file:// and s3a:// ends; tests exercise
+  * an in-process mock server. The anti-join is a real Spark left-anti on
   * file names, so the diff scales to listings of any size.
   */
 object TransferBaltrad {
+
+  /** Driver-side source connector: the minimal surface the sync needs
+    * (mirrors paramiko's `listdir_attr` + `get`).
+    */
+  trait RemoteSource {
+    def listFileNames(): Seq[String]
+    def get(name: String): Array[Byte]
+  }
+
+  /** Hadoop-FS-backed source (file://, s3a://, ...). */
+  final class HadoopSource(root: String, conf: org.apache.hadoop.conf.Configuration)
+      extends RemoteSource {
+    private val rootPath = new HPath(root)
+    private lazy val fs = rootPath.getFileSystem(conf)
+    override def listFileNames(): Seq[String] = {
+      if (!fs.exists(rootPath)) Seq.empty
+      else {
+        val it = fs.listFiles(rootPath, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) out += st.getPath.getName
+        }
+        out.result()
+      }
+    }
+    override def get(name: String): Array[Byte] = {
+      val in = fs.open(new HPath(s"$root/$name"))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
@@ -33,12 +71,18 @@ object TransferBaltrad {
     spark.stop()
   }
 
-  def sync(spark: SparkSession, src: String, dst: String, lakeSource: String): Int = {
+  /** FS-to-FS convenience form (CLI path). */
+  def sync(spark: SparkSession, src: String, dst: String, lakeSource: String): Int =
+    sync(spark, new HadoopSource(src, spark.sparkContext.hadoopConfiguration),
+      dst, lakeSource)
+
+  def sync(spark: SparkSession, source: RemoteSource, dst: String,
+      lakeSource: String): Int = {
     import graft.functions.OdimPaths
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
 
-    def listNames(root: String): Seq[String] = {
+    def listDst(root: String): Seq[String] = {
       val p = new HPath(root)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
@@ -53,9 +97,9 @@ object TransferBaltrad {
       }
     }
 
-    val srcDf = listNames(src).toDF("name")
+    val srcDf = source.listFileNames().toDF("name")
       .filter(col("name").contains("_vp_")) // F3: ignore PVOL
-    val dstDf = listNames(dst).toDF("done")
+    val dstDf = listDst(dst).toDF("done")
     // F4: left-anti membership — only not-yet-transferred files
     val todo = srcDf.join(dstDf, col("name") === col("done"), "left_anti")
       .select(col("name"),
@@ -65,14 +109,13 @@ object TransferBaltrad {
           col("name")).as("target"))
       .collect()
 
-    val srcFs = new HPath(src).getFileSystem(conf)
     val dstFs = new HPath(dst).getFileSystem(conf)
     todo.foreach { row =>
       val name = row.getString(0)
       val target = new HPath(s"$dst/${row.getString(1)}")
       dstFs.mkdirs(target.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(
-        srcFs, new HPath(s"$src/$name"), dstFs, target, false, conf)
+      val out = dstFs.create(target, true)
+      try out.write(source.get(name)) finally out.close()
     }
     todo.length
   }

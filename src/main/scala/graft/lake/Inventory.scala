@@ -83,12 +83,23 @@ object Inventory {
     * (`_last_modified_from_inventory` + `_handle_inventory`, s3.py:228-303).
     * `now` is injected for reproducibility (the reference freezes
     * pd.Timestamp.now in tests the same way).
+    *
+    * `modifiedDaysAgo == 0` expands to the full bucket age — "rebuild
+    * everything, this will take a while" (`vph5_to_vpts.py:132-138`): the
+    * window filter is dropped entirely, so every radar-day present in the
+    * inventory is returned.
     */
   def daysToRebuild(inv: DataFrame, modifiedDaysAgo: Int,
       now: java.time.Instant): DataFrame = {
-    val cutoff = java.sql.Timestamp.from(now.minus(java.time.Duration.ofDays(modifiedDaysAgo)))
-    h5Only(withDerived(inv))
-      .filter(col("modified_ts") > lit(cutoff))
+    val derived = h5Only(withDerived(inv))
+    val windowed =
+      if (modifiedDaysAgo == 0) derived
+      else {
+        val cutoff = java.sql.Timestamp.from(
+          now.minus(java.time.Duration.ofDays(modifiedDaysAgo)))
+        derived.filter(col("modified_ts") > lit(cutoff))
+      }
+    windowed
       .groupBy(col("source"), col("file_type"), col("radar"),
         col("yyyy"), col("mm"), col("dd"))
       .agg(count(lit(1)).as("file_count"))

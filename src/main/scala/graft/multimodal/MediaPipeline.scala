@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * frame-sample run as a batched executor-side map (mapPartitions — the
   * Scala analog of mapInPandas batches).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder]] is a clearly-marked deterministic fake that
-  * derives "dimensions" and "features" from the payload bytes. Everything
-  * around it — schema, batch shape, partitioning, the typed Dataset
-  * boundary — is real, tested plumbing that a real decoder drops into.
+  * Image payloads (PNG/JPEG/GIF/BMP by magic bytes) get a REAL header parse
+  * via the JDK's javax.imageio — width/height come from the actual image
+  * header, without decoding pixel data. Payloads no installed reader
+  * recognizes (video, audio — no codec libraries in this environment) fall
+  * back to [[StubDecoder]], a clearly-marked deterministic fake. The
+  * surrounding plumbing — schema, batch shape, partitioning, the typed
+  * Dataset boundary — is identical for both paths.
   */
 object MediaPipeline {
 
@@ -26,10 +28,44 @@ object MediaPipeline {
       n_frames: Int,
       features: Array[Float])
 
+  /** Real image-header parse (JDK javax.imageio): dimensions read from the
+    * header only — `reader.getWidth(0)` never decodes pixels. The magic-byte
+    * pre-check keeps non-image payloads off the ImageIO path entirely (and
+    * deterministic under the stub).
+    */
+  object ImageHeader {
+    def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
+    def dimensions(p: Array[Byte]): Option[(Int, Int)] = {
+      if (!looksLikeImage(p)) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } catch {
+            case _: Exception => None // truncated/corrupt header
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
   /** ==== STUB ====
-    * Deterministic fake decoder standing in for an image/video codec.
-    * Replace `decode` with a real library call (e.g. TwelveMonkeys/JCodec)
-    * in a fully-provisioned environment; the signature is the contract.
+    * Deterministic fake decoder standing in for the video/audio codecs this
+    * environment lacks (images take the real [[ImageHeader]] path above).
+    * Replace `decode` with a real library call (e.g. JCodec) in a
+    * fully-provisioned environment; the signature is the contract.
     */
   object StubDecoder {
     val FeatureDim = 8
@@ -39,14 +75,20 @@ object MediaPipeline {
       val w = if (payload.length > 0) (payload(0) & 0xff) * 4 else 0
       val h = if (payload.length > 1) (payload(1) & 0xff) * 3 else 0
       val frames = payload.length / 64 + 1
-      // fake embedding: byte-sum folded into FeatureDim buckets
+      (w, h, frames, features(payload))
+    }
+
+    /** Deterministic fake embedding: byte-sum folded into FeatureDim buckets
+      * (used for all modalities — no embedding model in this environment).
+      */
+    def features(payload: Array[Byte]): Array[Float] = {
       val feat = new Array[Float](FeatureDim)
       var i = 0
       while (i < payload.length) {
         feat(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
         i += 1
       }
-      (w, h, frames, feat)
+      feat
     }
   }
 
@@ -67,7 +109,10 @@ object MediaPipeline {
         it.map { case (id, payload) =>
           md.reset()
           val digest = md.digest(payload).map("%02x".format(_)).mkString
-          val (w, h, frames, feat) = StubDecoder.decode(payload)
+          val (w, h, frames, feat) = ImageHeader.dimensions(payload) match {
+            case Some((iw, ih)) => (iw, ih, 1, StubDecoder.features(payload))
+            case None => StubDecoder.decode(payload)
+          }
           MediaMeta(id, payload.length.toLong, digest, w, h, frames, feat)
         }
       }

@@ -13,9 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Binary metadata extraction: byte length, content digest, and stub
-    * "decoded" dimensions derived deterministically from the first bytes
-    * (stand-in for a real header parse).
+  /** REAL PNG header parse as a pure column expression: width/height are the
+    * big-endian u32s at byte offsets 17/21 of the IHDR chunk, read only when
+    * the payload carries the PNG magic — null otherwise. Works on any binary
+    * column (the whole-payload hex + substring trick sidesteps binary
+    * substring portability); MultimodalSpec proves it against ImageIO-written
+    * PNGs, and MediaPipeline.decodeMeta uses javax.imageio for the general
+    * multi-format path.
+    */
+  def pngDim(payload: org.apache.spark.sql.Column, byteOffset: Int): org.apache.spark.sql.Column =
+    when(substring(hex(payload), 1, 8) === "89504E47",
+      conv(substring(hex(payload), 2 * (byteOffset - 1) + 1, 8), 16, 10).cast("long"))
+
+  private def pngDimSql(payloadSql: String, byteOffset: Int): String =
+    s"""CASE WHEN substring(hex($payloadSql), 1, 8) = '89504E47'
+       | THEN CAST('0x' || substring(hex($payloadSql), ${2 * (byteOffset - 1) + 1}, 8) AS BIGINT)
+       | END""".stripMargin.replace("\n", "")
+
+  /** Binary metadata extraction: byte length, content digest, the real PNG
+    * header-parse columns (null for non-PNG payloads, like these text
+    * bytes), and stub "decoded" dimensions derived deterministically from
+    * the first bytes (the fallback a codec-less modality gets).
     */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).orderBy(col("doc_id"))
@@ -24,14 +42,18 @@ object Multimodal {
         col("doc_id"),
         octet_length(col("payload")).as("n_bytes"),
         md5(col("payload")).as("digest"),
+        pngDim(col("payload"), 17).as("png_width"),
+        pngDim(col("payload"), 21).as("png_height"),
         (ascii(substring(col("text"), 1, 1)) * 4).as("fake_width"),
         (ascii(substring(col("text"), 2, 1)) * 3).as("fake_height"),
         substring(col("text"), 1, 16).as("header_prefix"))
 
   val qMultimodalMetaSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  octet_length(encode(text)) AS n_bytes,
       |  md5(text) AS digest,
+      |  ${pngDimSql("encode(text)", 17)} AS png_width,
+      |  ${pngDimSql("encode(text)", 21)} AS png_height,
       |  ascii(substring(text, 1, 1)) * 4 AS fake_width,
       |  ascii(substring(text, 2, 1)) * 3 AS fake_height,
       |  substring(text, 1, 16) AS header_prefix

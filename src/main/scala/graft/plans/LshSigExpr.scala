@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * exact scaled-integer projection sum(±round(double(e_i)·2^20)).
   *
   * The declarative version is a 512-term interpreted expression tree; this
-  * is one compiled loop with a precomputed sign matrix.
+  * is one compiled loop with a precomputed sign matrix. `doGenCode` emits a
+  * direct `compute(array)` call so the expression joins the surrounding
+  * WholeStageCodegen span (no CodegenFallback row materialization).
   */
 case class LshSigExpr(child: Expression, nPlanes: Int = 8, dim: Int = 64)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sig"
@@ -25,8 +27,7 @@ case class LshSigExpr(child: Expression, nPlanes: Int = 8, dim: Int = 64)
   @transient private lazy val signs: Array[Array[Double]] =
     LshSigExpr.signMatrix(nPlanes, dim)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = math.min(arr.numElements(), dim)
     var sig = 0L
     var j = 0
@@ -45,6 +46,13 @@ case class LshSigExpr(child: Expression, nPlanes: Int = 8, dim: Int = 64)
       j += 1
     }
     sig
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSig", this, classOf[LshSigExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,23 +19,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted (no whole-stage codegen), allocating per-element Catalyst
   * structures for the shingle array, two md5 arrays, and the fold state.
   * Here the whole signature is one compiled per-row loop with two MessageDigest
-  * updates per shingle and zero intermediate arrays. CodegenFallback is fine:
-  * the per-row call overhead is trivial next to the hashing itself.
+  * updates per shingle and zero intermediate arrays. `doGenCode` emits a
+  * direct `compute(value)` call (null result = fewer than k words), keeping
+  * the expression inside the WholeStageCodegen span instead of forcing the
+  * CodegenFallback row-materialization path.
   */
 case class MinhashSigExpr(child: Expression, k: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig8"
 
   @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
+  // per-deserialized-instance (= per task) digest: thread-confined reuse
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toString
     val words = text.split(' ')
     if (words.length < k) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5
     // mins(j) holds the 8-char hex min for slot j
     val mins = Array.fill(8)("~~~~~~~~")
     val sb = new java.lang.StringBuilder
@@ -75,6 +79,15 @@ case class MinhashSigExpr(child: Expression, k: Int = 3)
       i += 1
     }
     new GenericArrayData(mins.map(UTF8String.fromString): Array[Any])
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

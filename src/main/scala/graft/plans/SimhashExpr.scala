@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,16 +12,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * j set in the first 8 bytes of their md5 digest (ties -> 0). One compiled
   * loop, one md5 per word; the DuckDB oracle reproduces the same bits via
   * hex-digit arithmetic.
+  *
+  * Codegen: `doGenCode` emits a direct `compute(value)` call on the
+  * expression object — unlike CodegenFallback this needs no materialized
+  * input row, so the expression stays inside the surrounding
+  * WholeStageCodegen span with its inputs in locals.
   */
-case class SimhashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimhashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(' ')
+  // per-deserialized-instance (= per task) digest: thread-confined reuse
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  def compute(input: UTF8String): Long = {
+    val words = input.toString.split(' ')
     val votes = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var w = 0
     while (w < words.length) {
       md.reset()
@@ -42,6 +49,13 @@ case class SimhashExpr(child: Expression) extends UnaryExpression with CodegenFa
       j += 1
     }
     sig
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimhashExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

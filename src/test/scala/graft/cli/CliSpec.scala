@@ -33,4 +33,35 @@ class CliSpec extends AnyFunSuite {
     Files.copy(extra, src.resolve(extra.getFileName), StandardCopyOption.REPLACE_EXISTING)
     assert(TransferBaltrad.sync(spark, src.toString, dst.toString, "baltrad") == 1)
   }
+
+  test("transferBaltrad against an in-process mock SFTP-style server") {
+    // The connector seam the reference's paramiko client occupies: an
+    // in-process "server" that only supports listdir + get, with fetch
+    // accounting to prove already-transferred files are never re-fetched.
+    class MockSftp(files: Map[String, Array[Byte]]) extends TransferBaltrad.RemoteSource {
+      val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+      override def listFileNames(): Seq[String] = files.keys.toSeq.sorted
+      override def get(name: String): Array[Byte] = { fetched += name; files(name) }
+    }
+    val payloadA = "h5-bytes-a".getBytes
+    val payloadB = "h5-bytes-b".getBytes
+    val server = new MockSftp(Map(
+      "nosta_vp_20230311T000000Z_0x9.h5" -> payloadA,
+      "nosta_vp_20230311T001500Z_0x9.h5" -> payloadB,
+      "bewid_pvol_20170214T0000Z_0x1.h5" -> "pvol".getBytes)) // F3-filtered
+    val dst = Files.createTempDirectory("sftplake")
+
+    val n1 = TransferBaltrad.sync(spark, server, dst.toString, "baltrad")
+    assert(n1 == 2)
+    assert(server.fetched.sorted == Seq(
+      "nosta_vp_20230311T000000Z_0x9.h5", "nosta_vp_20230311T001500Z_0x9.h5"))
+    val landed = dst.resolve("baltrad/hdf5/nosta/2023/03/11/nosta_vp_20230311T000000Z_0x9.h5")
+    assert(Files.exists(landed))
+    assert(Files.readAllBytes(landed).sameElements(payloadA))
+
+    // idempotent second run: anti-join empties the diff, zero fetches
+    server.fetched.clear()
+    assert(TransferBaltrad.sync(spark, server, dst.toString, "baltrad") == 0)
+    assert(server.fetched.isEmpty)
+  }
 }

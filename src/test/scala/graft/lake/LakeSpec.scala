@@ -47,7 +47,11 @@ class LakeSpec extends AnyFunSuite {
     assert(days(5).map(d => (d.radar, d.dd)).toSet ==
       Set(("fiuta", "24"), ("nosta", "11"), ("plpoz", "23")))
     assert(days(1).map(_.radar).toSet == Set("nosta"))
-    assert(days(0).isEmpty)
+    // 0 expands to the full bucket age (vph5_to_vpts.py:132-138): every
+    // radar-day present in the inventory is rebuilt, regardless of `now`
+    assert(days(0).size == 5)
+    assert(LakeController.dayKeys(Inventory.daysToRebuild(inv, 0,
+      java.time.Instant.parse("2030-01-01T00:00:00Z"))).size == 5)
   }
 
   test("end-to-end incremental rebuild: daily + monthly byte-match goldens") {

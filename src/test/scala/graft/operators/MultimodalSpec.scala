@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real image decode: dimensions must come from actual image headers, both
+  * through the javax.imageio path (MediaPipeline.decodeMeta) and the pure
+  * column-expression PNG parse (Multimodal.pngDim).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decodeMeta parses real PNG/GIF/BMP headers via javax.imageio") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, imageBytes("png", 640, 480)),
+      (2L, imageBytes("gif", 17, 23)),
+      (3L, imageBytes("bmp", 300, 200)),
+      (4L, "not an image at all, stub fallback".getBytes))
+    val meta = graft.multimodal.MediaPipeline
+      .decodeMeta(rows.toDF("media_id", "payload"))
+      .collect().map(m => m.media_id -> m).toMap
+    assert((meta(1L).width, meta(1L).height) == (640, 480))
+    assert((meta(2L).width, meta(2L).height) == (17, 23))
+    assert((meta(3L).width, meta(3L).height) == (300, 200))
+    // images are single-frame; non-images keep the stub's fake frame count
+    assert(meta(1L).n_frames == 1 && meta(4L).n_frames > 0)
+    // stub fallback for the non-image payload: byte-derived fake dims
+    val p4 = rows(3)._2
+    assert(meta(4L).width == (p4(0) & 0xff) * 4)
+  }
+
+  test("pngDim column expression reads the IHDR width/height") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, imageBytes("png", 1234, 777)),
+      (2L, "plain text".getBytes)).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.pngDim(col("payload"), 17).as("w"),
+        Multimodal.pngDim(col("payload"), 21).as("h"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 1234L && got(0).getLong(2) == 777L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+}

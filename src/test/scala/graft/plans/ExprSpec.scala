@@ -8,6 +8,30 @@ class ExprSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sfDir = "/root/testdata/sf0.001"
 
+  test("custom expressions compile and run under forced codegen (no fallback)") {
+    import org.apache.spark.sql.functions._
+    // fail instead of silently falling back to the interpreted path: this
+    // proves the doGenCode implementations produce compilable Java
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val docs = s2.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val emb = s2.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+    val a = docs.select(
+        MinhashSigExpr.minhashSig8Native(col("text")).as("mh"),
+        SimhashExpr.simhash64(col("text")).as("sh"))
+      .collect()
+    assert(a.length == 20 && a.forall(r => r.getSeq[String](0).length == 8))
+    val b = emb.select(LshSigExpr.lshSigNative(col("embedding")).as("sig")).collect()
+    assert(b.length == 20 && b.forall(!_.isNullAt(0)))
+    // null input and short-text (< k words) null result survive codegen
+    import s2.implicits._
+    val edge = Seq(Some("one two"), None, Some("a b c d")).toDF("text")
+      .select(MinhashSigExpr.minhashSig8Native(col("text")).as("mh"))
+      .collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0) && !edge(2).isNullAt(0))
+  }
+
   test("minhash_sig8 registered as a SQL function matches the Column API") {
     import org.apache.spark.sql.functions._
     MinhashSigExpr.register(spark)
