@@ -26,6 +26,7 @@ object Registry {
       operators.Similarity.entries ++
       operators.TextOps.entries ++
       operators.Multimodal.entries ++
+      operators.PipelineOps.entries ++
       operators.VptsOps.entries
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

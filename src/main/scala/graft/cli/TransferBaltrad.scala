@@ -55,7 +55,12 @@ object TransferBaltrad {
     }
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    Alerting.guarded("transfer_baltrad", args.toSeq, "[vptstools] transfer_baltrad failed") {
+      run(args)
+    }
+
+  private def run(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val src = opts.getOrElse("--source", sys.error("--source required"))
     val dst = opts.getOrElse("--destination", sys.error("--destination required"))

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Vph5ToVpts {
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    Alerting.guarded("vph5_to_vpts", args.toSeq, "[vptstools] vph5_to_vpts failed") {
+      run(args)
+    }
+
+  private def run(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val bucket = opts.getOrElse("--bucket", sys.error("--bucket required"))
     val modifiedDaysAgo = opts.getOrElse("--modified-days-ago", "2").toInt

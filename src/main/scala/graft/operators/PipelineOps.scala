@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline composition operators beyond the dedup/ANN core:
+  * PII redaction, repetition quality signals, deterministic sequence
+  * packing, and benchmark decontamination.
+  *
+  * Scale design: PII and repetition are narrow per-document projections
+  * (regex / bounded array compute, zero shuffle). Packing windows are
+  * partitioned by `source` so the cumulative sum parallelizes across
+  * sources (a global-order pack would serialize on one partition).
+  * Decontamination broadcasts the (small) benchmark n-gram set so the
+  * training-corpus scan never shuffles.
+  */
+object PipelineOps {
+
+  // Shared Java-regex/RE2-compatible PII patterns (same semantics in Spark
+  // and DuckDB; no lookarounds, no backrefs)
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  private val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scan + redaction: counts per category and the redacted text. All
+    * regexp — codegen'd, no shuffle. (The synthetic corpus contains no PII,
+    * so counts are zero here; PipelineOpsSpec proves the redaction on real
+    * emails/phones/IPs through this same function.)
+    */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).orderBy(col("doc_id"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        substring(piiRedact(col("text")), 1, 80).as("redacted_prefix"))
+
+  val qPiiRedactSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+       |  substring(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'), 1, 80) AS redacted_prefix
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Repetition quality signals (Gopher-style): word counts, duplicate-word
+    * fraction, and the most-frequent-word share. Bounded per-doc array
+    * compute (O(distinct x words)), zero shuffle.
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val topFreq = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    Tables.documents(s, dir).orderBy(col("doc_id"))
+      .select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        size(array_distinct(ws)).as("n_distinct"),
+        ((size(ws) - size(array_distinct(ws))) / size(ws).cast("double")).as("dup_word_ratio"),
+        topFreq.as("top_word_freq"),
+        (topFreq / size(ws).cast("double")).as("top_word_share"))
+  }
+
+  val qTextRepetitionSql: String =
+    """SELECT doc_id,
+      |  len(ws) AS n_words,
+      |  len(list_distinct(ws)) AS n_distinct,
+      |  (len(ws) - len(list_distinct(ws))) / CAST(len(ws) AS DOUBLE) AS dup_word_ratio,
+      |  list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS top_word_freq,
+      |  list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) / CAST(len(ws) AS DOUBLE) AS top_word_share
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic sequence packing: greedy fill of fixed token windows in
+    * doc_id order WITHIN each source — the window partitions by the pack
+    * key, so packing parallelizes across sources instead of serializing on
+    * a global order. bin = floor(preceding-tokens / window).
+    */
+  private val PackWindow = 2048
+
+  def qSeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(words(col("text"))).as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / PackWindow))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSeqPackingSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)
+       |       / $PackWindow) AS BIGINT) AS bin
+       |FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: training docs sharing >= ContamMinShared
+    * distinct k-grams with the (deterministic) benchmark subset are flagged.
+    * The benchmark n-gram set is SMALL — broadcast it, so the training scan
+    * is shuffle-free on its big side. (k=3 suits this synthetic corpus;
+    * real pipelines use 8-13-gram overlap — the parameter is the knob.)
+    */
+  private val ContamK = 3
+  private val ContamMinShared = 3
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(shingles(words(col("text")), ContamK)).as("g"))
+    val evalGrams = d.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("g")).as("eg")).distinct()
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("g")).as("tg"))
+    train.join(broadcast(evalGrams), col("tg") === col("eg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateSql: String = {
+    val sh = shinglesSql("ws", ContamK)
+    s"""WITH d AS (SELECT doc_id, list_distinct($sh) AS g
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |ev AS (SELECT DISTINCT unnest(g) AS eg FROM d WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, unnest(g) AS tg FROM d WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM tr JOIN ev ON tg = eg
+       |GROUP BY doc_id
+       |HAVING count(*) >= $ContamMinShared
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Apply dedup: the surviving doc list after removing exact-dup non-keepers
+    * (content-hash groups keep min doc_id) and near-dup partners (the larger
+    * id of any LSH-candidate pair with Jaccard >= 0.5). Composes the capped
+    * LSH candidate generation with two anti-joins — no new shuffle shapes.
+    */
+  def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDrop = Dedup.qJaccardPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    keepers.join(nearDrop, Seq("doc_id"), "left_anti")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupApplySql: String = {
+    // near-dup pairs: same CTE chain as q_dedup_jaccard_pairs
+    val inner = Dedup.qJaccardPairsSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |near AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($inner) WHERE jaccard >= 0.5)
+       |SELECT k.doc_id, d.source
+       |FROM keepers k
+       |JOIN documents d ON k.doc_id = d.doc_id
+       |WHERE k.doc_id NOT IN (SELECT doc_id FROM near)
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
+    QueryDef("q_text_repetition", qTextRepetition, Some(qTextRepetitionSql)),
+    QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
+    QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
+    QueryDef("q_dedup_apply", qDedupApply, Some(qDedupApplySql)),
+  )
+}

@@ -64,4 +64,30 @@ class CliSpec extends AnyFunSuite {
     assert(TransferBaltrad.sync(spark, server, dst.toString, "baltrad") == 0)
     assert(server.fetched.isEmpty)
   }
+
+  test("CLI failures publish a reference-format alert and re-raise (K7 seam)") {
+    class Collecting extends Alerting.AlertSink {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      override def alert(s: String, m: String): Unit = got += ((s, m))
+    }
+    val sink = new Collecting
+    val prev = Alerting.sink
+    Alerting.sink = sink
+    try {
+      val e = intercept[RuntimeException] {
+        Vph5ToVpts.main(Array("--inventory", "/nope.csv"))
+      }
+      assert(e.getMessage.contains("--bucket required"))
+      assert(sink.got.size == 1)
+      val (subject, message) = sink.got.head
+      assert(subject == "[vptstools] vph5_to_vpts failed")
+      // reference message shape: CLI routine '<name> <args>' failed raising
+      // error: '<type>: <msg>'. (click_exception.py:93-96)
+      assert(message.startsWith("CLI routine 'vph5_to_vpts --inventory /nope.csv' failed raising error:"))
+      assert(message.contains("--bucket required"))
+
+      intercept[RuntimeException] { TransferBaltrad.main(Array.empty) }
+      assert(sink.got.size == 2 && sink.got.last._1.contains("transfer_baltrad"))
+    } finally Alerting.sink = prev
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("PII redaction masks emails, phones, and IPs in real text") {
+    import spark.implicits._
+    val df = Seq(
+      "contact alice@example.com or +1 (555) 123-4567 from 192.168.0.17 today",
+      "no pii here at all").toDF("text")
+    val got = df.select(PipelineOps.piiRedact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "contact <EMAIL> or <PHONE> from <IP> today")
+    assert(got(1) == "no pii here at all")
+  }
+
+  test("sequence packing fills windows greedily per source") {
+    val rows = PipelineOps.qSeqPacking(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // bins are contiguous from 0 within each source and never regress
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val bins = rs.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    }
+    // every doc's preceding-token count stays under (bin+1) * window
+    val bad = PipelineOps.qSeqPacking(spark, sfDir)
+      .withColumn("cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))))
+      .filter(col("cum") - col("n_tokens") < col("bin") * 2048)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("decontamination flags docs sharing n-grams with the benchmark subset") {
+    val flagged = PipelineOps.qDecontaminate(spark, sfDir).collect()
+    // flagged docs are never benchmark docs themselves and meet the threshold
+    assert(flagged.forall(r => r.getLong(0) % 97 != 0 && r.getLong(1) >= 3))
+  }
+
+  test("dedup-apply output contains no exact duplicates") {
+    val kept = PipelineOps.qDedupApply(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val textsOfKept = kept.join(docs, Seq("doc_id"))
+      .select(md5(col("text").cast("binary")).as("h"))
+    assert(textsOfKept.count() == textsOfKept.distinct().count())
+  }
+}
