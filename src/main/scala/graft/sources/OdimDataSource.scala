@@ -46,13 +46,21 @@ final class OdimTable(options: CaseInsensitiveStringMap) extends Table with Supp
 }
 
 /** Optimizer integration: Catalyst hands us the required columns (pruning
-  * the 26-column profile to what the query projects) and any LIMIT (readers
-  * early-stop; Spark still applies the exact global limit).
+  * the 26-column profile to what the query projects), any LIMIT (readers
+  * early-stop; Spark still applies the exact global limit), and the
+  * predicates. `radar`/`datetime` predicates prune FILES at planning time
+  * from the file-name pattern — the partition-pruning analog for a lake
+  * laid out as `radar_type_yyyymmddThhmm*.h5` (the same name-derived keying
+  * the reference's day grouping trusts). Pruning is best-effort: every
+  * filter is also returned as post-scan residual, so a file whose name lies
+  * about its content can only cost performance, never correctness.
   */
 final class OdimScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownFilters {
   private var required: StructType = Vpts.schemaV1
   private var limit: Int = -1
+  private var pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.fields.nonEmpty) required = requiredSchema
@@ -60,20 +68,69 @@ final class OdimScanBuilder(options: CaseInsensitiveStringMap)
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new OdimScan(options, required, limit)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    pruning = filters.filter(OdimFilePruning.prunable)
+    filters // all filters stay as residuals (file pruning is best-effort)
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruning
+
+  override def build(): Scan = new OdimScan(options, required, limit, pruning)
+}
+
+/** Driver-side file pruning from the ODIM name pattern. Conservative at
+  * minute granularity: comparisons use the name's yyyy-mm-ddThh:mm prefix
+  * against the literal's first 16 chars, and unparseable names are never
+  * pruned.
+  */
+object OdimFilePruning {
+  import org.apache.spark.sql.sources._
+
+  private val Name =
+    ".*?([a-zA-Z]{5})_([a-z]*)_(\\d{4})(\\d\\d)(\\d\\d)T?(\\d\\d)(\\d\\d).*\\.h5".r
+
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo("radar", _) | In("radar", _) => true
+    case EqualTo("datetime", _) => true
+    case GreaterThan("datetime", _) | GreaterThanOrEqual("datetime", _) => true
+    case LessThan("datetime", _) | LessThanOrEqual("datetime", _) => true
+    case _ => false
+  }
+
+  private def prefix16(v: Any): String = String.valueOf(v).take(16)
+
+  def keep(fileName: String, filters: Seq[Filter]): Boolean = fileName match {
+    case Name(radar, _, y, m, d, hh, mm) =>
+      val r = radar.toLowerCase
+      val minute = s"$y-$m-${d}T$hh:$mm"
+      filters.forall {
+        case EqualTo("radar", v) => r == String.valueOf(v)
+        case In("radar", vs) => vs.map(String.valueOf(_)).contains(r)
+        case EqualTo("datetime", v) => minute == prefix16(v)
+        case GreaterThan("datetime", v) => minute >= prefix16(v)
+        case GreaterThanOrEqual("datetime", v) => minute >= prefix16(v)
+        case LessThan("datetime", v) => minute <= prefix16(v)
+        case LessThanOrEqual("datetime", v) => minute <= prefix16(v)
+        case _ => true
+      }
+    case _ => true
+  }
 }
 
 final case class OdimFileRef(path: String, size: Long)
 final case class OdimInputPartition(files: Seq[OdimFileRef]) extends InputPartition
 
 final class OdimScan(options: CaseInsensitiveStringMap,
-    required: StructType = null, limit: Int = -1) extends Scan with Batch {
+    required: StructType = null, limit: Int = -1,
+    pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   private val schema0: StructType = Option(required).getOrElse(Vpts.schemaV1)
   override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
   override def description(): String =
     s"OdimScan(${options.get("path")}, columns=${schema0.fieldNames.mkString(",")}" +
-      (if (limit >= 0) s", limit=$limit" else "") + ")"
+      (if (limit >= 0) s", limit=$limit" else "") +
+      (if (pruning.nonEmpty) s", pruneFilters=${pruning.mkString(";")}" else "") + ")"
 
   private def listH5(root: String): Seq[OdimFileRef] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -90,7 +147,12 @@ final class OdimScan(options: CaseInsensitiveStringMap,
           .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
       else s.split(",").toSeq
     }.getOrElse(Seq(options.get("path")))
-    val files = paths.flatMap(listH5).sortBy(_.path)
+    val listed = paths.flatMap(listH5).sortBy(_.path)
+    val files =
+      if (pruning.isEmpty) listed
+      else listed.filter(f => OdimFilePruning.keep(
+        f.path.substring(f.path.lastIndexOf('/') + 1), pruning.toSeq))
+    OdimScan.lastPlannedFileCount = files.length // test/debug probe
     // cap partition size BOTH by maxPartitionBytes and by total/parallelism:
     // a lake of small files must still fan out across all cores
     val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
@@ -118,6 +180,13 @@ final class OdimScan(options: CaseInsensitiveStringMap,
       Option(options.get("version")).getOrElse("v1.0"),
       Option(options.get("failFast")).forall(_.toBoolean),
       schema0.fieldNames, limit)
+}
+
+object OdimScan {
+  /** Observability/test probe: file count of the most recent planning pass
+    * (after filter-based pruning) in this JVM.
+    */
+  @volatile var lastPlannedFileCount: Int = -1
 }
 
 final class OdimPartitionReaderFactory(version: String, failFast: Boolean,

@@ -29,6 +29,34 @@ class OdimDataSourceSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
+  test("radar/datetime predicates prune files at planning time") {
+    import org.apache.spark.sql.functions._
+    val root = "/root/reference/tests/data/vp" // 5 bejab files + 1 bewid
+    // radar equality prunes the listing down to the single bewid file
+    OdimScan.lastPlannedFileCount = -1
+    val bewid = spark.read.format("odim").load(root)
+      .filter(col("radar") === "bewid")
+    assert(bewid.count() == 25)
+    assert(OdimScan.lastPlannedFileCount == 1,
+      s"expected 1 planned file, got ${OdimScan.lastPlannedFileCount}")
+    // datetime range keeps only the bejab 23:45/23:50/23:55 files
+    // (+ correctness of the residual filter on the rows themselves)
+    OdimScan.lastPlannedFileCount = -1
+    val late = spark.read.format("odim").load(root)
+      .filter(col("datetime") >= "2022-11-11T23:45:00Z" && col("radar") === "bejab")
+    assert(late.count() == 75)
+    assert(OdimScan.lastPlannedFileCount == 3,
+      s"expected 3 planned files, got ${OdimScan.lastPlannedFileCount}")
+    // the pruning filters are visible in the executed plan
+    assert(late.queryExecution.executedPlan.toString.contains("pruneFilters="))
+    // unprunable predicates leave the listing intact and stay correct
+    OdimScan.lastPlannedFileCount = -1
+    val all = spark.read.format("odim").load(root)
+      .filter(col("height") === "200")
+    assert(all.count() == 6) // one 200m level per file
+    assert(OdimScan.lastPlannedFileCount == 6)
+  }
+
   test("single-file load works (vp() path)") {
     val df = spark.read.format("odim").load(
       "/root/reference/tests/data/vp/bewid/bewid_vp_20221113T023500Z_0xb.h5")
