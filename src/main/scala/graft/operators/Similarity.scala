@@ -80,19 +80,58 @@ object Similarity {
       .limit(5)
   }
 
-  val qAnnLshSearchSql: String = {
-    val bits = (0 until NPlanes).map { j =>
+  private def lshSigSqlExpr: String =
+    (0 until NPlanes).map { j =>
       val proj = (1 to Dim).map { i =>
         s"(CASE WHEN substring(md5('$j|$i'), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END) * ${scaledElemSql("embedding", i.toString)}"
       }.mkString(" + ")
       s"CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  val qAnnLshSearchSql: String =
     s"""WITH sigs AS (
-       |  SELECT vec_id, label, embedding, $bits AS sig FROM embeddings),
+       |  SELECT vec_id, label, embedding, $lshSigSqlExpr AS sig FROM embeddings),
        |q AS (SELECT sig AS q_sig, embedding AS qe FROM sigs WHERE vec_id = 0)
        |SELECT vec_id, label, sig, ${cosineSql("sigs.embedding", "qe")} AS cos
        |FROM sigs, q
        |WHERE sig = q_sig AND vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 5""".stripMargin
+
+  /** Multi-probe LSH search: probe the query's own bucket plus every
+    * hamming-distance-1 bucket (one plane flipped) — the standard recall
+    * lever for LSH without duplicating the index. The probe list is
+    * NPlanes+1 keys from one tiny broadcast row, so at scale this is a
+    * 9-key equi-join against the signature-keyed layout, not a wider scan.
+    */
+  def qAnnLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.plans.LshSigExpr.lshSigNative(col("embedding"), NPlanes, Dim).as("sig"))
+    val probeList = array(
+      (col("q_sig") +: (0 until NPlanes).map(j =>
+        col("q_sig").bitwiseXOR(lit(1L << j)))): _*)
+    val probes = sigs.filter(col("vec_id") === 0)
+      .select(col("sig").as("q_sig"), col("embedding").as("qe"))
+      .select(col("qe"), explode(probeList).as("probe"))
+    sigs.join(broadcast(probes), col("sig") === col("probe"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("sig"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val qAnnLshMultiprobeSql: String = {
+    val probeArr = ("q_sig" +: (0 until NPlanes).map(j => s"xor(q_sig, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, $lshSigSqlExpr AS sig FROM embeddings),
+       |q AS (SELECT sig AS q_sig, embedding AS qe FROM sigs WHERE vec_id = 0),
+       |probes AS (SELECT qe, unnest($probeArr) AS probe FROM q)
+       |SELECT vec_id, label, sig, ${cosineSql("sigs.embedding", "qe")} AS cos
+       |FROM sigs JOIN probes ON sig = probe
+       |WHERE vec_id <> 0
        |ORDER BY cos DESC, vec_id
        |LIMIT 5""".stripMargin
   }
@@ -210,5 +249,6 @@ object Similarity {
     QueryDef("q_ann_ivf_assign", qAnnIvfAssign, Some(qAnnIvfAssignSql)),
     QueryDef("q_ann_ivf_search", qAnnIvfSearch, Some(qAnnIvfSearchSql)),
     QueryDef("q_ann_lsh_search", qAnnLshSearch, Some(qAnnLshSearchSql)),
+    QueryDef("q_ann_lsh_multiprobe", qAnnLshMultiprobe, Some(qAnnLshMultiprobeSql)),
   )
 }

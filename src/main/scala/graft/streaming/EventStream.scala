@@ -63,6 +63,17 @@ object EventStream {
               c_ts <= ts"""))
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * with dedup state bounded by the watermark
+    * (dropDuplicatesWithinWatermark) — the streaming twin of the exact
+    * content-hash dedup. Unbounded `dropDuplicates` state would grow
+    * forever on an endless stream; the watermark bound is what makes exact
+    * dedup viable there (duplicates arriving later than the delay are the
+    * documented trade-off, exactly like late rows in the windowed aggs).
+    */
+  def dedupByEventId(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Drain everything currently in the source into an in-memory table and
     * return the result (Trigger.AvailableNow + complete mode: every window,
     * exactly the batch answer — used by tests for batch/stream parity).

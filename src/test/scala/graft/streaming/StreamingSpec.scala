@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val deduped = EventStream.dedupByEventId(
+      input.toDF().toDF("event_id", "ts", "value"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_test").start()
+    // batch 1: ids 1,2 plus an in-batch duplicate of 1
+    input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(1), 9.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_stream_test").count() == 2)
+    // batch 2: id 1 again within the watermark -> dropped; id 3 new -> kept
+    input.addData((1L, ts(2), 9.0), (3L, ts(3), 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream_test")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("streaming ODIM ingestion equals the batch conversion") {
     val dir = "/root/reference/tests/data/vp"
     val streamed = OdimStream.drainAvailable(spark, dir, "odim_stream_test")
