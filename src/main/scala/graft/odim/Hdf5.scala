@@ -464,7 +464,9 @@ final class Hdf5File(bytes: Array[Byte]) {
 
   private def layoutBytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
       dims: Array[Long]): Array[Byte] = {
-    require(u8(p) == 3, s"unsupported data layout version ${u8(p)}")
+    val version = u8(p)
+    require(version == 3 || version == 4, s"unsupported data layout version $version")
+    if (version == 4) return layoutV4Bytes(p, elemSize, n, gzip, dims)
     u8(p + 1) match {
       case 1 => // contiguous: address + size
         val addr = offAt(p + 2)
@@ -481,6 +483,120 @@ final class Hdf5File(bytes: Array[Byte]) {
       case 0 => // compact: size(2) + data
         val size = u16(p + 2)
         bytes.slice(p + 4, p + 4 + size)
+      case c => sys.error(s"unsupported layout class $c")
+    }
+  }
+
+  /** Data layout message VERSION 4 — what libhdf5 `libver='latest'` writes.
+    * Contiguous/compact match v3 field-for-field; chunked drops the extra
+    * element-size dimension, encodes chunk dims with a declared width, and
+    * replaces the v1 B-tree with one of five chunk indexes. Supported:
+    * Single Chunk (1, filtered or not), Implicit (2, contiguous equal-size
+    * unfiltered chunks in row-major grid order), Fixed Array (3,
+    * single-page, unfiltered or filtered client). Extensible Array (4) and
+    * v2 B-tree (5) belong to resizable datasets ODIM never writes —
+    * fail-fast.
+    */
+  private def layoutV4Bytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
+      dims: Array[Long]): Array[Byte] = {
+    u8(p + 1) match {
+      case 1 => // contiguous: address + size (same as v3)
+        val addr = offAt(p + 2)
+        bytes.slice(addr.toInt, addr.toInt + n * elemSize)
+      case 0 => // compact: size(2) + data (same as v3)
+        val size = u16(p + 2)
+        bytes.slice(p + 4, p + 4 + size)
+      case 2 =>
+        var q = p + 2
+        /* flags */ q += 1
+        val rank = u8(q); q += 1
+        val encLen = u8(q); q += 1
+        def enc(at: Int): Long = encLen match {
+          case 1 => u8(at).toLong
+          case 2 => u16(at).toLong
+          case 4 => u32(at)
+          case 8 => u64(at)
+        }
+        val chunkDims = Array.tabulate(rank)(d => enc(q + d * encLen))
+        q += rank * encLen
+        require(chunkDims.length == dims.length,
+          s"v4 chunk rank ${chunkDims.length} != dataset rank ${dims.length}")
+        val indexType = u8(q); q += 1
+        val out = new Array[Byte](n * elemSize)
+        val stride = new Array[Long](dims.length)
+        var acc = 1L
+        var d = dims.length - 1
+        while (d >= 0) { stride(d) = acc; acc *= dims(d); d -= 1 }
+        val chunkBytes = (chunkDims.product * elemSize).toInt
+        // row-major chunk-grid coordinates for linear chunk index i
+        val gridDims = Array.tabulate(dims.length)(i =>
+          ((dims(i) + chunkDims(i) - 1) / chunkDims(i)).toInt)
+        def gridCoord(i: Int): Array[Long] = {
+          val off = new Array[Long](dims.length)
+          var rem = i
+          var k = dims.length - 1
+          while (k >= 0) { off(k) = (rem % gridDims(k)).toLong * chunkDims(k); rem /= gridDims(k); k -= 1 }
+          off
+        }
+        def place(data: Array[Byte], chunkIdx: Int): Unit =
+          placeChunk(data, dims, chunkDims, gridCoord(chunkIdx), stride, elemSize, out)
+        indexType match {
+          case 1 => // single chunk; filtered variant carries size + mask
+            val (dataSize, addrPos) =
+              if (gzip) (lenAt(q).toInt, q + lengthSize + 4)
+              else (chunkBytes, q)
+            val addr = offAt(addrPos)
+            val data =
+              if (gzip) inflate(bytes, addr.toInt, dataSize, maxOut = out.length)
+              else bytes.slice(addr.toInt, addr.toInt + dataSize)
+            place(data, 0)
+          case 2 => // implicit: equal-size unfiltered chunks back-to-back
+            require(!gzip, "implicit chunk index cannot carry filters")
+            val base = offAt(q)
+            val nChunks = gridDims.product
+            var i = 0
+            while (i < nChunks) {
+              place(bytes.slice(base.toInt + i * chunkBytes,
+                base.toInt + (i + 1) * chunkBytes), i)
+              i += 1
+            }
+          case 3 => // fixed array: FAHD header -> FADB data block of entries
+            val fahd = offAt(q + 1).toInt // +1: page-bits byte precedes addr
+            require(ascii(fahd, 4) == "FAHD", s"expected FAHD @ $fahd")
+            val clientId = u8(fahd + 5)
+            val entrySize = u8(fahd + 6)
+            val pageBits = u8(fahd + 7)
+            val maxEntries = lenAt(fahd + 8)
+            require(maxEntries <= (1L << pageBits),
+              s"paged fixed array ($maxEntries entries) unsupported")
+            val fadb = offAt(fahd + 8 + lengthSize).toInt
+            require(ascii(fadb, 4) == "FADB", s"expected FADB @ $fadb")
+            val elems = fadb + 6 + offsetSize // sig + ver + clientId + header addr
+            val nChunks = gridDims.product
+            var i = 0
+            while (i < nChunks) {
+              val e = elems + i * entrySize
+              val addr = offAt(e)
+              val data = clientId match {
+                case 0 =>
+                  require(!gzip, "unfiltered fixed-array entries but filter pipeline present")
+                  bytes.slice(addr.toInt, addr.toInt + chunkBytes)
+                case 1 =>
+                  // filtered: address + chunk size (entrySize-offsetSize-4) + mask(4)
+                  val szBytes = entrySize - offsetSize - 4
+                  var sz = 0L
+                  var b = 0
+                  while (b < szBytes) { sz |= (u8(e + offsetSize + b).toLong << (8 * b)); b += 1 }
+                  if (gzip) inflate(bytes, addr.toInt, sz.toInt, maxOut = out.length)
+                  else bytes.slice(addr.toInt, addr.toInt + sz.toInt)
+                case c => sys.error(s"unsupported fixed-array client $c")
+              }
+              place(data, i)
+              i += 1
+            }
+          case t => sys.error(s"unsupported v4 chunk index type $t")
+        }
+        out
       case c => sys.error(s"unsupported layout class $c")
     }
   }

@@ -115,6 +115,35 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(back.isInteger)
   }
 
+  test("v4 layout: single-chunk index round-trips") {
+    val dims = Array(5L, 7L)
+    val values = Array.tabulate(35)(i => (i * 2 + 1).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = false, elemSize = 8,
+      chunkDims = Some(Array(5L, 7L)), layoutV4 = Some(1))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
+  }
+
+  test("v4 layout: implicit index reassembles a 2-D chunk grid") {
+    val dims = Array(6L, 8L)
+    val values = Array.tabulate(48)(_.toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = false, elemSize = 8,
+      chunkDims = Some(Array(3L, 4L)), layoutV4 = Some(2))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
+  }
+
+  test("v4 layout: fixed-array index with edge-clipped chunks") {
+    val dims = Array(5L, 7L)
+    val values = Array.tabulate(35)(i => (100 - i).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L, 3L)), layoutV4 = Some(3))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
   test("3-D chunked dataset places chunks by full coordinates") {
     val dims = Array(4L, 3L, 5L)
     val values = Array.tabulate(60)(i => (100 - i).toDouble)

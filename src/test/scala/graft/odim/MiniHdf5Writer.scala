@@ -20,9 +20,14 @@ object MiniHdf5Writer {
   sealed trait Node
   final case class WGroup(attrs: Seq[(String, Any)],
       children: Seq[(String, Node)]) extends Node
+  /** layoutV4: None = v3 (contiguous, or v1-btree chunked when chunkDims
+    * set); Some(1|2|3) = v4 chunked with that chunk-index type (single
+    * chunk / implicit / fixed array) — requires chunkDims.
+    */
   final case class WDataset(attrs: Seq[(String, Any)], dims: Array[Long],
       values: Array[Double], isInt: Boolean, elemSize: Int,
-      chunkDims: Option[Array[Long]] = None) extends Node
+      chunkDims: Option[Array[Long]] = None,
+      layoutV4: Option[Int] = None) extends Node
 
   private val Undef = -1L
 
@@ -245,15 +250,15 @@ object MiniHdf5Writer {
 
   private def writeDataset(o: Out, d: WDataset): Long = {
     val n = d.dims.product.toInt
-    val layout: Array[Byte] = d.chunkDims match {
-      case None =>
+    val layout: Array[Byte] = (d.chunkDims, d.layoutV4) match {
+      case (None, None) =>
         val dataAddr = o.pos.toLong
         o.bytes(encodeValues(d, 0, n, 1))
         val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         b.put(3.toByte); b.put(1.toByte); b.putLong(dataAddr)
         b.putLong(n.toLong * d.elemSize)
         b.array()
-      case Some(cd) =>
+      case (Some(cd), None) =>
         val btreeAddr = writeChunked(o, d, cd)
         val b = ByteBuffer.allocate(3 + 8 + 4 * (cd.length + 1))
           .order(ByteOrder.LITTLE_ENDIAN)
@@ -262,6 +267,9 @@ object MiniHdf5Writer {
         cd.foreach(c => b.putInt(c.toInt))
         b.putInt(d.elemSize)
         b.array()
+      case (Some(cd), Some(idxType)) =>
+        writeLayoutV4(o, d, cd, idxType)
+      case (None, Some(_)) => sys.error("layoutV4 requires chunkDims")
     }
     val dt = if (d.isInt) dtInt(d.elemSize) else dtFloat(d.elemSize)
     val msgs = Seq(
@@ -269,6 +277,101 @@ object MiniHdf5Writer {
       0x0001 -> dataspace(d.dims),
       0x0008 -> layout) ++ d.attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
     writeHeader(o, msgs)
+  }
+
+  /** Serialize one full (zero-padded) chunk at grid offset `off`, row-major. */
+  private def chunkBlock(d: WDataset, cd: Array[Long], off: Array[Int]): Array[Byte] = {
+    val rank = d.dims.length
+    val stride = new Array[Long](rank)
+    var acc = 1L
+    for (i <- (rank - 1) to 0 by -1) { stride(i) = acc; acc *= d.dims(i) }
+    val cn = cd.product.toInt
+    val b = ByteBuffer.allocate(cn * d.elemSize).order(ByteOrder.LITTLE_ENDIAN)
+    val cidx = new Array[Int](rank)
+    var more = true
+    while (more) {
+      val inBounds = (0 until rank).forall(i => off(i) + cidx(i) < d.dims(i))
+      val src = (0 until rank).map(i => (off(i) + cidx(i)) * stride(i)).sum.toInt
+      val v = if (inBounds) d.values(src) else 0.0
+      if (d.isInt) d.elemSize match {
+        case 1 => b.put(v.toLong.toByte)
+        case 2 => b.putShort(v.toLong.toShort)
+        case 4 => b.putInt(v.toLong.toInt)
+        case 8 => b.putLong(v.toLong)
+      } else d.elemSize match {
+        case 4 => b.putFloat(v.toFloat)
+        case 8 => b.putDouble(v)
+      }
+      var c = rank - 1
+      var carry = true
+      while (carry && c >= 0) {
+        cidx(c) += 1
+        if (cidx(c) < cd(c)) carry = false else { cidx(c) = 0; c -= 1 }
+      }
+      if (carry) more = false
+    }
+    b.array()
+  }
+
+  /** Row-major chunk-grid offsets for a dataset cut by `cd`. */
+  private def gridOffsets(d: WDataset, cd: Array[Long]): Seq[Array[Int]] = {
+    val rank = d.dims.length
+    val gridDims = Array.tabulate(rank)(i => ((d.dims(i) + cd(i) - 1) / cd(i)).toInt)
+    gridDims.foldLeft(Seq(Seq.empty[Int]))((a, g) =>
+      a.flatMap(pre => (0 until g).map(pre :+ _)))
+      .map(cc => Array.tabulate(rank)(i => cc(i) * cd(i).toInt))
+  }
+
+  /** v4 data-layout message with the requested chunk index (1 = single
+    * chunk, 2 = implicit, 3 = fixed array, all unfiltered).
+    */
+  private def writeLayoutV4(o: Out, d: WDataset, cd: Array[Long], idxType: Int): Array[Byte] = {
+    val rank = d.dims.length
+    val offsets = gridOffsets(d, cd)
+    val addrField: Long = idxType match {
+      case 1 => // single chunk: the chunk IS the dataset extent
+        require(offsets.length == 1, "single-chunk index needs chunkDims >= dims")
+        val addr = o.pos.toLong
+        o.bytes(chunkBlock(d, cd, offsets.head))
+        addr
+      case 2 => // implicit: equal-size chunks back-to-back in grid order
+        val base = o.pos.toLong
+        offsets.foreach(off => o.bytes(chunkBlock(d, cd, off)))
+        base
+      case 3 => // fixed array: chunks, then FADB entries, then FAHD
+        val chunkAddrs = offsets.map { off =>
+          val a = o.pos.toLong
+          o.bytes(chunkBlock(d, cd, off))
+          a
+        }
+        val fadbAddr = o.pos.toLong
+        o.ascii("FADB"); o.u8(0); o.u8(0) // version, client 0 (unfiltered)
+        val fahdPatch = o.pos
+        o.u64(0) // header address (patched)
+        chunkAddrs.foreach(o.u64)
+        o.u32(0) // checksum
+        val fahdAddr = o.pos.toLong
+        o.ascii("FAHD"); o.u8(0); o.u8(0) // version, client 0
+        o.u8(8)  // entry size (one 8-byte address)
+        o.u8(10) // page bits (single page: entries <= 1024)
+        o.u64(chunkAddrs.length.toLong) // max entries
+        o.u64(fadbAddr)
+        o.u32(0) // checksum
+        o.patch64(fahdPatch, fahdAddr)
+        fahdAddr
+      case t => sys.error(s"writer: unsupported v4 index type $t")
+    }
+    val b = ByteBuffer.allocate(5 + 4 * rank + 1 + (if (idxType == 3) 1 else 0) + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(4.toByte); b.put(2.toByte) // version 4, chunked
+    b.put(0.toByte)                  // flags
+    b.put(rank.toByte)
+    b.put(4.toByte)                  // dim size encoded length
+    cd.foreach(c => b.putInt(c.toInt))
+    b.put(idxType.toByte)
+    if (idxType == 3) b.put(10.toByte) // page bits
+    b.putLong(addrField)
+    b.array()
   }
 
   /** Write raw (unfiltered) chunks + a flat v1 chunk B-tree (level 0). */
