@@ -28,22 +28,69 @@ object Dedup {
   /** Bucket-size cap for all banded pair generation (skew/quadratic guard). */
   val MaxBucket = 64
 
-  /** Within-bucket candidate-pair generation. Input: one row per (id, band,
-    * key). One shuffle on (band, key); ids in a bucket are collected sorted
-    * and ordered pairs (a < b) are emitted bucket-locally, so the plan never
-    * contains an all-pairs join. Buckets larger than [[MaxBucket]] are
-    * dropped entirely (see class doc).
+  /** Within-bucket candidate-pair generation (library API — the fixed
+    * oracle queries delegate here with the module constants). Input: one
+    * row per (id, band, key). One shuffle on (band, key); ids in a bucket
+    * are collected sorted and ordered pairs (a < b) are emitted
+    * bucket-locally, so the plan never contains an all-pairs join. Buckets
+    * larger than `maxBucket` are dropped entirely (see class doc).
     */
-  private def bucketPairs(exploded: DataFrame, idCol: String,
-                          outA: String, outB: String): DataFrame =
+  def bucketPairs(exploded: DataFrame, idCol: String,
+                  outA: String, outB: String,
+                  maxBucket: Int = MaxBucket): DataFrame =
     exploded.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as(outA), col("p.b").as(outB))
       .distinct()
+
+  /** Library API: banded-MinHash LSH candidate pairs over any corpus frame
+    * — `df` needs an id column and a text column; everything else is a
+    * parameter (the oracle query [[qLshCandidates]] is this with the module
+    * constants over the documents table).
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
+    val withSig = df.withColumn("__mhs",
+      graft.plans.MinhashSigExpr.minhashSig8Native(col(textCol), shingleK))
+    val bands = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat(element_at(col("__mhs"), 2 * b + 1),
+          element_at(col("__mhs"), 2 * b + 2)).as("key"))
+    }: _*)
+    val exploded = withSig
+      .filter(col("__mhs").isNotNull)
+      .select(col(idCol).as("__id"), explode(bands).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketPairs(exploded, "__id", "id_a", "id_b", maxBucket)
+  }
+
+  /** Library API: embedding near-dup pairs via random-hyperplane LSH bands
+    * + exact cosine, parameterized ([[qEmbeddingNearDup]] = this with the
+    * module constants over the embeddings table).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = NdPlanes, bands: Int = NdBands, bandBits: Int = NdBandBits,
+      dim: Int = NdDim, threshold: Double = 0.3,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      graft.plans.LshSigExpr.lshSigNative(col(vecCol), planes, dim).as("sig"))
+    val bandRows = sigs.select(col("__id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), bandBits * b)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketPairs(bandRows, "__id", "id_a", "id_b", maxBucket)
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__ea")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__eb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("cos"))
+      .filter(col("cos") > threshold)
+  }
 
   /** DuckDB equivalent of the [[MaxBucket]] guard: window-count the bucket
     * and keep pairs whose bucket is within the cap.

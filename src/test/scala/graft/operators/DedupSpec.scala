@@ -34,4 +34,21 @@ class DedupSpec extends AnyFunSuite {
     // global bound: no bucket may contribute more than MaxBucket^2/2 pairs
     assert(pairs.length <= Dedup.MaxBucket * (Dedup.MaxBucket - 1) / 2)
   }
+
+  test("parameterized library API: maxBucket and threshold are real knobs") {
+    import spark.implicits._
+    val dup = "a small near duplicate cluster with its own distinct shingle stream here"
+    val docs = ((0L until 3L).map(i => (i, dup)) :+ (9L, "something else entirely with different words"))
+      .toDF("doc_id", "text")
+    // default cap keeps the 3-doc cluster's 3 pairs; maxBucket=2 drops it
+    val std = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(std == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(Dedup.lshCandidatePairs(docs, "doc_id", "text", maxBucket = 2).count() == 0)
+    // embedding near-dup: a looser cosine threshold can only widen the set
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val strict = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.4).count()
+    val loose = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.1).count()
+    assert(loose >= strict)
+  }
 }
