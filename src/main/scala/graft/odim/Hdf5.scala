@@ -219,11 +219,70 @@ final class Hdf5File(bytes: Array[Byte]) {
     name -> offAt(q + nameLen)
   }
 
+  /** Parsed fractal-heap geometry: resolve a managed heap ID (found at
+    * `idPos` in the file) to the file position of its object. Scope:
+    * single-direct-block heaps — ODIM-sized groups/attr sets fit
+    * comfortably; anything larger fails fast.
+    */
+  private final class FractalHeap(heapAddr: Long) {
+    private val h = heapAddr.toInt
+    require(ascii(h, 4) == "FRHP", s"expected FRHP @ $heapAddr")
+    private val heapIdLen = u16(h + 5)
+    // fixed fields: maxManagedObjSize(4) then 12 length-sized + 2
+    // offset-sized fields interleaved; walk them positionally
+    private var f = h + 10 + 4
+    f += lengthSize          // next huge object id
+    f += offsetSize          // huge object btree addr
+    f += lengthSize          // free space
+    f += offsetSize          // free-space manager addr
+    f += lengthSize * 6      // managed space, allocated, iterator, nmanaged, huge size, nhuge
+    f += lengthSize * 2      // tiny size, ntiny
+    f += 2                   // table width
+    f += lengthSize          // starting block size
+    f += lengthSize          // max direct block size
+    private val maxHeapSizeBits = u16(f); f += 2
+    f += 2                   // starting # rows
+    private val rootBlockAddr = offAt(f); f += offsetSize
+    private val curRows = u16(f)
+    require(curRows == 0, s"multi-block fractal heap (rows=$curRows) unsupported")
+    val heapOffSize: Int = (maxHeapSizeBits + 7) / 8
+    require(heapIdLen - 1 - heapOffSize >= 1,
+      s"implausible heap id layout $heapIdLen/$heapOffSize")
+    private val db = rootBlockAddr.toInt
+    require(ascii(db, 4) == "FHDB", s"expected FHDB @ $rootBlockAddr")
+
+    /** File position of the object whose managed heap ID starts at idPos. */
+    def objPos(idPos: Int): Int = {
+      val idFlags = u8(idPos)
+      require(((idFlags >> 4) & 0x3) == 0, "only managed heap objects supported")
+      var off = 0L
+      var b = 0
+      while (b < heapOffSize) { off |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
+      db + off.toInt // heap offsets count from the direct block start
+    }
+  }
+
+  /** Enumerate a depth-0 v2 B-tree's records, yielding each record's file
+    * position (callers know the per-type record layout).
+    */
+  private def btreeV2Records(btAddr: Long, expectType: Int): Seq[Int] = {
+    val bt = btAddr.toInt
+    require(ascii(bt, 4) == "BTHD", s"expected BTHD @ $btAddr")
+    require(u8(bt + 5) == expectType,
+      s"unexpected v2 btree record type ${u8(bt + 5)} (want $expectType)")
+    val recordSize = u16(bt + 10)
+    val depth = u16(bt + 12)
+    require(depth == 0, s"multi-level v2 btree (depth=$depth) unsupported")
+    val rootNodeAddr = offAt(bt + 16)
+    val rootNRecs = u16(bt + 16 + offsetSize)
+    val leaf = rootNodeAddr.toInt
+    require(ascii(leaf, 4) == "BTLF", s"expected BTLF @ $rootNodeAddr")
+    (0 until rootNRecs).map(i => leaf + 6 + i * recordSize)
+  }
+
   /** Dense new-style group: the link-info message points at a fractal heap
-    * holding serialized link-message bodies and a v2 B-tree (record type 5)
-    * indexing them by name hash. We enumerate via the B-tree's heap IDs.
-    * Scope: single-direct-block heaps and depth-0 B-trees — ODIM-sized
-    * groups (tens of links) fit comfortably; anything larger fails fast.
+    * holding serialized link-message bodies and a v2 B-tree (record type 5:
+    * hash(4) + heap ID) indexing them by name hash.
     */
   private def denseChildren(m: Message): Map[String, Long] = {
     val p = m.pos
@@ -234,62 +293,10 @@ final class Hdf5File(bytes: Array[Byte]) {
     val heapAddr = offAt(q)
     val nameBtreeAddr = offAt(q + offsetSize)
     if (undef(heapAddr)) return Map.empty // compact group with zero links
-    // fractal heap header (FRHP)
-    val h = heapAddr.toInt
-    require(ascii(h, 4) == "FRHP", s"expected FRHP @ $heapAddr")
-    val heapIdLen = u16(h + 5)
-    val heapFlags = u8(h + 9)
-    // fixed fields: maxManagedObjSize(4) then 12 length-sized + 2 offset-sized
-    // fields interleaved; walk them positionally
-    var f = h + 10 + 4
-    f += lengthSize          // next huge object id
-    f += offsetSize          // huge object btree addr
-    f += lengthSize          // free space
-    f += offsetSize          // free-space manager addr
-    f += lengthSize * 6      // managed space, allocated, iterator, nmanaged, huge size, nhuge
-    f += lengthSize * 2      // tiny size, ntiny
-    val tableWidth = u16(f); f += 2
-    f += lengthSize          // starting block size
-    f += lengthSize          // max direct block size
-    val maxHeapSizeBits = u16(f); f += 2
-    f += 2                   // starting # rows
-    val rootBlockAddr = offAt(f); f += offsetSize
-    val curRows = u16(f)
-    require(curRows == 0, s"multi-block fractal heap (rows=$curRows) unsupported")
-    val heapOffSize = (maxHeapSizeBits + 7) / 8
-    val heapLenSize = heapIdLen - 1 - heapOffSize
-    require(heapLenSize >= 1, s"implausible heap id layout $heapIdLen/$heapOffSize")
-    // root direct block (FHDB): heap offsets count from the block start
-    val db = rootBlockAddr.toInt
-    require(ascii(db, 4) == "FHDB", s"expected FHDB @ $rootBlockAddr")
-    def heapObjPos(heapOff: Long): Int = db + heapOff.toInt
-    // v2 B-tree header (BTHD), record type 5 = link name
-    val bt = nameBtreeAddr.toInt
-    require(ascii(bt, 4) == "BTHD", s"expected BTHD @ $nameBtreeAddr")
-    require(u8(bt + 5) == 5, s"unexpected v2 btree record type ${u8(bt + 5)}")
-    val recordSize = u16(bt + 10)
-    val depth = u16(bt + 12)
-    require(depth == 0, s"multi-level v2 btree (depth=$depth) unsupported")
-    val rootNodeAddr = offAt(bt + 16)
-    val rootNRecs = u16(bt + 16 + offsetSize)
-    val leaf = rootNodeAddr.toInt
-    require(ascii(leaf, 4) == "BTLF", s"expected BTLF @ $rootNodeAddr")
-    val out = Map.newBuilder[String, Long]
-    var rp = leaf + 6
-    var i = 0
-    while (i < rootNRecs) {
-      // record: name hash(4) + fractal heap ID
-      val idPos = rp + 4
-      val idFlags = u8(idPos)
-      require(((idFlags >> 4) & 0x3) == 0, "only managed heap objects supported")
-      var off = 0L
-      var b = 0
-      while (b < heapOffSize) { off |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
-      out += parseLink(heapObjPos(off))
-      rp += recordSize
-      i += 1
-    }
-    out.result()
+    val heap = new FractalHeap(heapAddr)
+    btreeV2Records(nameBtreeAddr, 5)
+      .map(rp => parseLink(heap.objPos(rp + 4))) // record: hash(4) + heap ID
+      .toMap
   }
 
   private def localHeapData(addr: Long): Int = {
@@ -326,10 +333,35 @@ final class Hdf5File(bytes: Array[Byte]) {
     Array.tabulate(rank)(i => lenAt(hp + i * lengthSize))
   }
 
-  // --- attributes (message 0x000C, versions 1-3) ---
+  // --- attributes (message 0x000C, versions 1-3; dense storage via the
+  // attribute-info message 0x0015 -> fractal heap + v2 B-tree type 8) ---
   def attributes(headerAddr: Long): Map[String, Any] = {
-    objectHeader(headerAddr).filter(_.typ == 0x000C).map { m =>
-      val p = m.pos
+    val msgs = objectHeader(headerAddr)
+    val compact = msgs.filter(_.typ == 0x000C).map(m => parseAttrMessage(m.pos))
+    val dense = msgs.filter(_.typ == 0x0015).flatMap(denseAttributes)
+    (compact ++ dense).toMap
+  }
+
+  /** Dense attribute storage: serialized v3 attribute messages live in a
+    * fractal heap, indexed by a v2 B-tree whose type-8 records lead with
+    * the 8-byte heap ID.
+    */
+  private def denseAttributes(m: Message): Seq[(String, Any)] = {
+    val p = m.pos
+    require(u8(p) == 0, s"unsupported attribute-info version ${u8(p)}")
+    val aiFlags = u8(p + 1)
+    var q = p + 2
+    if ((aiFlags & 0x01) != 0) q += 2 // max creation index
+    val heapAddr = offAt(q)
+    val nameBtreeAddr = offAt(q + offsetSize)
+    if (undef(heapAddr)) return Seq.empty
+    val heap = new FractalHeap(heapAddr)
+    btreeV2Records(nameBtreeAddr, 8)
+      .map(rp => parseAttrMessage(heap.objPos(rp))) // heap ID leads the record
+  }
+
+  private def parseAttrMessage(p: Int): (String, Any) = {
+    {
       val version = u8(p)
       val nameSize = u16(p + 2)
       val dtSize = u16(p + 4)
@@ -358,7 +390,7 @@ final class Hdf5File(bytes: Array[Byte]) {
       val nL = dims.product.max(1L)
       require(nL <= 65536, s"implausible attribute cardinality $nL")
       name -> readScalarOrArray(dt, dataPos, nL.toInt)
-    }.toMap
+    }
   }
 
   private def pad8(n: Int): Int = (n + 7) & ~7

@@ -56,6 +56,14 @@ class Hdf5ModernSpec extends AnyFunSuite {
     // the what/where/how groups are compact
     assert(modern.groupChildren(modern.resolve("dataset1").get).size ==
       orig.groupChildren(orig.resolve("dataset1").get).size)
+    // `how` carries >8 attributes -> the writer stores them DENSELY
+    // (attribute-info message + fractal heap + type-8 v2 B-tree) and the
+    // reader must still see every one of them
+    val howAddr = modern.resolve("how").get
+    assert(modern.objectHeader(howAddr).exists(_.typ == 0x0015),
+      "expected dense attribute storage on the how group")
+    assert(modern.objectHeader(howAddr).forall(_.typ != 0x000C))
+    assert(modern.attributes(howAddr) == orig.attributes(orig.resolve("how").get))
     assert(canon(modern, modern.rootHeaderAddr) == canon(orig, orig.rootHeaderAddr))
   }
 

@@ -152,11 +152,106 @@ object MiniHdf5Writer {
     addr
   }
 
+  // ---- dense-storage building blocks (fractal heap + v2 B-tree) ----
+
+  /** Single-root-direct-block fractal heap holding `bodies`; returns the
+    * FRHP address and each object's heap offset.
+    */
+  private def writeFractalHeap(o: Out, bodies: Seq[Array[Byte]]): (Long, Seq[Int]) = {
+    val dbAddr = o.pos.toLong
+    o.ascii("FHDB"); o.u8(0)
+    val heapHdrPatch = o.pos
+    o.u64(0)  // heap header address (patched below)
+    o.u32(0)  // block offset (heapOffSize = 4 for 32-bit max heap)
+    val headerLen = 4 + 1 + 8 + 4
+    val heapOffsets = bodies.scanLeft(headerLen)((acc, b) => acc + b.length)
+    bodies.foreach(o.bytes)
+    val frhpAddr = o.pos.toLong
+    o.ascii("FRHP"); o.u8(0)
+    o.u16(7)      // heap ID length: 1 flag + 4 offset + 2 length
+    o.u16(0)      // I/O filter encoded length
+    o.u8(0)       // flags (no checksummed blocks)
+    o.u32(4096)   // max managed object size
+    o.u64(0)      // next huge id
+    o.u64(Undef)  // huge btree addr
+    o.u64(0)      // free space
+    o.u64(Undef)  // free-space manager addr
+    o.u64(heapOffsets.last.toLong) // managed space
+    o.u64(heapOffsets.last.toLong) // allocated managed space
+    o.u64(heapOffsets.last.toLong) // direct block iterator offset
+    o.u64(bodies.length.toLong)    // managed object count
+    o.u64(0); o.u64(0)             // huge size / count
+    o.u64(0); o.u64(0)             // tiny size / count
+    o.u16(4)      // table width
+    o.u64(512)    // starting block size
+    o.u64(65536)  // max direct block size
+    o.u16(32)     // max heap size (bits) -> heapOffSize 4
+    o.u16(1)      // starting rows
+    o.u64(dbAddr) // root block address = the direct block
+    o.u16(0)      // current rows = 0 (root IS a direct block)
+    o.u32(0)      // checksum
+    o.patch64(heapHdrPatch, frhpAddr)
+    (frhpAddr, heapOffsets)
+  }
+
+  /** Depth-0 v2 B-tree over fixed-size records; returns the BTHD address. */
+  private def writeBtreeV2(o: Out, recType: Int, records: Seq[Array[Byte]]): Long = {
+    val recordSize = records.head.length
+    require(records.forall(_.length == recordSize))
+    val btlfAddr = o.pos.toLong
+    o.ascii("BTLF"); o.u8(0); o.u8(recType)
+    records.foreach(o.bytes)
+    o.u32(0) // checksum
+    val bthdAddr = o.pos.toLong
+    o.ascii("BTHD"); o.u8(0); o.u8(recType)
+    o.u32(512)                   // node size
+    o.u16(recordSize)
+    o.u16(0)                     // depth
+    o.u8(100); o.u8(40)          // split / merge percent
+    o.u64(btlfAddr)
+    o.u16(records.length)        // records in root node
+    o.u64(records.length.toLong) // total records
+    o.u32(0)                     // checksum
+    bthdAddr
+  }
+
+  /** 7-byte managed heap ID (flag + 4-byte offset + 2-byte length). */
+  private def heapId7(off: Int, len: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0.toByte); b.putInt(off); b.putShort(len.toShort)
+    b.array()
+  }
+
+  /** Attribute messages for a header: compact 0x000C messages for up to 8
+    * attributes; above that, DENSE storage (libhdf5's max_compact default):
+    * serialized v3 attribute bodies in a fractal heap + a type-8 v2 B-tree
+    * (record: heap ID padded to 8 + message flags + creation order + hash),
+    * referenced by one attribute-info (0x0015) message.
+    */
+  private def attrMessages(o: Out, attrs: Seq[(String, Any)]): Seq[(Int, Array[Byte])] =
+    if (attrs.length <= 8) attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
+    else {
+      val bodies = attrs.map(a => attrMsg(a._1, a._2))
+      val (frhpAddr, heapOffsets) = writeFractalHeap(o, bodies)
+      val records = bodies.indices.map { i =>
+        val b = ByteBuffer.allocate(8 + 1 + 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(heapId7(heapOffsets(i), bodies(i).length)); b.put(0.toByte) // pad to 8
+        b.put(0.toByte)   // message flags
+        b.putInt(i)       // creation order
+        b.putInt(0)       // name hash (reader enumerates, ignores)
+        b.array()
+      }
+      val bthdAddr = writeBtreeV2(o, 8, records)
+      val ai = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      ai.put(0.toByte); ai.put(0.toByte); ai.putLong(frhpAddr); ai.putLong(bthdAddr)
+      Seq(0x0015 -> ai.array())
+    }
+
   // ---- groups ----
 
   private def writeGroup(o: Out, g: WGroup): Long = {
     val links = g.children.map { case (n, c) => (n, writeNode(o, c)) }
-    val attrMsgs = g.attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
+    val attrMsgs = attrMessages(o, g.attrs)
     if (links.length <= 8) {
       // compact: link-info with undefined heap/btree + one link message each
       val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
@@ -165,61 +260,17 @@ object MiniHdf5Writer {
         links.map(l => 0x0006 -> linkBody(l._1, l._2)) ++ attrMsgs
       writeHeader(o, msgs)
     } else {
-      // dense: fractal heap (single root direct block) + v2 B-tree leaf
+      // dense links: serialized link bodies in a fractal heap + a type-5
+      // v2 B-tree (record: hash + 7-byte heap ID)
       val bodies = links.map(l => linkBody(l._1, l._2))
-      val dbAddr = o.pos.toLong
-      o.ascii("FHDB"); o.u8(0)
-      val heapHdrPatch = o.pos
-      o.u64(0)  // heap header address (patched below)
-      o.u32(0)  // block offset (heapOffSize = 4 for 32-bit max heap)
-      val headerLen = 4 + 1 + 8 + 4
-      val heapOffsets = bodies.scanLeft(headerLen)((acc, b) => acc + b.length)
-      bodies.foreach(o.bytes)
-      val frhpAddr = o.pos.toLong
-      o.ascii("FRHP"); o.u8(0)
-      o.u16(7)      // heap ID length: 1 flag + 4 offset + 2 length
-      o.u16(0)      // I/O filter encoded length
-      o.u8(0)       // flags (no checksummed blocks)
-      o.u32(4096)   // max managed object size
-      o.u64(0)      // next huge id
-      o.u64(Undef)  // huge btree addr
-      o.u64(0)      // free space
-      o.u64(Undef)  // free-space manager addr
-      o.u64(heapOffsets.last.toLong) // managed space
-      o.u64(heapOffsets.last.toLong) // allocated managed space
-      o.u64(heapOffsets.last.toLong) // direct block iterator offset
-      o.u64(bodies.length.toLong)    // managed object count
-      o.u64(0); o.u64(0)             // huge size / count
-      o.u64(0); o.u64(0)             // tiny size / count
-      o.u16(4)      // table width
-      o.u64(512)    // starting block size
-      o.u64(65536)  // max direct block size
-      o.u16(32)     // max heap size (bits) -> heapOffSize 4
-      o.u16(1)      // starting rows
-      o.u64(dbAddr) // root block address = the direct block
-      o.u16(0)      // current rows = 0 (root IS a direct block)
-      o.u32(0)      // checksum
-      o.patch64(heapHdrPatch, frhpAddr)
-      // v2 B-tree leaf with (hash, heapId(7)) records
-      val btlfAddr = o.pos.toLong
-      o.ascii("BTLF"); o.u8(0); o.u8(5)
-      links.indices.foreach { i =>
-        o.u32(0)                       // name hash (reader enumerates, ignores)
-        o.u8(0)                        // heap ID flags: managed, v0
-        o.u32(heapOffsets(i).toLong)   // heap offset
-        o.u16(bodies(i).length)        // object length
+      val (frhpAddr, heapOffsets) = writeFractalHeap(o, bodies)
+      val records = bodies.indices.map { i =>
+        val b = ByteBuffer.allocate(4 + 7).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(0) // name hash (reader enumerates, ignores)
+        b.put(heapId7(heapOffsets(i), bodies(i).length))
+        b.array()
       }
-      o.u32(0) // checksum
-      val bthdAddr = o.pos.toLong
-      o.ascii("BTHD"); o.u8(0); o.u8(5)
-      o.u32(512)                 // node size
-      o.u16(4 + 7)               // record size
-      o.u16(0)                   // depth
-      o.u8(100); o.u8(40)        // split / merge percent
-      o.u64(btlfAddr)
-      o.u16(links.length)        // records in root node
-      o.u64(links.length.toLong) // total records
-      o.u32(0)                   // checksum
+      val bthdAddr = writeBtreeV2(o, 5, records)
       val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
       li.put(0.toByte); li.put(0.toByte); li.putLong(frhpAddr); li.putLong(bthdAddr)
       writeHeader(o, Seq(0x0002 -> li.array(), 0x000A -> Array[Byte](0, 0)) ++ attrMsgs)
@@ -275,7 +326,7 @@ object MiniHdf5Writer {
     val msgs = Seq(
       0x0003 -> dt,
       0x0001 -> dataspace(d.dims),
-      0x0008 -> layout) ++ d.attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
+      0x0008 -> layout) ++ attrMessages(o, d.attrs)
     writeHeader(o, msgs)
   }
 
