@@ -72,13 +72,23 @@ final class Hdf5File(bytes: Array[Byte]) {
   // --- object headers (version 1, and version 2 'OHDR') ---
   final case class Message(typ: Int, pos: Int, size: Int)
 
+  // per-file memo: groupChildren + attributes + dataset each re-walk the
+  // same header (2-3x per node, ~20 nodes per ODIM file) — parsing is
+  // pure, so cache per address
+  private val headerCache = new java.util.HashMap[Long, Seq[Message]]()
+
   def objectHeader(addr: Long): Seq[Message] = {
+    val cached = headerCache.get(addr)
+    if (cached != null) return cached
     val p0 = addr.toInt
-    if (ascii(p0, 4) == "OHDR") objectHeaderV2(p0)
-    else {
-      require(u8(p0) == 1, s"unsupported object header version ${u8(p0)} @ $addr")
-      objectHeaderV1(p0)
-    }
+    val parsed =
+      if (ascii(p0, 4) == "OHDR") objectHeaderV2(p0)
+      else {
+        require(u8(p0) == 1, s"unsupported object header version ${u8(p0)} @ $addr")
+        objectHeaderV1(p0)
+      }
+    headerCache.put(addr, parsed)
+    parsed
   }
 
   private def objectHeaderV1(p0: Int): Seq[Message] = {
@@ -725,7 +735,10 @@ final class Hdf5File(bytes: Array[Byte]) {
   }
 
   private def inflate(src: Array[Byte], off: Int, len: Int, maxOut: Int): Array[Byte] = {
-    val inf = new Inflater()
+    // reuse one native Inflater per thread (allocating + end()-ing one per
+    // ~1 KB chunk dominates small-file decode otherwise)
+    val inf = Hdf5File.threadInflater.get()
+    inf.reset()
     inf.setInput(src, off, len)
     val outBuf = new java.io.ByteArrayOutputStream(math.min(len * 4, maxOut))
     val tmp = new Array[Byte](8192)
@@ -734,7 +747,6 @@ final class Hdf5File(bytes: Array[Byte]) {
       if (k > 0) outBuf.write(tmp, 0, k)
       else if (k == 0 && inf.needsDictionary()) sys.error("deflate dictionary unsupported")
     }
-    inf.end()
     outBuf.toByteArray
   }
 
@@ -758,4 +770,7 @@ object Hdf5File {
   def apply(bytes: Array[Byte]): Hdf5File = new Hdf5File(bytes)
   def read(path: String): Hdf5File =
     new Hdf5File(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  private[odim] val threadInflater: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater())
 }

@@ -18,14 +18,38 @@ object PyFormat {
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val neg = d < 0
     val a = math.abs(d)
-    // shortest precision whose %.*e round-trips
-    var p = 0
-    var s = ""
-    var ok = false
-    while (!ok && p <= 17) {
-      s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(a))
-      ok = s.toDouble == a
-      if (!ok) p += 1
+    // shortest precision whose %.*e round-trips. Searching up from 0 costs
+    // ~17 String.format calls for full-precision doubles (f32-widened
+    // profile values), so seed from Double.toString's significant-digit
+    // count and verify/minimize around it (round-trip success is monotone
+    // in precision, so the minimum found is identical).
+    val js = java.lang.Double.toString(a)
+    val eIdx = js.indexOf('E')
+    var sig = 0
+    var seenNz = false
+    var ci = 0
+    val mantEnd = if (eIdx >= 0) eIdx else js.length
+    while (ci < mantEnd) {
+      val c = js.charAt(ci)
+      if (c >= '0' && c <= '9') {
+        if (c != '0') seenNz = true
+        if (seenNz) sig += 1
+      }
+      ci += 1
+    }
+    var p = math.max(0, math.min(17, sig - 1))
+    def fmt(pp: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + pp + "e", Double.box(a))
+    var s = fmt(p)
+    if (s.toDouble != a) {
+      while (s.toDouble != a && p < 17) { p += 1; s = fmt(p) }
+    } else {
+      var shrinking = p > 0
+      while (shrinking) {
+        val t = fmt(p - 1)
+        if (t.toDouble == a) { s = t; p -= 1; shrinking = p > 0 }
+        else shrinking = false
+      }
     }
     // s = "d.dddde±XX"
     val Array(mant, expStr) = s.split("e")

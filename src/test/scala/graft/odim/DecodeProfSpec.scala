@@ -1,0 +1,39 @@
+package graft.odim
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+/** Decode micro-profile: keeps the per-file cost visible and guards
+  * against rendering regressions (rows rendering was 2 ms/file before the
+  * pyFloat precision-seed fix; now well under 1 ms).
+  */
+class DecodeProfSpec extends AnyFunSuite {
+  test("profile single-file decode") {
+    val bytes = Files.readAllBytes(Paths.get(
+      "/root/reference/tests/data/inventory/vp/nosta_vp_20230311T231500Z_0xb.h5"))
+    def run(n: Int): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) {
+        val r = OdimReader.checkVpOdim(OdimReader(bytes, "x.h5"))
+        graft.vpts.VptsCsvV1.rows(graft.vpts.BirdProfile.fromOdim(r, "x.h5"))
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    run(300) // warmup
+    println(f"per-file decode+rows: ${run(1000)}%.3f ms")
+    // break down: parse-only vs decode vs rows
+    val t0 = System.nanoTime()
+    (0 until 1000).foreach { _ => OdimReader.checkVpOdim(OdimReader(bytes, "x.h5")) }
+    println(f"reader+gate only: ${(System.nanoTime()-t0)/1e6/1000}%.3f ms")
+    val r2 = OdimReader.checkVpOdim(OdimReader(bytes, "x.h5"))
+    val t1 = System.nanoTime()
+    (0 until 1000).foreach { _ => graft.vpts.BirdProfile.fromOdim(r2, "x.h5") }
+    println(f"fromOdim only (warm reader): ${(System.nanoTime()-t1)/1e6/1000}%.3f ms")
+    val bp = graft.vpts.BirdProfile.fromOdim(r2, "x.h5")
+    val t2 = System.nanoTime()
+    (0 until 1000).foreach { _ => graft.vpts.VptsCsvV1.rows(bp) }
+    val rowsMs = (System.nanoTime()-t2)/1e6/1000
+    println(f"rows only: $rowsMs%.3f ms")
+    assert(rowsMs < 2.0, f"rows rendering regressed to $rowsMs%.3f ms/file")
+  }
+}
