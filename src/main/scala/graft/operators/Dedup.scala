@@ -383,6 +383,71 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Duplicate CLUSTERS from the LSH candidate pairs: fixed-round min-label
+    * propagation (each round every vertex takes the minimum label in its
+    * neighborhood). `PropRounds` rounds connect any component of diameter
+    * <= PropRounds — near-dup clusters are almost always tiny stars around
+    * one original, so 3 rounds is the practical bound (the production
+    * variant for adversarial graphs is alternating large-star/small-star,
+    * same join shapes). Each round is one shuffle join on doc_id; nothing
+    * is ever collected to the driver.
+    */
+  private val PropRounds = 3
+
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
+    // undirected edge list
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to PropRounds) {
+      val fromNeighbors = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("label"))
+      labels = labels.union(fromNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    }
+    labels
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(col("cluster_size") > 1)
+      .select(col("label").as("component"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy(col("component"))
+  }
+
+  val qDedupComponentsSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT doc_id, min(label) AS label FROM (
+         |    SELECT doc_id, label FROM $prev
+         |    UNION ALL
+         |    SELECT e.doc_a AS doc_id, l.label FROM edges e JOIN $prev l ON e.doc_b = l.doc_id)
+         |  GROUP BY doc_id)""".stripMargin
+    val rounds = (1 to PropRounds)
+      .map(r => round(if (r == 1) "l0" else s"l${r - 1}", s"l$r")).mkString(",\n")
+    s"""WITH $minhashCte,
+       |$minhashBandsCteSql,
+       |${sizedCteSql("bands")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.bs <= $MaxBucket),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |$rounds
+       |SELECT label AS component, count(*) AS cluster_size,
+       |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
+       |FROM l$PropRounds
+       |GROUP BY label
+       |HAVING count(*) > 1
+       |ORDER BY component""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
@@ -392,5 +457,6 @@ object Dedup {
     QueryDef("q_dedup_simhash_pairs", qSimhashPairs, Some(qSimhashPairsSql)),
     QueryDef("q_dedup_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
+    QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql)),
   )
 }

@@ -35,6 +35,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length <= Dedup.MaxBucket * (Dedup.MaxBucket - 1) / 2)
   }
 
+  test("component labels are transitive across candidate chains") {
+    // three identical docs pair with each other (a chain suffices); all
+    // must land in one component labeled by the smallest id
+    import spark.implicits._
+    val dup = "one more shared duplicate passage that minhashes identically in all copies"
+    val solo = "completely different content that belongs to no cluster at all"
+    val dir = java.nio.file.Files.createTempDirectory("dedup-cc").toString
+    (Seq((5L, dup), (9L, dup), (11L, dup), (20L, solo)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val comps = Dedup.qDedupComponents(spark, dir).collect()
+    assert(comps.length == 1)
+    assert(comps.head.getLong(0) == 5L)       // component = min id
+    assert(comps.head.getLong(1) == 3L)       // all three members
+    assert(comps.head.getString(2) == "5,9,11")
+  }
+
   test("parameterized library API: maxBucket and threshold are real knobs") {
     import spark.implicits._
     val dup = "a small near duplicate cluster with its own distinct shingle stream here"
