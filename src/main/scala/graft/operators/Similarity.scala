@@ -243,6 +243,77 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 5""".stripMargin
 
+  /** Unsupervised coarse quantizer: K-means (Lloyd's) in exact scaled-int
+    * space — deterministic init (centroids = the first K vectors), KmIters
+    * assign/update rounds, then the final assignment. Each assign is the
+    * shuffle-free broadcast-argmin projection from qAnnIvfAssign (all
+    * centroids in ONE broadcast row, array_min over (dist, id) structs);
+    * each update is a partial-aggregated elementwise mean re-rounded to
+    * ints so both engines see identical centroids. This is the real
+    * iterative IVF index build; per iteration the n-row side is scanned
+    * once with no exchange beyond the (tiny) centroid aggregation.
+    */
+  private val KmK = 8
+  private val KmIters = 3
+
+  def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), scaled(col("embedding")).as("v"))
+    var cents = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var assigned: DataFrame = null
+    for (it <- 1 to KmIters) {
+      val centArr = cents
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+      assigned = e.crossJoin(broadcast(centArr))
+        .withColumn("best", array_min(transform(col("cents"), c =>
+          struct(
+            aggregate(zip_with(col("v"), c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
+              lit(0.0d), (acc, x) => acc + x).as("dist"),
+            c.getField("c_id").as("c_id")))))
+        .select(col("vec_id"), col("v"),
+          col("best.c_id").as("c"), col("best.dist").as("dist"))
+      if (it < KmIters) {
+        cents = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("c"), col("i"))
+          .agg(round(sum(col("x")) / count(lit(1))).as("m"))
+          .groupBy(col("c"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+          .select(col("c").as("c_id"), expr("transform(im, p -> p.m)").as("cv"))
+      }
+    }
+    assigned.select(col("vec_id"), col("c").as("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qAnnKmeansSql: String = {
+    val vExpr = s"list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")})"
+    val distExpr = s"list_sum(list_transform(range(1, $Dim+1), i -> (v[i]-cv[i])*(v[i]-cv[i])))"
+    def assignCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT vec_id, v, c_id, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rk
+         |    FROM (SELECT e.vec_id, e.v, c.c_id, $distExpr AS dist FROM e, $prev c))
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT c_id, list(m ORDER BY i) AS cv FROM (
+         |    SELECT c_id, i, round(sum(x) / count(*)) AS m FROM (
+         |      SELECT c_id, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM $prev)
+         |    GROUP BY c_id, i)
+         |  GROUP BY c_id)""".stripMargin
+    val rounds = (1 to KmIters).flatMap { it =>
+      val a = assignCte(if (it == 1) "c0" else s"c${it - 1}", s"a$it")
+      if (it < KmIters) Seq(a, updateCte(s"a$it", s"c$it")) else Seq(a)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $vExpr AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmK),
+       |$rounds
+       |SELECT vec_id, c_id AS cluster, dist FROM a$KmIters
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -250,5 +321,6 @@ object Similarity {
     QueryDef("q_ann_ivf_search", qAnnIvfSearch, Some(qAnnIvfSearchSql)),
     QueryDef("q_ann_lsh_search", qAnnLshSearch, Some(qAnnLshSearchSql)),
     QueryDef("q_ann_lsh_multiprobe", qAnnLshMultiprobe, Some(qAnnLshMultiprobeSql)),
+    QueryDef("q_ann_kmeans", qAnnKmeans, Some(qAnnKmeansSql)),
   )
 }
