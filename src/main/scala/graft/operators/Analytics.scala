@@ -273,7 +273,34 @@ object Analytics {
        |ORDER BY day""".stripMargin
   }
 
+  /** Exact quantiles per group (type-7 linear interpolation, shared by
+    * Spark's percentile and DuckDB's quantile_cont). Values are exact
+    * integer cents and the probed quantiles are DYADIC (k/4), so every
+    * interpolation term is exactly representable and both engines land on
+    * identical doubles regardless of their arithmetic order — a non-dyadic
+    * probe like 0.9 would already differ in the last ulp. At 100 TB exact
+    * quantiles are a full sort per group; the approximate path
+    * (percentile_approx / t-digest) trades that for mergeability but is
+    * engine-specific, hence not oracle-checkable.
+    */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(concat_ws(",",
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D))")).as("quartiles"))
+      .orderBy(col("event_type"))
+
+  val qQuantilesSql: String =
+    """SELECT event_type,
+      |  array_to_string(quantile_cont(CAST(round(value * 100) AS BIGINT),
+      |                                [0.25, 0.5, 0.75]), ',') AS quartiles
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_quantiles", qQuantiles, Some(qQuantilesSql)),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
