@@ -394,7 +394,10 @@ object Dedup {
     */
   private val PropRounds = 3
 
-  def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, label) after [[PropRounds]] rounds of min-label propagation
+    * over the LSH candidate edges — singletons keep their own id.
+    */
+  private def propagatedLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val pairs = bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
     // undirected edge list
@@ -408,13 +411,16 @@ object Dedup {
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
     }
     labels
+  }
+
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame =
+    propagatedLabels(s, dir)
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"),
         sort_array(collect_list(col("doc_id"))).as("members"))
       .filter(col("cluster_size") > 1)
       .select(col("label").as("component"), col("cluster_size"),
         concat_ws(",", col("members")).as("members"))
       .orderBy(col("component"))
-  }
 
   val qDedupComponentsSql: String = {
     def round(prev: String, cur: String): String =
@@ -448,6 +454,43 @@ object Dedup {
        |ORDER BY component""".stripMargin
   }
 
+  /** Keeper selection per duplicate cluster by QUALITY instead of min-id:
+    * the kept document is the cluster member with the most words (ties ->
+    * smaller id) — the policy real pipelines use (keep the richest copy,
+    * drop the truncated ones). The per-cluster argmax is a partial-aggregated
+    * min(struct(-quality, id)) — no window, no shuffle beyond the cluster
+    * key.
+    */
+  def qKeeperByQuality(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).as("n_words"))
+    propagatedLabels(s, dir)
+      .join(quality, "doc_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("n_words")).as("neg"), col("doc_id").as("d"))).as("best"))
+      .filter(col("cluster_size") > 1)
+      .select(col("label").as("component"), col("cluster_size"),
+        col("best.d").as("keeper"), (-col("best.neg")).as("keeper_words"))
+      .orderBy(col("component"))
+  }
+
+  val qKeeperByQualitySql: String = {
+    val compCte = qDedupComponentsSql
+      .substring(0, qDedupComponentsSql.indexOf("SELECT label AS component"))
+    s"""${compCte.trim.stripSuffix(",")}
+       |, q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents),
+       |ranked AS (
+       |  SELECT l.label, l.doc_id, q.n_words,
+       |    count(*) OVER (PARTITION BY l.label) AS cluster_size,
+       |    row_number() OVER (PARTITION BY l.label ORDER BY q.n_words DESC, l.doc_id) AS rk
+       |  FROM l$PropRounds l JOIN q ON l.doc_id = q.doc_id)
+       |SELECT label AS component, cluster_size, doc_id AS keeper, n_words AS keeper_words
+       |FROM ranked
+       |WHERE rk = 1 AND cluster_size > 1
+       |ORDER BY component""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
@@ -458,5 +501,6 @@ object Dedup {
     QueryDef("q_dedup_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql)),
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
     QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql)),
+    QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql)),
   )
 }

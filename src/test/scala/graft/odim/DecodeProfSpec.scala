@@ -30,10 +30,14 @@ class DecodeProfSpec extends AnyFunSuite {
     (0 until 1000).foreach { _ => graft.vpts.BirdProfile.fromOdim(r2, "x.h5") }
     println(f"fromOdim only (warm reader): ${(System.nanoTime()-t1)/1e6/1000}%.3f ms")
     val bp = graft.vpts.BirdProfile.fromOdim(r2, "x.h5")
-    val t2 = System.nanoTime()
-    (0 until 1000).foreach { _ => graft.vpts.VptsCsvV1.rows(bp) }
-    val rowsMs = (System.nanoTime()-t2)/1e6/1000
+    // min of 3 timed passes: the suite runs under concurrent Spark load,
+    // so a single wall-clock sample is noisy
+    val rowsMs = (1 to 3).map { _ =>
+      val t2 = System.nanoTime()
+      (0 until 1000).foreach { _ => graft.vpts.VptsCsvV1.rows(bp) }
+      (System.nanoTime() - t2) / 1e6 / 1000
+    }.min
     println(f"rows only: $rowsMs%.3f ms")
-    assert(rowsMs < 2.0, f"rows rendering regressed to $rowsMs%.3f ms/file")
+    assert(rowsMs < 1.5, f"rows rendering regressed to $rowsMs%.3f ms/file")
   }
 }
