@@ -43,7 +43,10 @@ object MediaPipeline {
 
     def dimensions(p: Array[Byte]): Option[(Int, Int)] = {
       if (!looksLikeImage(p)) return None
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream directly: ImageIO.createImageInputStream
+      // would wrap the in-memory payload in a FileCache stream (a temp file
+      // create/delete per row on the executor hot path)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(p))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)

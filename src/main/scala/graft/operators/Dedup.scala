@@ -168,6 +168,11 @@ object Dedup {
     */
   private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
     val d = withMinhashes(Tables.documents(s, dir))
+      // sub-k-word docs have a NULL signature: they must produce NO band
+      // rows — Spark's groupBy would otherwise cluster all NULL keys into
+      // one bucket and pair them, where the oracle's null-dropping
+      // equi-join (and the round-1 self-join) never would
+      .filter(col("mhs").isNotNull)
     val bands = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
@@ -337,24 +342,10 @@ object Dedup {
     * bucket shuffle + an equi-join of the (small) candidate list back to the
     * embeddings on vec_id.
     */
-  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val sigs = e.select(col("vec_id"),
-      graft.plans.LshSigExpr.lshSigNative(col("embedding"), NdPlanes, NdDim).as("sig"))
-    val bands = sigs.select(col("vec_id"),
-        explode(array((0 until NdBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), NdBandBits * b)
-              .bitwiseAND(lit((1L << NdBandBits) - 1)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bucketPairs(bands, "vec_id", "vec_a", "vec_b")
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
-      .filter(col("cos") > 0.3)
+  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   val qEmbeddingNearDupSql: String = {
     // Literal ±1 sign rows (same md5-derived matrix as LshSigExpr).
@@ -422,7 +413,12 @@ object Dedup {
         concat_ws(",", col("members")).as("members"))
       .orderBy(col("component"))
 
-  val qDedupComponentsSql: String = {
+  /** Shared CTE chain — documents -> capped LSH candidate edges ->
+    * PropRounds min-label propagation (l0..lN) — composed by both the
+    * components and the keeper-by-quality SQL (no text surgery on sibling
+    * query strings).
+    */
+  private val propagationCteSql: String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT doc_id, min(label) AS label FROM (
@@ -432,7 +428,7 @@ object Dedup {
          |  GROUP BY doc_id)""".stripMargin
     val rounds = (1 to PropRounds)
       .map(r => round(if (r == 1) "l0" else s"l${r - 1}", s"l$r")).mkString(",\n")
-    s"""WITH $minhashCte,
+    s"""$minhashCte,
        |$minhashBandsCteSql,
        |${sizedCteSql("bands")},
        |cand AS (
@@ -445,14 +441,17 @@ object Dedup {
        |  UNION ALL
        |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
        |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qDedupComponentsSql: String =
+    s"""WITH $propagationCteSql
        |SELECT label AS component, count(*) AS cluster_size,
        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
        |FROM l$PropRounds
        |GROUP BY label
        |HAVING count(*) > 1
        |ORDER BY component""".stripMargin
-  }
 
   /** Keeper selection per duplicate cluster by QUALITY instead of min-id:
     * the kept document is the cluster member with the most words (ties ->
@@ -475,11 +474,9 @@ object Dedup {
       .orderBy(col("component"))
   }
 
-  val qKeeperByQualitySql: String = {
-    val compCte = qDedupComponentsSql
-      .substring(0, qDedupComponentsSql.indexOf("SELECT label AS component"))
-    s"""${compCte.trim.stripSuffix(",")}
-       |, q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents),
+  val qKeeperByQualitySql: String =
+    s"""WITH $propagationCteSql,
+       |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents),
        |ranked AS (
        |  SELECT l.label, l.doc_id, q.n_words,
        |    count(*) OVER (PARTITION BY l.label) AS cluster_size,
@@ -489,7 +486,6 @@ object Dedup {
        |FROM ranked
        |WHERE rk = 1 AND cluster_size > 1
        |ORDER BY component""".stripMargin
-  }
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),

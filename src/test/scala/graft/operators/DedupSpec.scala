@@ -35,6 +35,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length <= Dedup.MaxBucket * (Dedup.MaxBucket - 1) / 2)
   }
 
+  test("sub-k-word docs (null minhash) never pair with each other") {
+    // two docs shorter than ShingleK words have NULL signatures; a
+    // null-keyed groupBy bucket would pair them (and diverge from the
+    // oracle's null-dropping join) — they must produce no candidates
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup-null").toString
+    Seq((1L, "too short"), (2L, "also short"), (3L, "ok length document here with words"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.qLshCandidates(spark, dir).count() == 0)
+    assert(Dedup.qDedupComponents(spark, dir).count() == 0)
+  }
+
   test("component labels are transitive across candidate chains") {
     // three identical docs pair with each other (a chain suffices); all
     // must land in one component labeled by the smallest id
