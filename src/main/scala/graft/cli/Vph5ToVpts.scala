@@ -21,22 +21,35 @@ object Vph5ToVpts {
 
   def main(args: Array[String]): Unit =
     Alerting.guarded("vph5_to_vpts", args.toSeq, "[vptstools] vph5_to_vpts failed") {
-      run(args)
+      // parse (and fail) BEFORE building a session, like click's
+      // make_context; the session is created and stopped only here, so
+      // tests can drive run() with a shared session
+      val opts = parseOpts(args)
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("vph5ToVpts")
+        .config("spark.sql.shuffle.partitions",
+          math.min(Runtime.getRuntime.availableProcessors(), 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try run(spark, opts) finally spark.stop()
     }
 
-  private def run(args: Array[String]): Unit = {
+  private def parseOpts(args: Array[String]): Map[String, String] = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    opts.getOrElse("--bucket", sys.error("--bucket required"))
+    opts
+  }
+
+  /** CLI body against a caller-owned session (testable e2e). */
+  def run(spark: SparkSession, args: Array[String]): Unit =
+    run(spark, parseOpts(args))
+
+  private def run(spark: SparkSession, opts: Map[String, String]): Unit = {
     val bucket = opts.getOrElse("--bucket", sys.error("--bucket required"))
     val modifiedDaysAgo = opts.getOrElse("--modified-days-ago", "2").toInt
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("vph5ToVpts")
-      .config("spark.sql.shuffle.partitions",
-        math.min(Runtime.getRuntime.availableProcessors(), 32))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     opts.get("--path-folder") match {
       case Some(prefix) =>
@@ -67,16 +80,13 @@ object Vph5ToVpts {
         }
       case None =>
         val inventory = opts.getOrElse("--inventory", sys.error("--inventory or --path-folder required"))
-        val effectiveWindow =
-          if (modifiedDaysAgo == 0) {
-            println("Recreate the full set of bucket files. This will take a while!")
-            365 * 50
-          } else modifiedDaysAgo
-        val (d, m) = LakeController.run(spark, bucket, inventory, effectiveWindow,
+        // 0 expands to the full bucket age inside Inventory.daysToRebuild
+        if (modifiedDaysAgo == 0)
+          println("Recreate the full set of bucket files. This will take a while!")
+        val (d, m) = LakeController.run(spark, bucket, inventory, modifiedDaysAgo,
           java.time.Instant.now(), opts.get("--coverage"))
         println(s"Created $d daily and $m monthly VPTS files.")
     }
     println("Finished VPTS update procedure.")
-    spark.stop()
   }
 }

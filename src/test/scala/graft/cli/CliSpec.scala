@@ -65,6 +65,26 @@ class CliSpec extends AnyFunSuite {
     assert(server.fetched.isEmpty)
   }
 
+  test("vph5ToVpts --path-folder glob mode rebuilds the daily golden") {
+    val bucket = Files.createTempDirectory("globlake").toString
+    val h5Dir = Paths.get(s"$bucket/baltrad/hdf5/nosta/2023/03/11")
+    Files.createDirectories(h5Dir)
+    val invDir = Paths.get("/root/reference/tests/data/inventory")
+    Files.list(invDir.resolve("vp")).forEach { f =>
+      Files.copy(f, h5Dir.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    Vph5ToVpts.run(spark, Array(
+      "--bucket", bucket, "--path-folder", s"$bucket/baltrad/hdf5"))
+    val daily = new String(Files.readAllBytes(
+      Paths.get(s"$bucket/baltrad/daily/nosta/2023/nosta_vpts_20230311.csv")), "UTF-8")
+    val want = new String(Files.readAllBytes(
+      invDir.resolve("nosta_vpts_20230311.csv")), "UTF-8")
+    assert(daily == want, "glob-mode daily output differs from golden")
+    // monthly gz produced for the same month
+    assert(Files.exists(Paths.get(
+      s"$bucket/baltrad/monthly/nosta/2023/nosta_vpts_202303.csv.gz")))
+  }
+
   test("CLI failures publish a reference-format alert and re-raise (K7 seam)") {
     class Collecting extends Alerting.AlertSink {
       val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
