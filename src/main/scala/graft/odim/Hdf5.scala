@@ -230,9 +230,12 @@ final class Hdf5File(bytes: Array[Byte]) {
   }
 
   /** Parsed fractal-heap geometry: resolve a managed heap ID (found at
-    * `idPos` in the file) to the file position of its object. Scope:
-    * single-direct-block heaps — ODIM-sized groups/attr sets fit
-    * comfortably; anything larger fails fast.
+    * `idPos` in the file) to the file position of its object. Supports a
+    * single root direct block AND an indirect root whose direct-block rows
+    * follow the doubling table (rows 0-1 at the starting block size, row i
+    * at startingSize * 2^(i-1)); nested indirect blocks (heaps beyond
+    * width x doubling-row capacity, i.e. far past any ODIM-sized group or
+    * attribute set) fail fast.
     */
   private final class FractalHeap(heapAddr: Long) {
     private val h = heapAddr.toInt
@@ -247,19 +250,50 @@ final class Hdf5File(bytes: Array[Byte]) {
     f += offsetSize          // free-space manager addr
     f += lengthSize * 6      // managed space, allocated, iterator, nmanaged, huge size, nhuge
     f += lengthSize * 2      // tiny size, ntiny
-    f += 2                   // table width
-    f += lengthSize          // starting block size
+    private val tableWidth = u16(f); f += 2
+    private val startBlockSize = lenAt(f); f += lengthSize
     f += lengthSize          // max direct block size
     private val maxHeapSizeBits = u16(f); f += 2
     f += 2                   // starting # rows
     private val rootBlockAddr = offAt(f); f += offsetSize
     private val curRows = u16(f)
-    require(curRows == 0, s"multi-block fractal heap (rows=$curRows) unsupported")
     val heapOffSize: Int = (maxHeapSizeBits + 7) / 8
     require(heapIdLen - 1 - heapOffSize >= 1,
       s"implausible heap id layout $heapIdLen/$heapOffSize")
-    private val db = rootBlockAddr.toInt
-    require(ascii(db, 4) == "FHDB", s"expected FHDB @ $rootBlockAddr")
+
+    /** (heap-space start offset, size, file address) per direct block, in
+      * heap-offset order.
+      */
+    private val blocks: Seq[(Long, Long, Long)] =
+      if (curRows == 0) {
+        require(ascii(rootBlockAddr.toInt, 4) == "FHDB",
+          s"expected FHDB @ $rootBlockAddr")
+        Seq((0L, Long.MaxValue, rootBlockAddr))
+      } else {
+        val ib = rootBlockAddr.toInt
+        require(ascii(ib, 4) == "FHIB", s"expected FHIB @ $rootBlockAddr")
+        // child addresses follow sig + version + heap hdr addr + block offset
+        var p = ib + 5 + offsetSize + heapOffSize
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var heapOff = 0L
+        var row = 0
+        while (row < curRows) {
+          val rowBlockSize =
+            if (row <= 1) startBlockSize else startBlockSize << (row - 1)
+          var col = 0
+          while (col < tableWidth) {
+            val addr = offAt(p); p += offsetSize
+            if (!undef(addr)) {
+              require(ascii(addr.toInt, 4) == "FHDB", s"expected FHDB @ $addr")
+              out += ((heapOff, rowBlockSize, addr))
+            }
+            heapOff += rowBlockSize
+            col += 1
+          }
+          row += 1
+        }
+        out.result()
+      }
 
     /** File position of the object whose managed heap ID starts at idPos. */
     def objPos(idPos: Int): Int = {
@@ -268,7 +302,10 @@ final class Hdf5File(bytes: Array[Byte]) {
       var off = 0L
       var b = 0
       while (b < heapOffSize) { off |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
-      db + off.toInt // heap offsets count from the direct block start
+      val blk = blocks.find(bk => off >= bk._1 && off < bk._1 + bk._2)
+        .getOrElse(sys.error(s"heap offset $off outside known direct blocks"))
+      // heap offsets count from each block's start (header included)
+      (blk._3 + (off - blk._1)).toInt
     }
   }
 

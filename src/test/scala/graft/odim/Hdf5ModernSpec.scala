@@ -97,6 +97,25 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(n >= 6)
   }
 
+  test("multi-block fractal heaps: large dense attr sets and 40-link groups round-trip") {
+    // ~40 x 90B attr bodies exceed several 512-byte starting blocks, so the
+    // heap takes the indirect-root doubling-table path on both dense links
+    // and dense attributes
+    val attrs = (0 until 40).map(i => f"attr_$i%02d" -> ("value-" * 12 + i): (String, Any))
+    val children = (0 until 40).map { i =>
+      f"leaf_$i%02d" -> (WDataset(Seq("tag" -> i.toLong), Array(3L),
+        Array(i.toDouble, i + 0.5, i + 0.75), isInt = false, elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(attrs, children)))
+    val root = f.rootHeaderAddr
+    assert(f.groupChildren(root).size == 40)
+    assert(f.attributes(root).size == 40)
+    assert(f.attributes(root)("attr_07") == "value-" * 12 + 7)
+    val leaf = f.resolve("leaf_39").get
+    assert(f.dataset(leaf).values.toSeq == Seq(39.0, 39.5, 39.75))
+    assert(f.attributes(leaf)("tag") == 39L)
+  }
+
   test("2-D chunk grids with multiple columns reassemble correctly") {
     // 6x8 dataset cut into 3x4 chunks -> 2x2 chunk grid: a max()-based
     // linear offset would collapse the (0,4) and (3,0) chunks onto the same

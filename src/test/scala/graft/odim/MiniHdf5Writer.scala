@@ -154,18 +154,82 @@ object MiniHdf5Writer {
 
   // ---- dense-storage building blocks (fractal heap + v2 B-tree) ----
 
-  /** Single-root-direct-block fractal heap holding `bodies`; returns the
-    * FRHP address and each object's heap offset.
+  /** Fractal heap holding `bodies`; returns the FRHP address and each
+    * object's heap offset. When everything fits in one starting-size block
+    * the root IS that direct block (curRows = 0, as libhdf5 does); larger
+    * payloads get an indirect root whose direct-block rows follow the
+    * doubling table (rows 0-1 at 512, row i at 512 * 2^(i-1), width 4) —
+    * the layout real dense attribute sets (> ~500 bytes) occupy.
     */
+  private val HeapWidth = 4
+  private val HeapStartBlock = 512L
+  private val DbHeaderLen = 4 + 1 + 8 + 4 // sig + ver + hdr addr + 4-byte block offset
+
   private def writeFractalHeap(o: Out, bodies: Seq[Array[Byte]]): (Long, Seq[Int]) = {
-    val dbAddr = o.pos.toLong
-    o.ascii("FHDB"); o.u8(0)
-    val heapHdrPatch = o.pos
-    o.u64(0)  // heap header address (patched below)
-    o.u32(0)  // block offset (heapOffSize = 4 for 32-bit max heap)
-    val headerLen = 4 + 1 + 8 + 4
-    val heapOffsets = bodies.scanLeft(headerLen)((acc, b) => acc + b.length)
-    bodies.foreach(o.bytes)
+    // plan: walk doubling-table slots, packing bodies first-fit in order;
+    // slot skipped (left undef) when the next body cannot fit in it
+    final case class Slot(row: Int, startOff: Long, size: Long,
+        items: scala.collection.mutable.ArrayBuffer[(Int, Int)]) // (bodyIdx, offInBlock)
+    def slotSize(row: Int): Long =
+      if (row <= 1) HeapStartBlock else HeapStartBlock << (row - 1)
+    val slots = scala.collection.mutable.ArrayBuffer.empty[Slot]
+    var heapOff = 0L
+    var slotIdx = 0
+    def newSlot(): Slot = {
+      val row = slotIdx / HeapWidth
+      val s = Slot(row, heapOff, slotSize(row), scala.collection.mutable.ArrayBuffer.empty)
+      heapOff += s.size; slotIdx += 1
+      slots += s; s
+    }
+    var cur = newSlot()
+    var cursor = DbHeaderLen
+    val heapOffsets = new Array[Int](bodies.length)
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      // advance slots until the body fits (row sizes double, so it will)
+      while (cursor + b.length > cur.size.toInt) {
+        cur = newSlot(); cursor = DbHeaderLen
+      }
+      cur.items += ((i, cursor))
+      heapOffsets(i) = (cur.startOff + cursor).toInt
+      cursor += b.length
+    }
+    val used = slots.filter(_.items.nonEmpty)
+    val single = used.length == 1 && used.head.row == 0 && slots.length == 1
+    // write the direct blocks (header + packed bodies; no padding needed —
+    // the reader resolves heap offsets through the recorded geometry)
+    val hdrPatches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val blockAddrs = scala.collection.mutable.Map.empty[Long, Long] // startOff -> file addr
+    used.foreach { s =>
+      val addr = o.pos.toLong
+      o.ascii("FHDB"); o.u8(0)
+      hdrPatches += o.pos
+      o.u64(0)                // heap header address (patched)
+      o.u32(s.startOff)       // block offset in heap space
+      var at = DbHeaderLen
+      s.items.foreach { case (i, off) =>
+        require(off == at, "non-contiguous packing")
+        o.bytes(bodies(i)); at += bodies(i).length
+      }
+      blockAddrs(s.startOff) = addr
+    }
+    val curRows = if (single) 0 else slots.last.row + 1
+    val rootAddr: Long =
+      if (single) blockAddrs(0L)
+      else {
+        val ib = o.pos.toLong
+        o.ascii("FHIB"); o.u8(0)
+        hdrPatches += o.pos
+        o.u64(0)  // heap header address (patched)
+        o.u32(0)  // block offset
+        var off = 0L
+        for (row <- 0 until curRows; _ <- 0 until HeapWidth) {
+          o.u64(blockAddrs.getOrElse(off, Undef))
+          off += slotSize(row)
+        }
+        o.u32(0)  // checksum
+        ib
+      }
+    val managed = heapOff
     val frhpAddr = o.pos.toLong
     o.ascii("FRHP"); o.u8(0)
     o.u16(7)      // heap ID length: 1 flag + 4 offset + 2 length
@@ -176,22 +240,22 @@ object MiniHdf5Writer {
     o.u64(Undef)  // huge btree addr
     o.u64(0)      // free space
     o.u64(Undef)  // free-space manager addr
-    o.u64(heapOffsets.last.toLong) // managed space
-    o.u64(heapOffsets.last.toLong) // allocated managed space
-    o.u64(heapOffsets.last.toLong) // direct block iterator offset
-    o.u64(bodies.length.toLong)    // managed object count
-    o.u64(0); o.u64(0)             // huge size / count
-    o.u64(0); o.u64(0)             // tiny size / count
-    o.u16(4)      // table width
-    o.u64(512)    // starting block size
+    o.u64(managed)             // managed space
+    o.u64(managed)             // allocated managed space
+    o.u64(managed)             // direct block iterator offset
+    o.u64(bodies.length.toLong) // managed object count
+    o.u64(0); o.u64(0)         // huge size / count
+    o.u64(0); o.u64(0)         // tiny size / count
+    o.u16(HeapWidth)
+    o.u64(HeapStartBlock)
     o.u64(65536)  // max direct block size
     o.u16(32)     // max heap size (bits) -> heapOffSize 4
     o.u16(1)      // starting rows
-    o.u64(dbAddr) // root block address = the direct block
-    o.u16(0)      // current rows = 0 (root IS a direct block)
+    o.u64(rootAddr)
+    o.u16(curRows)
     o.u32(0)      // checksum
-    o.patch64(heapHdrPatch, frhpAddr)
-    (frhpAddr, heapOffsets)
+    hdrPatches.foreach(o.patch64(_, frhpAddr))
+    (frhpAddr, heapOffsets.toSeq)
   }
 
   /** Depth-0 v2 B-tree over fixed-size records; returns the BTHD address. */
