@@ -33,17 +33,12 @@ object TransferBaltrad {
       extends RemoteSource {
     private val rootPath = new HPath(root)
     private lazy val fs = rootPath.getFileSystem(conf)
+    // non-recursive: the baltrad server layout is flat, and get() resolves
+    // "$root/$name" — a recursive listing would return names from
+    // subdirectories that get() could then not fetch
     override def listFileNames(): Seq[String] = {
       if (!fs.exists(rootPath)) Seq.empty
-      else {
-        val it = fs.listFiles(rootPath, true)
-        val out = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile) out += st.getPath.getName
-        }
-        out.result()
-      }
+      else fs.listStatus(rootPath).toSeq.filter(_.isFile).map(_.getPath.getName)
     }
     override def get(name: String): Array[Byte] = {
       val in = fs.open(new HPath(s"$root/$name"))

@@ -241,6 +241,10 @@ final class Hdf5File(bytes: Array[Byte]) {
     private val h = heapAddr.toInt
     require(ascii(h, 4) == "FRHP", s"expected FRHP @ $heapAddr")
     private val heapIdLen = u16(h + 5)
+    // fail-fast invariant: a filtered heap changes the indirect-block
+    // entry layout (extra filtered-size/mask fields) — refuse rather than
+    // silently misparse
+    require(u16(h + 7) == 0, "filtered fractal heap unsupported")
     // fixed fields: maxManagedObjSize(4) then 12 length-sized + 2
     // offset-sized fields interleaved; walk them positionally
     private var f = h + 10 + 4

@@ -51,9 +51,13 @@ final class OdimTable(options: CaseInsensitiveStringMap) extends Table with Supp
   * predicates. `radar`/`datetime` predicates prune FILES at planning time
   * from the file-name pattern — the partition-pruning analog for a lake
   * laid out as `radar_type_yyyymmddThhmm*.h5` (the same name-derived keying
-  * the reference's day grouping trusts). Pruning is best-effort: every
-  * filter is also returned as post-scan residual, so a file whose name lies
-  * about its content can only cost performance, never correctness.
+  * the reference's day grouping trusts). Correctness of the pruning rests
+  * on that trust: names must agree with content. Every filter is also
+  * returned as a post-scan residual, which protects against keeping too
+  * much (a kept file whose name over-promises), but a file whose NAME
+  * disagrees with its content radar/datetime is pruned before its rows are
+  * ever read — residuals cannot resurrect a dropped file. That is the same
+  * name==content assumption the reference's day grouping makes.
   */
 final class OdimScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit

@@ -33,9 +33,21 @@ object Sessionize {
     * and the state cleared. Cross-batch out-of-order events within the
     * watermark delay merge into the open session without moving its end
     * backwards (start/last are min/max-folded).
+    *
+    * `watermarkDelay` must not exceed the session gap: the out-of-order
+    * merge rule (`e.ts - s.last < gap` with min/max fold) only matches
+    * batch sessionization when a late event cannot be gap-separated from
+    * the open session it merges into, which the bound guarantees.
     */
   def sessionize(events: Dataset[Event],
       watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    val delay = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(delay.months == 0 &&
+      delay.days * 86400000000L + delay.microseconds <= GapMicros,
+      s"watermarkDelay ($watermarkDelay) must not exceed the session gap " +
+        s"(${GapMicros / 60000000} minutes): a later watermark would let a " +
+        "late event back-extend a gap-separated session, diverging from batch")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
