@@ -416,34 +416,76 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** Duplicate CLUSTERS from the LSH candidate pairs: fixed-round min-label
-    * propagation (each round every vertex takes the minimum label in its
-    * neighborhood). `PropRounds` rounds connect any component of diameter
-    * <= PropRounds — near-dup clusters are almost always tiny stars around
-    * one original, so 3 rounds is the practical bound (the production
-    * variant for adversarial graphs is alternating large-star/small-star,
-    * same join shapes). Each round is one shuffle join on doc_id; nothing
-    * is ever collected to the driver.
+  /** Duplicate CLUSTERS from the LSH candidate pairs via alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") iterated to CONVERGENCE — unlike
+    * a fixed-round min-label propagation, a duplicate chain of any diameter
+    * lands in one component.
+    *
+    * Each half-round is a partial-aggregated `groupBy.min` plus a join
+    * co-partitioned on the same key (no neighborhood collect_list, so a
+    * hub's neighbor set never materializes in one row). The edge set is
+    * `localCheckpoint`ed per round to cut lineage; on a cluster the
+    * reliable `checkpoint(dir)` variant is the same call. Convergence is an
+    * EXACT edge-set stability check (count equality + one-sided exceptAll,
+    * which together imply multiset equality) — the fixpoint of the
+    * alternation is star graphs rooted at component minima, so stability
+    * means labels are final. Round complexity is O(log^2 n) in theory,
+    * 2-4 rounds on near-dup graphs in practice.
     */
-  private val PropRounds = 3
+  val MaxStarRounds = 30
 
-  /** (doc_id, label) after [[PropRounds]] rounds of min-label propagation
-    * over the LSH candidate edges — singletons keep their own id.
+  /** (id, label) for every id: component-minimum label over the undirected
+    * graph `pairs` (canonical a < b edges); ids not in any pair label
+    * themselves. Library API — the oracle query composes it with the capped
+    * LSH candidate pairs; specs feed synthetic edge lists.
+    */
+  def componentLabels(ids: DataFrame, idCol: String,
+                      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxStarRounds) {
+      // large-star: every node u attaches its LARGER neighbors to the
+      // minimum m of its closed neighborhood (m <= u < v keeps edges
+      // canonical)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val largeStar = sym.join(lsMin, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v")).distinct().localCheckpoint()
+      // small-star: every node v attaches its SMALLER neighbors (and
+      // itself) to the minimum m of that set
+      val ssMin = largeStar.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val smallStar = largeStar.join(ssMin, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .union(ssMin.select(col("m").as("u"), col("v")))
+        .distinct().localCheckpoint()
+      val sameCount = smallStar.count() == edges.count()
+      converged = sameCount && smallStar.exceptAll(edges).isEmpty
+      edges = smallStar
+      round += 1
+    }
+    require(converged, s"componentLabels did not converge in $MaxStarRounds rounds")
+    // converged star edges are (root=u, member=v); roots and singletons
+    // label themselves
+    val memberLabels = edges.groupBy(col("v")).agg(min(col("u")).as("lbl"))
+    ids.select(col(idCol).as("doc_id"))
+      .join(memberLabels.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+  }
+
+  /** (doc_id, label) over the capped LSH candidate edges — singletons keep
+    * their own id.
     */
   private def propagatedLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val pairs = bucketPairs(minhashBandRows(s, dir), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
-    // undirected edge list
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to PropRounds) {
-      val fromNeighbors = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
-        .select(col("doc_a").as("doc_id"), col("label"))
-      labels = labels.union(fromNeighbors)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-    }
-    labels
+    componentLabels(docs, "doc_id", pairs, "doc_a", "doc_b")
   }
 
   def qDedupComponents(s: SparkSession, dir: String): DataFrame =
@@ -456,20 +498,14 @@ object Dedup {
       .orderBy(col("component"))
 
   /** Shared CTE chain — documents -> capped LSH candidate edges ->
-    * PropRounds min-label propagation (l0..lN) — composed by both the
-    * components and the keeper-by-quality SQL (no text surgery on sibling
-    * query strings).
+    * component-minimum labels via a recursive transitive closure — composed
+    * by both the components and the keeper-by-quality SQL. The closure is
+    * the declarative twin of the Spark side's converged large-star/
+    * small-star: both assign every vertex the MINIMUM id reachable in its
+    * component, a unique fixpoint independent of iteration strategy.
+    * (Consumers must open with WITH RECURSIVE.)
     */
-  private val propagationCteSql: String = {
-    def round(prev: String, cur: String): String =
-      s"""$cur AS (
-         |  SELECT doc_id, min(label) AS label FROM (
-         |    SELECT doc_id, label FROM $prev
-         |    UNION ALL
-         |    SELECT e.doc_a AS doc_id, l.label FROM edges e JOIN $prev l ON e.doc_b = l.doc_id)
-         |  GROUP BY doc_id)""".stripMargin
-    val rounds = (1 to PropRounds)
-      .map(r => round(if (r == 1) "l0" else s"l${r - 1}", s"l$r")).mkString(",\n")
+  private val propagationCteSql: String =
     s"""$minhashCte,
        |$minhashBandsCteSql,
        |${candCteSql("bands", "doc_id", "doc_a", "doc_b")},
@@ -477,15 +513,18 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM cand
        |  UNION ALL
        |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
-       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |$rounds""".stripMargin
-  }
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.doc_a AS doc_id, r.label
+       |  FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
+       |labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)""".stripMargin
 
   val qDedupComponentsSql: String =
-    s"""WITH $propagationCteSql
+    s"""WITH RECURSIVE $propagationCteSql
        |SELECT label AS component, count(*) AS cluster_size,
        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
-       |FROM l$PropRounds
+       |FROM labels
        |GROUP BY label
        |HAVING count(*) > 1
        |ORDER BY component""".stripMargin
@@ -512,13 +551,13 @@ object Dedup {
   }
 
   val qKeeperByQualitySql: String =
-    s"""WITH $propagationCteSql,
+    s"""WITH RECURSIVE $propagationCteSql,
        |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents),
        |ranked AS (
        |  SELECT l.label, l.doc_id, q.n_words,
        |    count(*) OVER (PARTITION BY l.label) AS cluster_size,
        |    row_number() OVER (PARTITION BY l.label ORDER BY q.n_words DESC, l.doc_id) AS rk
-       |  FROM l$PropRounds l JOIN q ON l.doc_id = q.doc_id)
+       |  FROM labels l JOIN q ON l.doc_id = q.doc_id)
        |SELECT label AS component, cluster_size, doc_id AS keeper, n_words AS keeper_words
        |FROM ranked
        |WHERE rk = 1 AND cluster_size > 1

@@ -65,6 +65,26 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.head.getString(2) == "5,9,11")
   }
 
+  test("large-star/small-star clusters a diameter-5 chain into one component") {
+    // a path graph 1-2-3-4-5-6 (diameter 5) provably splits under the old
+    // fixed 3-round min-label propagation; the converged alternation must
+    // produce ONE component labeled by the minimum
+    import spark.implicits._
+    val ids = (1L to 6L).toDF("id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.componentLabels(ids, "id", chain, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == (1L to 6L).map(_ -> 1L).toMap)
+
+    // two components + a singleton, fed in reversed/mixed edge order
+    val ids2 = (1L to 7L).toDF("id")
+    val edges2 = Seq((4L, 3L), (1L, 2L), (6L, 5L), (3L, 2L)).toDF("a", "b")
+    val labels2 = Dedup.componentLabels(ids2, "id", edges2, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("parameterized library API: maxBucket and threshold are real knobs") {
     import spark.implicits._
     val dup = "a small near duplicate cluster with its own distinct shingle stream here"
