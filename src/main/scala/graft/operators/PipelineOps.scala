@@ -106,26 +106,51 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination: training docs sharing >= ContamMinShared
-    * distinct k-grams with the (deterministic) benchmark subset are flagged.
-    * The benchmark n-gram set is SMALL — broadcast it, so the training scan
-    * is shuffle-free on its big side. (k=3 suits this synthetic corpus;
-    * real pipelines use 8-13-gram overlap — the parameter is the knob.)
+    * distinct RARE k-grams with the (deterministic) benchmark subset are
+    * flagged. The benchmark n-gram set is SMALL — broadcast it, so the
+    * training scan is shuffle-free on its big side. (k=3 suits this
+    * synthetic corpus; real pipelines use 8-13-gram overlap — the parameter
+    * is the knob.)
+    *
+    * Scale guard: a stop-gram in the benchmark set ("the quick brown")
+    * would match nearly every training doc, fanning the per-doc shuffle out
+    * to the whole corpus. A pre-pass counts each benchmark gram's
+    * training-side document frequency — the groupBy keys are bounded by the
+    * broadcast gram set and partial-agg'd map-side, so the pre-pass
+    * shuffles at most |benchmark grams| rows — and only grams with
+    * df <= ContamMaxDf join into the per-doc aggregation. A stop-gram is a
+    * noise signal for contamination anyway: sharing it says nothing.
     */
   private val ContamK = 3
   private val ContamMinShared = 3
+  private[operators] val ContamMaxDf = 50
+
+  /** Library form: flag docs in `train` sharing >= minShared distinct
+    * k-grams (each with training-corpus df <= maxDf) with `benchmark`.
+    * Both frames need (id, text).
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int = ContamK, minShared: Int = ContamMinShared,
+      maxDf: Int = ContamMaxDf): DataFrame = {
+    val evalGrams = benchmark
+      .select(explode(array_distinct(shingles(words(col(textCol)), k))).as("eg"))
+      .distinct()
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(shingles(words(col(textCol)), k))).as("tg"))
+    val rare = trainGrams.join(broadcast(evalGrams), col("tg") === col("eg"))
+      .groupBy(col("eg")).agg(count(lit(1)).as("df")) // grams pre-distinct per doc
+      .filter(col("df") <= maxDf)
+      .select(col("eg"))
+    trainGrams.join(broadcast(rare), col("tg") === col("eg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        array_distinct(shingles(words(col("text")), ContamK)).as("g"))
-    val evalGrams = d.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("g")).as("eg")).distinct()
-    val train = d.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), explode(col("g")).as("tg"))
-    train.join(broadcast(evalGrams), col("tg") === col("eg"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
-      .filter(col("n_shared") >= ContamMinShared)
+    decontaminate(d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0), "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 
@@ -134,9 +159,11 @@ object PipelineOps {
     s"""WITH d AS (SELECT doc_id, list_distinct($sh) AS g
        |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
        |ev AS (SELECT DISTINCT unnest(g) AS eg FROM d WHERE doc_id % 97 = 0),
-       |tr AS (SELECT doc_id, unnest(g) AS tg FROM d WHERE doc_id % 97 <> 0)
+       |tr AS (SELECT doc_id, unnest(g) AS tg FROM d WHERE doc_id % 97 <> 0),
+       |dfc AS (SELECT eg, count(*) AS df FROM tr JOIN ev ON tg = eg GROUP BY eg),
+       |rare AS (SELECT eg FROM dfc WHERE df <= $ContamMaxDf)
        |SELECT doc_id, count(*) AS n_shared
-       |FROM tr JOIN ev ON tg = eg
+       |FROM tr JOIN rare ON tg = eg
        |GROUP BY doc_id
        |HAVING count(*) >= $ContamMinShared
        |ORDER BY doc_id""".stripMargin

@@ -45,6 +45,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flagged.forall(r => r.getLong(0) % 97 != 0 && r.getLong(1) >= 3))
   }
 
+  test("decontamination ignores stop-grams: corpus-wide grams never flag docs") {
+    import spark.implicits._
+    // every training doc shares the stop-gram phrase; only docs 1-3 share
+    // the genuinely rare benchmark passage
+    val stop = "lorem ipsum dolor sit amet consectetur"
+    val rare = "zebra quark nebula fjord glyph vortex umbra"
+    val bench = Seq((100L, s"$stop $rare")).toDF("id", "text")
+    val train = ((1L to 3L).map(i => (i, s"$stop $rare padding$i")) ++
+      (4L to 60L).map(i => (i, s"$stop unrelated content number$i here")))
+      .toDF("id", "text")
+    val flagged = PipelineOps.decontaminate(train, bench, "id", "text", maxDf = 10)
+      .collect().map(_.getLong(0)).toSet
+    // the stop-gram's df (60) exceeds the cap, so docs 4-60 (which share
+    // ONLY stop-grams with the benchmark) are not flagged
+    assert(flagged == Set(1L, 2L, 3L), s"got $flagged")
+    // without the cap the stop-gram alone meets minShared for all docs
+    val uncapped = PipelineOps.decontaminate(train, bench, "id", "text",
+      maxDf = Int.MaxValue).count()
+    assert(uncapped > 3)
+  }
+
   test("dedup-apply output contains no exact duplicates") {
     val kept = PipelineOps.qDedupApply(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
