@@ -41,6 +41,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(4L).width == (p4(0) & 0xff) * 4)
   }
 
+  test("real dHash: near-identical images collide via the embedding near-dup path") {
+    import spark.implicits._
+    def gradient(tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (x * 4) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (tweak) img.setRGB(10, 10, 0xffffff) // one-pixel difference
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def stripes: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if ((x / 4) % 2 == 0) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    val meta = graft.multimodal.MediaPipeline.decodeMeta(
+      Seq((1L, gradient(false)), (2L, gradient(true)), (3L, stripes))
+        .toDF("media_id", "payload"))
+
+    // the hash is real and pixel-derived: one tweaked pixel moves at most a
+    // couple of bits; a different pattern moves many
+    val byId = meta.collect().map(m => m.media_id -> m).toMap
+    val h1 = byId(1L).dhash.get
+    val h2 = byId(2L).dhash.get
+    val h3 = byId(3L).dhash.get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4,
+      s"near-identical hamming ${java.lang.Long.bitCount(h1 ^ h2)}")
+    assert(java.lang.Long.bitCount(h1 ^ h3) >= 8,
+      s"distinct hamming ${java.lang.Long.bitCount(h1 ^ h3)}")
+
+    // the ±1 feature vectors feed the EXISTING embedding near-dup operator:
+    // the near-identical pair is the only candidate that survives
+    val pairs = Dedup.embeddingNearDupPairs(
+        meta.toDF().select(col("media_id"), col("features")),
+        "media_id", "features", dim = 64, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("pngDim column expression reads the IHDR width/height") {
     import spark.implicits._
     val df = Seq(
