@@ -136,6 +136,36 @@ object Similarity {
        |LIMIT 5""".stripMargin
   }
 
+  /** Materialize the signature-partitioned ANN layout the probe queries
+    * assume at scale: vectors written under one directory per LSH
+    * signature (`sig=<k>/`), repartitioned on sig so each bucket is one
+    * file. A probe then prunes to its bucket directories at PLANNING time —
+    * a single-partition read for one probe key, NPlanes+1 partitions for
+    * multi-probe — instead of scanning the index (PlanShapeSpec asserts the
+    * pruned file counts).
+    */
+  def writeSigPartitioned(embeddings: DataFrame, outDir: String,
+      planes: Int = NPlanes, dim: Int = Dim): Unit =
+    embeddings
+      .withColumn("sig", graft.plans.LshSigExpr.lshSigNative(col("embedding"), planes, dim))
+      .repartition(col("sig"))
+      .write.mode("overwrite").partitionBy("sig").parquet(outDir)
+
+  /** Top-k exact-cosine search against a signature-partitioned index for a
+    * literal probe-key list (the query's own bucket, plus flipped-bit
+    * buckets for multi-probe). Literal keys -> static partition pruning.
+    */
+  def searchSigPartitioned(s: SparkSession, indexDir: String,
+      queryVec: Array[Double], probeSigs: Seq[Long], k: Int = 5): DataFrame = {
+    val qe = lit(queryVec)
+    s.read.parquet(indexDir)
+      .filter(col("sig").isin(probeSigs: _*))
+      .select(col("vec_id"), col("label"), col("sig"),
+        cosine(col("embedding"), qe.cast("array<float>")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-style assignment: centroid per label (re-scaled to exact ints),
     * assign each vector to its nearest centroid by exact squared L2.
     * This is the coarse-quantizer step of IVF ANN: at scale the centroid

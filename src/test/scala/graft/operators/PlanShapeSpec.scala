@@ -19,6 +19,44 @@ class PlanShapeSpec extends AnyFunSuite {
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  test("signature-partitioned ANN layout prunes probe scans to probed buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sig-part").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    Similarity.writeSigPartitioned(e, dir)
+    val nBuckets = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("sig="))
+    assert(nBuckets > 2, s"need several buckets for the test, got $nBuckets")
+
+    // query = vec 0's signature, computed once driver-side (control plane)
+    val qRow = spark.read.parquet(dir).filter(col("vec_id") === 0)
+      .select(col("sig"), col("embedding")).head()
+    val qSig = qRow.getAs[Number](0).longValue // partition col reads back as int
+    val qVec = qRow.getSeq[Float](1).map(_.toDouble).toArray
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "no file scan in plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    // single probe: exactly the query's bucket directory (one file: the
+    // writer repartitions on sig)
+    val single = Similarity.searchSigPartitioned(spark, dir, qVec, Seq(qSig))
+    assert(scannedFiles(single) == 1L)
+
+    // multi-probe: the 9 probe keys select at most 9 buckets (fewer when a
+    // flipped signature has no vectors), never the whole index
+    val probes = qSig +: (0 until 8).map(j => qSig ^ (1L << j))
+    val multi = Similarity.searchSigPartitioned(spark, dir, qVec, probes)
+    val mf = scannedFiles(multi)
+    assert(mf >= 1L && mf <= 9L && mf < nBuckets,
+      s"multi-probe scanned $mf of $nBuckets buckets")
+  }
+
   test("no query plan contains a cartesian product or nested-loop join on big sides") {
     // BroadcastNestedLoopJoin with a one-row build side is fine (the ivf
     // argmin); CartesianProduct is never fine
