@@ -576,9 +576,12 @@ final class Hdf5File(bytes: Array[Byte]) {
     * replaces the v1 B-tree with one of five chunk indexes. Supported:
     * Single Chunk (1, filtered or not), Implicit (2, contiguous equal-size
     * unfiltered chunks in row-major grid order), Fixed Array (3,
-    * single-page, unfiltered or filtered client). Extensible Array (4) and
-    * v2 B-tree (5) belong to resizable datasets ODIM never writes —
-    * fail-fast.
+    * single-page, unfiltered or filtered client), Extensible Array (4,
+    * unfiltered client; elements reachable from the index block — inline
+    * plus directly-addressed data blocks — which covers hundreds of chunks
+    * at libhdf5's default cparams; secondary blocks and paged data blocks
+    * fail fast). v2 B-tree (5) belongs to heavily-appended resizable
+    * datasets — fail-fast.
     */
   private def layoutV4Bytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
       dims: Array[Long]): Array[Byte] = {
@@ -676,6 +679,66 @@ final class Hdf5File(bytes: Array[Byte]) {
               }
               place(data, i)
               i += 1
+            }
+          case 4 =>
+            // extensible array (resizable datasets): EAHD header -> EAIB
+            // index block; element i = chunk i in row-major grid order.
+            // The first idxBlkElmts elements are inline in the index block;
+            // the rest live in data blocks addressed directly from it, with
+            // the published doubling pattern (super block u holds 2^(u/2)
+            // blocks of minElmts*2^((u+1)/2) elements; super blocks 0 until
+            // 2*log2(minPtrs) are index-block-direct). Secondary blocks and
+            // paged data blocks fail fast.
+            require(!gzip, "filtered extensible array unsupported")
+            val eahd = offAt(q + 5).toInt // 5 cparam bytes precede the addr
+            require(ascii(eahd, 4) == "EAHD", s"expected EAHD @ $eahd")
+            require(u8(eahd + 5) == 0, "filtered extensible-array client unsupported")
+            val entrySize = u8(eahd + 6)
+            require(entrySize == offsetSize,
+              s"EA element size $entrySize != offset size $offsetSize")
+            val maxBits = u8(eahd + 7)
+            val idxBlkElmts = u8(eahd + 8)
+            val minElmts = u8(eahd + 9)
+            val minPtrs = u8(eahd + 10)
+            val pageBits = u8(eahd + 11)
+            val eaib = offAt(eahd + 12 + 6 * lengthSize).toInt // after 6 stats
+            require(ascii(eaib, 4) == "EAIB", s"expected EAIB @ $eaib")
+            val inlineAt = eaib + 6 + offsetSize // sig + ver + client + hdr addr
+            val nChunks = gridDims.product
+            var next = 0
+            while (next < math.min(idxBlkElmts, nChunks)) {
+              place(bytes.slice(offAt(inlineAt + next * offsetSize).toInt,
+                offAt(inlineAt + next * offsetSize).toInt + chunkBytes), next)
+              next += 1
+            }
+            // directly-addressed data blocks: capacity sequence from cparams
+            val nsblksDirect = 2 * (31 - Integer.numberOfLeadingZeros(minPtrs))
+            val dblkCaps = (0 until nsblksDirect).flatMap { u =>
+              Seq.fill(1 << (u / 2))(minElmts << ((u + 1) / 2))
+            }
+            val dblkAddrAt = inlineAt + idxBlkElmts * offsetSize
+            val blockOffSize = (maxBits + 7) / 8
+            var slot = 0
+            while (next < nChunks) {
+              require(slot < dblkCaps.length,
+                "extensible-array secondary blocks unsupported")
+              val dblkAddr = offAt(dblkAddrAt + slot * offsetSize)
+              require(!undef(dblkAddr),
+                s"EA data block $slot unallocated but chunks remain")
+              val db = dblkAddr.toInt
+              require(ascii(db, 4) == "EADB", s"expected EADB @ $db")
+              val cap = dblkCaps(slot)
+              require(cap <= (1 << pageBits), "paged EA data block unsupported")
+              val elemAt = db + 6 + offsetSize + blockOffSize
+              var i = 0
+              while (i < cap && next < nChunks) {
+                val addr = offAt(elemAt + i * offsetSize)
+                require(!undef(addr), s"EA element $next unallocated")
+                place(bytes.slice(addr.toInt, addr.toInt + chunkBytes), next)
+                i += 1
+                next += 1
+              }
+              slot += 1
             }
           case t => sys.error(s"unsupported v4 chunk index type $t")
         }

@@ -171,6 +171,40 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(back.isInteger)
   }
 
+  test("v4 layout: extensible-array index, all elements inline in the index block") {
+    // 4 chunks = libhdf5's default idx_blk_elmts, so no data blocks exist
+    val dims = Array(8L, 4L)
+    val values = Array.tabulate(32)(i => (i * 7 + 2).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = false, elemSize = 8,
+      chunkDims = Some(Array(2L, 4L)), layoutV4 = Some(4))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
+  }
+
+  test("v4 layout: extensible-array index spills into doubling data blocks") {
+    // 60 chunks: 4 inline + data blocks of 16, 32, then 8 of the first
+    // 32-capacity block of super block 2 — exercises the doubling pattern
+    // and partially-filled blocks
+    val dims = Array(120L)
+    val values = Array.tabulate(120)(i => (i * 3 - 50).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(4))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("v4 layout: extensible-array index with 2-D edge-clipped chunks") {
+    val dims = Array(9L, 7L)
+    val values = Array.tabulate(63)(i => (200 - i * 2).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L, 3L)), layoutV4 = Some(4))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    // 5x3 = 15 chunks: 4 inline + 11 in the first data block
+    assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
+  }
+
   test("3-D chunked dataset places chunks by full coordinates") {
     val dims = Array(4L, 3L, 5L)
     val values = Array.tabulate(60)(i => (100 - i).toDouble)

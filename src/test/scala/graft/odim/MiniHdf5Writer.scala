@@ -474,9 +474,65 @@ object MiniHdf5Writer {
         o.u32(0) // checksum
         o.patch64(fahdPatch, fahdAddr)
         fahdAddr
+      case 4 => // extensible array: chunks -> EADB data blocks -> EAIB -> EAHD
+        val maxBits = 32; val idxElmts = 4; val minElmts = 16
+        val minPtrs = 4; val pageBits = 10 // libhdf5 default cparams
+        val chunkAddrs = offsets.map { off =>
+          val a = o.pos.toLong
+          o.bytes(chunkBlock(d, cd, off))
+          a
+        }
+        val inline = chunkAddrs.take(idxElmts)
+        val rest = chunkAddrs.drop(idxElmts)
+        // directly-addressed data blocks: super block u holds 2^(u/2)
+        // blocks of minElmts*2^((u+1)/2) elements, u < 2*log2(minPtrs)
+        val nsblksDirect = 2 * (31 - Integer.numberOfLeadingZeros(minPtrs))
+        val dblkCaps = (0 until nsblksDirect).flatMap(u =>
+          Seq.fill(1 << (u / 2))(minElmts << ((u + 1) / 2)))
+        require(rest.length <= dblkCaps.sum,
+          "writer: EA secondary blocks unsupported (too many chunks)")
+        var consumed = 0
+        val hdrPatches = Seq.newBuilder[Int]
+        val dblkAddrs = Seq.newBuilder[Long]
+        var slot = 0
+        while (consumed < rest.length) {
+          val cap = dblkCaps(slot)
+          val addr = o.pos.toLong
+          o.ascii("EADB"); o.u8(0); o.u8(0) // version, client 0
+          hdrPatches += o.pos
+          o.u64(0)                          // header address (patched)
+          o.u32((idxElmts + consumed).toLong) // block offset, maxBits/8 = 4 bytes
+          val take = rest.slice(consumed, consumed + cap)
+          take.foreach(o.u64)
+          (take.length until cap).foreach(_ => o.u64(Undef)) // unallocated
+          o.u32(0)                          // checksum
+          dblkAddrs += addr
+          consumed += take.length
+          slot += 1
+        }
+        val eaibAddr = o.pos.toLong
+        o.ascii("EAIB"); o.u8(0); o.u8(0)
+        hdrPatches += o.pos
+        o.u64(0) // header address (patched)
+        inline.foreach(o.u64)
+        (inline.length until idxElmts).foreach(_ => o.u64(Undef))
+        val dblks = dblkAddrs.result()
+        dblks.foreach(o.u64)
+        (dblks.length until dblkCaps.length).foreach(_ => o.u64(Undef))
+        o.u32(0) // checksum
+        val eahdAddr = o.pos.toLong
+        o.ascii("EAHD"); o.u8(0); o.u8(0) // version, client 0
+        o.u8(8)        // element size (one 8-byte address)
+        o.u8(maxBits); o.u8(idxElmts); o.u8(minElmts); o.u8(minPtrs); o.u8(pageBits)
+        (0 until 6).foreach(_ => o.u64(0)) // stats
+        o.u64(eaibAddr)
+        o.u32(0) // checksum
+        hdrPatches.result().foreach(p => o.patch64(p, eahdAddr))
+        eahdAddr
       case t => sys.error(s"writer: unsupported v4 index type $t")
     }
-    val b = ByteBuffer.allocate(5 + 4 * rank + 1 + (if (idxType == 3) 1 else 0) + 8)
+    val extra = idxType match { case 3 => 1; case 4 => 5; case _ => 0 }
+    val b = ByteBuffer.allocate(5 + 4 * rank + 1 + extra + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     b.put(4.toByte); b.put(2.toByte) // version 4, chunked
     b.put(0.toByte)                  // flags
@@ -485,6 +541,10 @@ object MiniHdf5Writer {
     cd.foreach(c => b.putInt(c.toInt))
     b.put(idxType.toByte)
     if (idxType == 3) b.put(10.toByte) // page bits
+    if (idxType == 4) { // cparams: maxBits, idxElmts, minPtrs, minElmts, pageBits
+      b.put(32.toByte); b.put(4.toByte); b.put(4.toByte)
+      b.put(16.toByte); b.put(10.toByte)
+    }
     b.putLong(addrField)
     b.array()
   }
