@@ -59,13 +59,22 @@ object OdimStream {
     * the batch alone — matching the reference, which re-lists and re-converts
     * the full day folder on any change (vph5_to_vpts.py:159-202).
     */
+  /** `afterRebuild` is a test seam invoked with the batch id AFTER the day
+    * rebuild but BEFORE the checkpoint commits — throwing from it simulates
+    * a crash at the worst possible point (effect applied, progress not
+    * recorded). Exactly-once then rests on the rebuild being IDEMPOTENT:
+    * the replayed batch re-lists the prefix and dynamic-partition-overwrites
+    * whole days, so re-applying it converges to the same lake state
+    * (StreamingSpec injects exactly this failure and proves counts match).
+    */
   def writeToLake(spark: SparkSession, inDir: String, lakeDir: String,
-      checkpoint: String): Unit = {
+      checkpoint: String, afterRebuild: Long => Unit = _ => ()): Unit = {
     val q = vptsStream(spark, inDir).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) rebuildAffectedDays(batch.toDF(), inDir, lakeDir)
+        afterRebuild(batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

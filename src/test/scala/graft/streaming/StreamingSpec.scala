@@ -106,6 +106,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("source_file").distinct().count() == 2)
   }
 
+  test("streaming lake exactly-once: crash after rebuild, restart replays idempotently") {
+    val lake = java.nio.file.Files.createTempDirectory("xolake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("xockpt").toString
+    val in = java.nio.file.Files.createTempDirectory("xoin")
+    val src = java.nio.file.Paths.get("/root/reference/tests/data/vp/bejab/2022/11/11")
+    val files = java.nio.file.Files.list(src).sorted.toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+    java.nio.file.Files.copy(files(0), in.resolve(files(0).getFileName))
+
+    // crash at the worst point: day rebuild applied, checkpoint NOT
+    // committed — the batch will replay on restart
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      OdimStream.writeToLake(spark, in.toString, lake, ckpt,
+        afterRebuild = _ =>
+          if (crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash before checkpoint commit"))
+    }
+    assert(ex.getMessage.contains("injected crash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("injected crash")))
+    // the effect landed before the crash (this is what makes the retry a
+    // true replay, not a first run)
+    assert(graft.lake.VptsLakeWriter.read(spark, lake).count() == 25)
+
+    // restart from the same checkpoint: the uncommitted batch replays, the
+    // idempotent whole-day rebuild converges to the same state — no
+    // duplicated and no lost rows vs the batch conversion
+    OdimStream.writeToLake(spark, in.toString, lake, ckpt)
+    val afterReplay = graft.lake.VptsLakeWriter.read(spark, lake)
+    assert(afterReplay.count() == 25)
+    val batchRows = graft.vpts.Vpts
+      .vpts(spark, Seq(in.resolve(files(0).getFileName).toString), failFast = false)
+      .count()
+    assert(afterReplay.count() == batchRows)
+
+    // a later file still merges (checkpoint advanced past the replay)
+    java.nio.file.Files.copy(files(1), in.resolve(files(1).getFileName))
+    OdimStream.writeToLake(spark, in.toString, lake, ckpt)
+    assert(graft.lake.VptsLakeWriter.read(spark, lake).count() == 50)
+  }
+
   test("media pipeline: typed decode plumbing is deterministic and complete") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
