@@ -25,6 +25,24 @@ object ScalePatterns {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Targeted salting — the production form: only `hotKeys` (known from a
+    * stats pass or domain knowledge) are spread over saltFactor reducers;
+    * cold keys keep salt 0, so the dimension replication cost is
+    * |hotKeys| x saltFactor extra rows, not |dim| x saltFactor. Join output
+    * is identical to the plain join; only the partitioning changes.
+    */
+  def saltedJoinHot(skewed: DataFrame, dim: DataFrame, key: String,
+      hotKeys: Seq[Any], saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      when(col(key).isin(hotKeys: _*),
+        pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+        .otherwise(lit(0)))
+    val replicated = dim.withColumn("__salt",
+      explode(when(col(key).isin(hotKeys: _*),
+        sequence(lit(0), lit(saltFactor - 1))).otherwise(array(lit(0)))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   def saltedGroupCount(df: DataFrame, key: String, saltFactor: Int): DataFrame =
     df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
       .groupBy(col(key), col("__salt"))

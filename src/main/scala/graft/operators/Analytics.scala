@@ -299,8 +299,59 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Skew-demonstration pair: identical semantics, the key space is
+    * deliberately degenerate (every even l_orderkey folds to key 0, so one
+    * key carries ~50% of lineitem). Both variants pin a sort-merge join
+    * (the plan class AQE's skew splitting and broadcast would otherwise
+    * rescue — the point is the partitioning pattern, not the planner).
+    * Unsalted, the hot key's entire join output — including the per-row
+    * digest work — lands on ONE reducer; the salted variant spreads key 0
+    * over 16 reducers via [[graft.functions.ScalePatterns.saltedJoinHot]]
+    * and must win wall-clock (the bench runs both).
+    */
+  private def skewFact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 2 === 0, 0L).otherwise(col("l_orderkey")).as("skew_key"),
+      cents(col("l_extendedprice")).cast("long").as("cents"))
+
+  private def skewDim(s: SparkSession, dir: String): DataFrame =
+    skewFact(s, dir).select(col("skew_key")).distinct()
+      .withColumn("payload", md5(col("skew_key").cast("string").cast("binary")))
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined
+      .groupBy((col("skew_key") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")) / 100.0).as("sum_price"),
+        max(md5(concat_ws("|", col("payload"), col("cents")).cast("binary"))).as("digest"))
+      .orderBy(col("bucket"))
+
+  def qSkewJoinUnsalted(s: SparkSession, dir: String): DataFrame =
+    skewAgg(skewFact(s, dir).hint("merge").join(skewDim(s, dir), Seq("skew_key")))
+
+  def qSkewJoinSalted(s: SparkSession, dir: String): DataFrame =
+    skewAgg(graft.functions.ScalePatterns.saltedJoinHot(
+      skewFact(s, dir).hint("merge"), skewDim(s, dir), "skew_key",
+      hotKeys = Seq(0L), saltFactor = 16))
+
+  val qSkewJoinSql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS skew_key,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (SELECT DISTINCT skew_key FROM fact),
+      |dimp AS (SELECT skew_key, md5(CAST(skew_key AS VARCHAR)) AS payload FROM dim)
+      |SELECT skew_key % 16 AS bucket, count(*) AS n,
+      |  sum(cents) / 100.0 AS sum_price,
+      |  max(md5(payload || '|' || CAST(cents AS VARCHAR))) AS digest
+      |FROM fact JOIN dimp USING (skew_key)
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_quantiles", qQuantiles, Some(qQuantilesSql)),
+    QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
+    QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),

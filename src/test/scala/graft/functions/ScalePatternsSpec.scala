@@ -27,6 +27,32 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("targeted salting: identical results, hot key spread over salted partitions") {
+    import graft.operators.Analytics
+    // semantics: the salted variant is row-identical to the unsalted one
+    val un = Analytics.qSkewJoinUnsalted(spark, sfDir).collect().map(_.toSeq)
+    val sa = Analytics.qSkewJoinSalted(spark, sfDir).collect().map(_.toSeq)
+    assert(un.toSeq == sa.toSeq)
+
+    // plan: both pin a sort-merge join; the salted exchange keys include
+    // __salt, which is what spreads key 0 over 16 reducers
+    val unPlan = Analytics.qSkewJoinUnsalted(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val saPlan = Analytics.qSkewJoinSalted(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(unPlan.contains("SortMergeJoin") && saPlan.contains("SortMergeJoin"))
+    assert(!unPlan.contains("__salt") && saPlan.contains("__salt"))
+
+    // the spread is real: the hot key's fact rows occupy >= 8 distinct
+    // (key, salt) partitions under the salted scheme
+    val fact = graft.Tables.lineitem(spark, sfDir).select(
+      when(col("l_orderkey") % 2 === 0, 0L).otherwise(col("l_orderkey")).as("skew_key"))
+    val hotSalts = fact.filter(col("skew_key") === 0L)
+      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(16)))
+      .select(col("__salt")).distinct().count()
+    assert(hotSalts >= 8, s"hot key spread over only $hotSalts salt values")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // clean both catalog entries and leftover warehouse dirs (the in-memory
     // catalog forgets tables across JVMs but the directories persist)
