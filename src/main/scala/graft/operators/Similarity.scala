@@ -295,15 +295,18 @@ object Similarity {
     for (it <- 1 to KmIters) {
       val centArr = cents
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+      // native one-loop argmin (ArgminL2Expr): the declarative
+      // array_min-over-transform form pays K*dim interpreted closure calls
+      // per row and dominated the assign pass
       assigned = e.crossJoin(broadcast(centArr))
-        .withColumn("best", array_min(transform(col("cents"), c =>
-          struct(
-            aggregate(zip_with(col("v"), c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
-              lit(0.0d), (acc, x) => acc + x).as("dist"),
-            c.getField("c_id").as("c_id")))))
+        .withColumn("best",
+          graft.plans.ArgminL2Expr.argminL2(col("v"), col("cents")))
         .select(col("vec_id"), col("v"),
           col("best.c_id").as("c"), col("best.dist").as("dist"))
       if (it < KmIters) {
+        // materialize the (K-row) centroid update eagerly: without the
+        // checkpoint every later iteration's broadcast subtree re-executes
+        // ALL earlier assign passes (lineage grows quadratically in iters)
         cents = assigned
           .select(col("c"), posexplode(col("v")).as(Seq("i", "x")))
           .groupBy(col("c"), col("i"))
@@ -311,6 +314,7 @@ object Similarity {
           .groupBy(col("c"))
           .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
           .select(col("c").as("c_id"), expr("transform(im, p -> p.m)").as("cv"))
+          .localCheckpoint()
       }
     }
     assigned.select(col("vec_id"), col("c").as("cluster"), col("dist"))
@@ -351,6 +355,6 @@ object Similarity {
     QueryDef("q_ann_ivf_search", qAnnIvfSearch, Some(qAnnIvfSearchSql)),
     QueryDef("q_ann_lsh_search", qAnnLshSearch, Some(qAnnLshSearchSql)),
     QueryDef("q_ann_lsh_multiprobe", qAnnLshMultiprobe, Some(qAnnLshMultiprobeSql)),
-    QueryDef("q_ann_kmeans", qAnnKmeans, Some(qAnnKmeansSql)),
+    QueryDef("q_ann_kmeans", qAnnKmeans, Some(qAnnKmeansSql), bench = true),
   )
 }

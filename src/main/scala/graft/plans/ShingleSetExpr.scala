@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native DISTINCT k-word shingle set: equivalent to
+  * `array_distinct(shingles(words(text), k))` (TextFunctions) but one
+  * compiled loop instead of four interpreted higher-order functions — the
+  * declarative chain is ~10x slower per corpus pass and dominates every
+  * operator that needs exact shingle sets at scale (n-gram Jaccard,
+  * decontamination). Output order is first occurrence; the consumers are
+  * order-insensitive (sizes, intersections, explode-then-aggregate), and
+  * the DuckDB twins' list_distinct has the same first-occurrence order
+  * anyway.
+  *
+  * Codegen: direct `compute(value)` call on the expression object (no
+  * CodegenFallback row materialization), same pattern as
+  * [[MinhashSigExpr]].
+  */
+case class ShingleSetExpr(child: Expression, k: Int = 3)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toString.split(' ')
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var w = 0
+      while (w < k) {
+        if (w > 0) sb.append(' ')
+        sb.append(words(i + w))
+        w += 1
+      }
+      seen.add(sb.toString): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this, classOf[ShingleSetExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleSetExpr {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column API: distinct k-word shingle set of a text column. */
+  def shingleSet(text: Column, k: Int = 3): Column =
+    GraftSqlBridge.column(ShingleSetExpr(GraftSqlBridge.expression(text), k))
+}

@@ -59,6 +59,40 @@ class ExprSpec extends AnyFunSuite {
     assert(native.sameElements(declarative))
   }
 
+  test("shingle_set and argmin_l2 match their declarative forms under forced codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val d = s2.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val native = d.select(col("doc_id"),
+        concat_ws("|", ShingleSetExpr.shingleSet(col("text"), 3)).as("sh"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val declarative = d.select(col("doc_id"),
+        concat_ws("|", array_distinct(shingles(words(col("text")), 3))).as("sh"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(native.sameElements(declarative))
+
+    val e = s2.read.parquet(s"$sfDir/embeddings.parquet").limit(30)
+      .select(col("vec_id"), graft.functions.EmbeddingFunctions.scaled(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    val nat = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), ArgminL2Expr.argminL2(col("v"), col("cents")).as("best"))
+      .orderBy("vec_id").collect().map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1)))
+    val dec = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(
+          aggregate(zip_with(col("v"), c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0d), (acc, x) => acc + x).as("dist"),
+          c.getField("c_id").as("c_id")))))
+      .select(col("vec_id"), col("best"))
+      .orderBy("vec_id").collect().map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1)))
+    assert(nat.sameElements(dec))
+  }
+
   test("resource descriptor matches the reference layout") {
     val dir = java.nio.file.Files.createTempDirectory("desc")
     graft.vpts.Vpts.writeResourceDescriptor(dir.resolve("vpts.csv").toString)
