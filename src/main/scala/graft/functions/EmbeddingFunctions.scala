@@ -30,8 +30,17 @@ object EmbeddingFunctions {
   def dotScaled(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  /** Cosine similarity of two raw float vectors via scaled-int arithmetic. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two raw float vectors via scaled-int arithmetic.
+    * Delegates to the native [[graft.plans.CosineExpr]] (one compiled loop);
+    * [[cosineDeclarative]] is the HOF formulation it is bit-identical to
+    * (ExprSpec pins the equivalence) — kept because zip_with/aggregate are
+    * CodegenFallback and pay ~3*dim interpreted closure calls per row.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineExpr.cosine(a, b)
+
+  /** The declarative twin of [[cosine]] (reference semantics). */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val sa = scaled(a); val sb = scaled(b)
     dotScaled(sa, sb) / (sqrt(dotScaled(sa, sa)) * sqrt(dotScaled(sb, sb)))
   }

@@ -91,6 +91,20 @@ class ExprSpec extends AnyFunSuite {
       .select(col("vec_id"), col("best"))
       .orderBy("vec_id").collect().map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1)))
     assert(nat.sameElements(dec))
+
+    // cosine: native == declarative bit-for-bit under forced codegen
+    val pairs = s2.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
+      .crossJoin(s2.read.parquet(s"$sfDir/embeddings.parquet").limit(3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val natCos = pairs.select(col("vec_id"), col("qid"),
+        graft.plans.CosineExpr.cosine(col("embedding"), col("qe")).as("c"))
+      .orderBy("vec_id", "qid").collect().map(_.getDouble(2))
+    val decCos = pairs.select(col("vec_id"), col("qid"),
+        graft.functions.EmbeddingFunctions.cosineDeclarative(col("embedding"), col("qe")).as("c"))
+      .orderBy("vec_id", "qid").collect().map(_.getDouble(2))
+    assert(natCos.length == 120 &&
+      natCos.zip(decCos).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) })
   }
 
   test("resource descriptor matches the reference layout") {
