@@ -580,8 +580,9 @@ final class Hdf5File(bytes: Array[Byte]) {
     * unfiltered client; elements reachable from the index block — inline
     * plus directly-addressed data blocks — which covers hundreds of chunks
     * at libhdf5's default cparams; secondary blocks and paged data blocks
-    * fail fast). v2 B-tree (5) belongs to heavily-appended resizable
-    * datasets — fail-fast.
+    * fail fast), v2 B-tree (5, depth-0 unfiltered: type-10 records place
+    * chunks by their recorded scaled offsets; filtered records and deeper
+    * trees fail fast).
     */
   private def layoutV4Bytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
       dims: Array[Long]): Array[Byte] = {
@@ -739,6 +740,22 @@ final class Hdf5File(bytes: Array[Byte]) {
                 next += 1
               }
               slot += 1
+            }
+          case 5 =>
+            // v2 B-tree chunk index (heavily-appended resizable datasets):
+            // depth-0 tree of type-10 records = chunk address + per-dim
+            // SCALED offsets (grid coordinates, u64 each). Chunks are
+            // placed by their recorded coordinates, so record order never
+            // matters. Filtered records (type 11) and deeper trees fail
+            // fast (btreeV2Records enforces depth 0).
+            require(!gzip, "filtered v2-btree chunk index unsupported")
+            val btAddr = offAt(q + 6) // node size(4) + split(1) + merge(1)
+            btreeV2Records(btAddr, 10).foreach { r =>
+              val addr = offAt(r)
+              val off = Array.tabulate(dims.length)(dd =>
+                u64(r + offsetSize + 8 * dd) * chunkDims(dd))
+              placeChunk(bytes.slice(addr.toInt, addr.toInt + chunkBytes),
+                dims, chunkDims, off, stride, elemSize, out)
             }
           case t => sys.error(s"unsupported v4 chunk index type $t")
         }

@@ -205,6 +205,17 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
   }
 
+  test("v4 layout: v2 B-tree chunk index places chunks by scaled offsets") {
+    val dims = Array(7L, 9L)
+    val values = Array.tabulate(63)(i => (i * 5 + 3).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(3L, 4L)), layoutV4 = Some(5))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
   test("3-D chunked dataset places chunks by full coordinates") {
     val dims = Array(4L, 3L, 5L)
     val values = Array.tabulate(60)(i => (100 - i).toDouble)

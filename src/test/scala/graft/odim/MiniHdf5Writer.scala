@@ -529,9 +529,19 @@ object MiniHdf5Writer {
         o.u32(0) // checksum
         hdrPatches.result().foreach(p => o.patch64(p, eahdAddr))
         eahdAddr
+      case 5 => // v2 B-tree: chunks, then BTLF/BTHD with type-10 records
+        val records = offsets.map { off =>
+          val addr = o.pos.toLong
+          o.bytes(chunkBlock(d, cd, off))
+          val b = ByteBuffer.allocate(8 + 8 * rank).order(ByteOrder.LITTLE_ENDIAN)
+          b.putLong(addr)
+          (0 until rank).foreach(i => b.putLong(off(i) / cd(i))) // scaled offsets
+          b.array()
+        }
+        writeBtreeV2(o, 10, records)
       case t => sys.error(s"writer: unsupported v4 index type $t")
     }
-    val extra = idxType match { case 3 => 1; case 4 => 5; case _ => 0 }
+    val extra = idxType match { case 3 => 1; case 4 => 5; case 5 => 6; case _ => 0 }
     val b = ByteBuffer.allocate(5 + 4 * rank + 1 + extra + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     b.put(4.toByte); b.put(2.toByte) // version 4, chunked
@@ -544,6 +554,9 @@ object MiniHdf5Writer {
     if (idxType == 4) { // cparams: maxBits, idxElmts, minPtrs, minElmts, pageBits
       b.put(32.toByte); b.put(4.toByte); b.put(4.toByte)
       b.put(16.toByte); b.put(10.toByte)
+    }
+    if (idxType == 5) { // node size (4), split percent, merge percent
+      b.putInt(512); b.put(100.toByte); b.put(40.toByte)
     }
     b.putLong(addrField)
     b.array()
