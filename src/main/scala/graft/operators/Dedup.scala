@@ -445,8 +445,9 @@ object Dedup {
     * hub's neighbor set never materializes in one row). The edge set is
     * `localCheckpoint`ed per round to cut lineage; on a cluster the
     * reliable `checkpoint(dir)` variant is the same call. Convergence is an
-    * EXACT edge-set stability check (count equality + one-sided exceptAll,
-    * which together imply multiset equality) — the fixpoint of the
+    * EXACT edge-set stability check in one action per round (signed
+    * union-groupBy: both sides are distinct sets, so the per-edge ±1 sum is
+    * zero everywhere iff the sets are equal) — the fixpoint of the
     * alternation is star graphs rooted at component minima, so stability
     * means labels are final. Round complexity is O(log^2 n) in theory,
     * 2-4 rounds on near-dup graphs in practice.
@@ -483,8 +484,12 @@ object Dedup {
         .select(col("m").as("u"), col("u").as("v"))
         .union(ssMin.select(col("m").as("u"), col("v")))
         .distinct().localCheckpoint()
-      val sameCount = smallStar.count() == edges.count()
-      converged = sameCount && smallStar.exceptAll(edges).isEmpty
+      // exact set-equality in ONE action: both sides are distinct edge
+      // sets, so the signed per-edge sum is zero everywhere iff equal
+      converged = edges.select(col("u"), col("v"), lit(-1L).as("s"))
+        .union(smallStar.select(col("u"), col("v"), lit(1L).as("s")))
+        .groupBy(col("u"), col("v")).agg(sum(col("s")).as("d"))
+        .filter(col("d") =!= 0).isEmpty
       edges = smallStar
       round += 1
     }
