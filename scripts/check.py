@@ -44,6 +44,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a Spark-side crash leaves no output dir; that must FAIL, not vanish
+    for name in sorted(oracles):
+        if not os.path.isdir(os.path.join(out, name)):
+            print(f"FAIL {name}: no Spark dump (query crashed?)")
+            n_fail += 1
     for name in sorted(os.listdir(out)):
         d = os.path.join(out, name)
         if not os.path.isdir(d):

@@ -26,6 +26,16 @@ object Gate {
       println(s"[gate] verify dump: $sf -> $out")
       deleteRecursively(new java.io.File(out))
       Verify.main(Array(sf, out))
+      // a query that CRASHES writes no output dir; check.py only compares
+      // dirs that exist, so a missing dump must fail the gate explicitly
+      // or a Spark-side regression would go green vacuously
+      val missing = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(n => new java.io.File(s"$out/$n").isDirectory)
+      if (missing.nonEmpty) {
+        System.err.println(
+          s"[gate] MISSING DUMPS at $sf (query crashed?): ${missing.mkString(", ")}")
+        failed = true
+      }
       println(s"[gate] duckdb compare: $sf")
       val p = new ProcessBuilder("python3", "scripts/check.py", sf, out)
         .redirectErrorStream(true).start()

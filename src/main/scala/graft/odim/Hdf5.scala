@@ -708,8 +708,9 @@ final class Hdf5File(bytes: Array[Byte]) {
             val nChunks = gridDims.product
             var next = 0
             while (next < math.min(idxBlkElmts, nChunks)) {
-              place(bytes.slice(offAt(inlineAt + next * offsetSize).toInt,
-                offAt(inlineAt + next * offsetSize).toInt + chunkBytes), next)
+              val addr = offAt(inlineAt + next * offsetSize)
+              require(!undef(addr), s"EA inline element $next unallocated")
+              place(bytes.slice(addr.toInt, addr.toInt + chunkBytes), next)
               next += 1
             }
             // directly-addressed data blocks: capacity sequence from cparams

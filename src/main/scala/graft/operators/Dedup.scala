@@ -349,7 +349,9 @@ object Dedup {
     // shingle the FULL corpus and shuffle the big array columns — measured
     // 14.5s -> 4.4s at sf1 (members are a tiny fraction at any scale).
     val cand = bucketPairs(minhashBandRows(s, dir), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy: building the PLAN must not
+    // run the candidate jobs (explain/plan-audit consumers); first action
+    // materializes once, both branches below reuse it
     val members = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val d = Tables.documents(s, dir)

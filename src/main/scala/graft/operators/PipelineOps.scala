@@ -143,7 +143,8 @@ object PipelineOps {
     // alternative re-scans and re-shingles the whole training corpus for
     // the second aggregation (measured 24s -> 12s at sf1).
     val matched = trainGrams.join(broadcast(evalGrams), col("tg") === col("eg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy: plan construction stays free
+
     val rare = matched
       .groupBy(col("eg")).agg(count(lit(1)).as("df")) // grams pre-distinct per doc
       .filter(col("df") <= maxDf)

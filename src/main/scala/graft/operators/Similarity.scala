@@ -314,7 +314,8 @@ object Similarity {
           .groupBy(col("c"))
           .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
           .select(col("c").as("c_id"), expr("transform(im, p -> p.m)").as("cv"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false) // lazy: truncates lineage at first
+        // materialization without running jobs at plan-construction time
       }
     }
     assigned.select(col("vec_id"), col("c").as("cluster"), col("dist"))

@@ -62,10 +62,12 @@ case class CosineExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cosineExpr", this, classOf[CosineExpr].getName)
+    val r = ctx.freshName("cosRes") // fixed name would collide when two
+    // instances land in one generated function
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""Object r = $ref.compute($a, $b);
-         |${ev.isNull} = r == null;
-         |${ev.value} = ${ev.isNull} ? -1.0 : ((Double) r).doubleValue();""".stripMargin)
+      s"""Object $r = $ref.compute($a, $b);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : ((Double) $r).doubleValue();""".stripMargin)
   }
 
   override def nullable: Boolean = true

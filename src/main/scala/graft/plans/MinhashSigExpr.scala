@@ -37,22 +37,12 @@ case class MinhashSigExpr(child: Expression, k: Int = 3)
 
   def compute(input: UTF8String): ArrayData = {
     val text = input.toString
-    val words = text.split(' ')
+    val words = Tokenize.words(text)
     if (words.length < k) return null
     val md = md5
     // mins(j) holds the 8-char hex min for slot j
     val mins = Array.fill(8)("~~~~~~~~")
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i <= words.length - k) {
-      sb.setLength(0)
-      var w = 0
-      while (w < k) {
-        if (w > 0) sb.append(' ')
-        sb.append(words(i + w))
-        w += 1
-      }
-      val shingle = sb.toString
+    Tokenize.eachShingle(words, k) { shingle =>
       var seed = 0
       while (seed < 2) {
         md.reset()
@@ -76,7 +66,6 @@ case class MinhashSigExpr(child: Expression, k: Int = 3)
         }
         seed += 1
       }
-      i += 1
     }
     new GenericArrayData(mins.map(UTF8String.fromString): Array[Any])
   }

@@ -28,22 +28,10 @@ case class ShingleSetExpr(child: Expression, k: Int = 3)
   override def prettyName: String = "shingle_set"
 
   def compute(input: UTF8String): ArrayData = {
-    val words = input.toString.split(' ')
+    val words = Tokenize.words(input.toString)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i <= words.length - k) {
-      sb.setLength(0)
-      var w = 0
-      while (w < k) {
-        if (w > 0) sb.append(' ')
-        sb.append(words(i + w))
-        w += 1
-      }
-      seen.add(sb.toString): Unit
-      i += 1
-    }
+    Tokenize.eachShingle(words, k) { s => seen.add(s): Unit }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

@@ -27,7 +27,7 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
   def compute(input: UTF8String): Long = {
-    val words = input.toString.split(' ')
+    val words = Tokenize.words(input.toString)
     val votes = new Array[Int](64)
     var w = 0
     while (w < words.length) {

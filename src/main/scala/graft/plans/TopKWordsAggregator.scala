@@ -19,7 +19,7 @@ final class TopKWordsAggregator(k: Int, capacity: Int)
 
   override def reduce(buf: Map[String, Long], text: String): Map[String, Long] = {
     var m = buf
-    if (text != null) text.split(' ').foreach { w =>
+    if (text != null) Tokenize.words(text).foreach { w =>
       m = bump(m, w, 1L)
     }
     m

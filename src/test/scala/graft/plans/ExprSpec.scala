@@ -105,6 +105,40 @@ class ExprSpec extends AnyFunSuite {
     assert(natCos.length == 120 &&
       natCos.zip(decCos).forall { case (x, y) =>
         java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) })
+
+    // two cosines in ONE projection with non-nullable inputs: the codegen'd
+    // locals must not collide (fresh names), and both stay correct
+    import s2.implicits._
+    val two = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+      .select(graft.plans.CosineExpr.cosine(col("a"), col("b")).as("ab"),
+        graft.plans.CosineExpr.cosine(col("a"), col("c")).as("ac"))
+      .head()
+    assert(math.abs(two.getDouble(0) - 1.0) < 1e-12 && math.abs(two.getDouble(1)) < 1e-12)
+  }
+
+  test("native tokenization keeps trailing empty tokens like Spark split and DuckDB") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    // trailing/multiple spaces: Java's split(' ') would drop the trailing
+    // empty token and silently diverge from split(text, " ")/string_split
+    val df = Seq((1L, "alpha beta gamma "), (2L, "x  y z"), (3L, "a b c")).toDF("id", "text")
+    val native = df.select(col("id"),
+        concat_ws("|", ShingleSetExpr.shingleSet(col("text"), 3)).as("sh"),
+        concat_ws("|", MinhashSigExpr.minhashSig8Native(col("text"), 3)).as("mh"))
+      .orderBy("id").collect()
+    val declarative = df.select(col("id"),
+        concat_ws("|", array_distinct(shingles(words(col("text")), 3))).as("sh"),
+        concat_ws("|", minhashSig8(shingles(words(col("text")), 3))).as("mh"))
+      .orderBy("id").collect()
+    native.zip(declarative).foreach { case (n, d) =>
+      assert(n.getString(1) == d.getString(1), s"shingles diverge for id ${n.getLong(0)}")
+      assert(n.getString(2) == d.getString(2), s"minhash diverges for id ${n.getLong(0)}")
+    }
+    // the trailing-space doc really produces the extra ["gamma",""]-bearing
+    // shingle (i.e. the empty token was kept)
+    assert(native(0).getString(1).split("\\|").length == 2)
   }
 
   test("resource descriptor matches the reference layout") {
