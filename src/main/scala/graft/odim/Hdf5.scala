@@ -690,13 +690,24 @@ final class Hdf5File(bytes: Array[Byte]) {
             // blocks of minElmts*2^((u+1)/2) elements; super blocks 0 until
             // 2*log2(minPtrs) are index-block-direct). Secondary blocks and
             // paged data blocks fail fast.
-            require(!gzip, "filtered extensible array unsupported")
             val eahd = offAt(q + 5).toInt // 5 cparam bytes precede the addr
             require(ascii(eahd, 4) == "EAHD", s"expected EAHD @ $eahd")
-            require(u8(eahd + 5) == 0, "filtered extensible-array client unsupported")
+            val clientId = u8(eahd + 5)
             val entrySize = u8(eahd + 6)
-            require(entrySize == offsetSize,
-              s"EA element size $entrySize != offset size $offsetSize")
+            // client 0 = raw chunk addresses; client 1 = filtered elements
+            // (address + chunk byte size + 4-byte filter mask), mirroring
+            // the fixed-array clients
+            clientId match {
+              case 0 =>
+                require(!gzip, "unfiltered EA client but filter pipeline present")
+                require(entrySize == offsetSize,
+                  s"EA element size $entrySize != offset size $offsetSize")
+              case 1 =>
+                require(gzip, "filtered EA client but no deflate pipeline")
+                require(entrySize > offsetSize + 4,
+                  s"filtered EA element size $entrySize too small")
+              case c => sys.error(s"unsupported extensible-array client $c")
+            }
             val maxBits = u8(eahd + 7)
             val idxBlkElmts = u8(eahd + 8)
             val minElmts = u8(eahd + 9)
@@ -706,11 +717,23 @@ final class Hdf5File(bytes: Array[Byte]) {
             require(ascii(eaib, 4) == "EAIB", s"expected EAIB @ $eaib")
             val inlineAt = eaib + 6 + offsetSize // sig + ver + client + hdr addr
             val nChunks = gridDims.product
+            def placeElem(at: Int, chunkIdx: Int): Unit = {
+              val addr = offAt(at)
+              require(!undef(addr), s"EA element $chunkIdx unallocated")
+              val data = clientId match {
+                case 0 => bytes.slice(addr.toInt, addr.toInt + chunkBytes)
+                case 1 =>
+                  val szBytes = entrySize - offsetSize - 4
+                  var sz = 0L
+                  var b = 0
+                  while (b < szBytes) { sz |= (u8(at + offsetSize + b).toLong << (8 * b)); b += 1 }
+                  inflate(bytes, addr.toInt, sz.toInt, maxOut = out.length)
+              }
+              place(data, chunkIdx)
+            }
             var next = 0
             while (next < math.min(idxBlkElmts, nChunks)) {
-              val addr = offAt(inlineAt + next * offsetSize)
-              require(!undef(addr), s"EA inline element $next unallocated")
-              place(bytes.slice(addr.toInt, addr.toInt + chunkBytes), next)
+              placeElem(inlineAt + next * entrySize, next)
               next += 1
             }
             // directly-addressed data blocks: capacity sequence from cparams
@@ -718,7 +741,7 @@ final class Hdf5File(bytes: Array[Byte]) {
             val dblkCaps = (0 until nsblksDirect).flatMap { u =>
               Seq.fill(1 << (u / 2))(minElmts << ((u + 1) / 2))
             }
-            val dblkAddrAt = inlineAt + idxBlkElmts * offsetSize
+            val dblkAddrAt = inlineAt + idxBlkElmts * entrySize
             val blockOffSize = (maxBits + 7) / 8
             var slot = 0
             while (next < nChunks) {
@@ -734,9 +757,7 @@ final class Hdf5File(bytes: Array[Byte]) {
               val elemAt = db + 6 + offsetSize + blockOffSize
               var i = 0
               while (i < cap && next < nChunks) {
-                val addr = offAt(elemAt + i * offsetSize)
-                require(!undef(addr), s"EA element $next unallocated")
-                place(bytes.slice(addr.toInt, addr.toInt + chunkBytes), next)
+                placeElem(elemAt + i * entrySize, next)
                 i += 1
                 next += 1
               }

@@ -205,6 +205,19 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
   }
 
+  test("v4 layout: FILTERED extensible-array chunks inflate correctly") {
+    // 30 chunks (4 inline + 16 + 10 of the next block), gzip'd per chunk:
+    // client-1 elements carry address + stored size + filter mask
+    val dims = Array(60L)
+    val values = Array.tabulate(60)(i => ((i * 13) % 97).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(4), gzip = true)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
   test("v4 layout: v2 B-tree chunk index places chunks by scaled offsets") {
     val dims = Array(7L, 9L)
     val values = Array.tabulate(63)(i => (i * 5 + 3).toDouble)

@@ -21,13 +21,16 @@ object MiniHdf5Writer {
   final case class WGroup(attrs: Seq[(String, Any)],
       children: Seq[(String, Node)]) extends Node
   /** layoutV4: None = v3 (contiguous, or v1-btree chunked when chunkDims
-    * set); Some(1|2|3) = v4 chunked with that chunk-index type (single
-    * chunk / implicit / fixed array) — requires chunkDims.
+    * set); Some(1..5) = v4 chunked with that chunk-index type (single
+    * chunk / implicit / fixed array / extensible array / v2 btree) —
+    * requires chunkDims. gzip deflates chunk data and emits a filter
+    * pipeline message (supported by the extensible-array writer path).
     */
   final case class WDataset(attrs: Seq[(String, Any)], dims: Array[Long],
       values: Array[Double], isInt: Boolean, elemSize: Int,
       chunkDims: Option[Array[Long]] = None,
-      layoutV4: Option[Int] = None) extends Node
+      layoutV4: Option[Int] = None,
+      gzip: Boolean = false) extends Node
 
   private val Undef = -1L
 
@@ -364,6 +367,8 @@ object MiniHdf5Writer {
   }
 
   private def writeDataset(o: Out, d: WDataset): Long = {
+    require(!d.gzip || d.layoutV4.contains(4),
+      "writer: gzip only implemented for the extensible-array path")
     val n = d.dims.product.toInt
     val layout: Array[Byte] = (d.chunkDims, d.layoutV4) match {
       case (None, None) =>
@@ -387,11 +392,30 @@ object MiniHdf5Writer {
       case (None, Some(_)) => sys.error("layoutV4 requires chunkDims")
     }
     val dt = if (d.isInt) dtInt(d.elemSize) else dtFloat(d.elemSize)
+    val filterMsg: Seq[(Int, Array[Byte])] = if (d.gzip) {
+      // filter pipeline v1: version, nfilters, 6 reserved; then one deflate
+      // filter desc (id=1, no name, 1 client value = level, pad to 8)
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(new Array[Byte](6))
+      b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
+      b.putInt(6); b.putInt(0)
+      Seq(0x000B -> b.array())
+    } else Seq.empty
     val msgs = Seq(
       0x0003 -> dt,
       0x0001 -> dataspace(d.dims),
-      0x0008 -> layout) ++ attrMessages(o, d.attrs)
+      0x0008 -> layout) ++ filterMsg ++ attrMessages(o, d.attrs)
     writeHeader(o, msgs)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val df = new java.util.zip.Deflater()
+    df.setInput(data); df.finish()
+    val buf = new Array[Byte](data.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!df.finished()) bos.write(buf, 0, df.deflate(buf))
+    df.end()
+    bos.toByteArray
   }
 
   /** Serialize one full (zero-padded) chunk at grid offset `off`, row-major. */
@@ -477,10 +501,23 @@ object MiniHdf5Writer {
       case 4 => // extensible array: chunks -> EADB data blocks -> EAIB -> EAHD
         val maxBits = 32; val idxElmts = 4; val minElmts = 16
         val minPtrs = 4; val pageBits = 10 // libhdf5 default cparams
+        val client = if (d.gzip) 1 else 0
+        val entrySize = if (d.gzip) 16 else 8 // addr [+ size(4) + mask(4)]
+        // (addr, stored byte size) per chunk; filtered chunks are deflated
         val chunkAddrs = offsets.map { off =>
           val a = o.pos.toLong
-          o.bytes(chunkBlock(d, cd, off))
-          a
+          val raw = chunkBlock(d, cd, off)
+          val data = if (d.gzip) deflate(raw) else raw
+          o.bytes(data)
+          (a, data.length)
+        }
+        def writeElem(e: (Long, Int)): Unit = {
+          o.u64(e._1)
+          if (d.gzip) { o.u32(e._2.toLong); o.u32(0) } // size + filter mask
+        }
+        def writeUndefElem(): Unit = {
+          o.u64(Undef)
+          if (d.gzip) { o.u32(0); o.u32(0) }
         }
         val inline = chunkAddrs.take(idxElmts)
         val rest = chunkAddrs.drop(idxElmts)
@@ -498,31 +535,31 @@ object MiniHdf5Writer {
         while (consumed < rest.length) {
           val cap = dblkCaps(slot)
           val addr = o.pos.toLong
-          o.ascii("EADB"); o.u8(0); o.u8(0) // version, client 0
+          o.ascii("EADB"); o.u8(0); o.u8(client)
           hdrPatches += o.pos
           o.u64(0)                          // header address (patched)
           o.u32((idxElmts + consumed).toLong) // block offset, maxBits/8 = 4 bytes
           val take = rest.slice(consumed, consumed + cap)
-          take.foreach(o.u64)
-          (take.length until cap).foreach(_ => o.u64(Undef)) // unallocated
+          take.foreach(writeElem)
+          (take.length until cap).foreach(_ => writeUndefElem()) // unallocated
           o.u32(0)                          // checksum
           dblkAddrs += addr
           consumed += take.length
           slot += 1
         }
         val eaibAddr = o.pos.toLong
-        o.ascii("EAIB"); o.u8(0); o.u8(0)
+        o.ascii("EAIB"); o.u8(0); o.u8(client)
         hdrPatches += o.pos
         o.u64(0) // header address (patched)
-        inline.foreach(o.u64)
-        (inline.length until idxElmts).foreach(_ => o.u64(Undef))
+        inline.foreach(writeElem)
+        (inline.length until idxElmts).foreach(_ => writeUndefElem())
         val dblks = dblkAddrs.result()
         dblks.foreach(o.u64)
         (dblks.length until dblkCaps.length).foreach(_ => o.u64(Undef))
         o.u32(0) // checksum
         val eahdAddr = o.pos.toLong
-        o.ascii("EAHD"); o.u8(0); o.u8(0) // version, client 0
-        o.u8(8)        // element size (one 8-byte address)
+        o.ascii("EAHD"); o.u8(0); o.u8(client)
+        o.u8(entrySize)
         o.u8(maxBits); o.u8(idxElmts); o.u8(minElmts); o.u8(minPtrs); o.u8(pageBits)
         (0 until 6).foreach(_ => o.u64(0)) // stats
         o.u64(eaibAddr)
