@@ -22,7 +22,7 @@ Schemas are preserved exactly (pyarrow, TIMESTAMP(NANOS) kept as ns).
 Correctness gates keep using the driver data untouched; this scaled set is
 for wall-clock measurement only.
 """
-import sys, os, shutil
+import sys, os, shutil, zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -59,10 +59,14 @@ def scale_table(name, src, dst, copies):
                 col = col + k * STRIDE
             cols[field.name] = col
         if name == "documents" and k > 0:
-            ids = cols["doc_id"].to_numpy()
+            # seed from CONTENT, not doc_id: exact-duplicate texts must
+            # shuffle identically within a copy or the scaled corpus loses
+            # its exact-dup rate ~copies-fold and under-represents the
+            # exact-dedup workload (crc32 is stable across runs, unlike
+            # Python's salted hash())
             cols["text"] = pa.array(
-                [shuffle_words(s, int(i) * 31 + k)
-                 for s, i in zip(cols["text"], ids)])
+                [shuffle_words(s, zlib.crc32(s.encode()) * 31 + k)
+                 for s in cols["text"]])
         if name == "embeddings" and k > 0:
             perm = np.random.RandomState(1000 + k).permutation(
                 len(t.column("embedding")[0]))

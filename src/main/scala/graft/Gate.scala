@@ -17,9 +17,21 @@ object Gate {
     f.delete(): Unit
   }
 
+  /** Default scale dirs: `GRAFT_SCALE_DIRS` (colon-separated) if set;
+    * otherwise the two driver-provided testdata scales, plus the pinned
+    * sf1 artifact when it has been materialized (scripts/make_sf.py).
+    */
+  private def defaultScales: Seq[String] =
+    sys.env.get("GRAFT_SCALE_DIRS").map(_.split(':').toSeq.filter(_.nonEmpty))
+      .getOrElse {
+        val base = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        val sf1 = "/tmp/sf1"
+        if (new java.io.File(s"$sf1/documents.parquet").exists) base :+ sf1
+        else base
+      }
+
   def main(args: Array[String]): Unit = {
-    val scales = if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val scales = if (args.nonEmpty) args.toSeq else defaultScales
     var failed = false
     scales.foreach { sf =>
       val out = s"/tmp/gate_out_${new java.io.File(sf).getName}"
@@ -41,7 +53,9 @@ object Gate {
         .redirectErrorStream(true).start()
       val log = new String(p.getInputStream.readAllBytes())
       p.waitFor()
-      val ok = p.exitValue() == 0 && log.contains(", 0 fail")
+      // check.py's exit status is authoritative: it exits 1 on any FAIL,
+      // including missing dumps — no output-substring matching
+      val ok = p.exitValue() == 0
       println(log.linesIterator.filter(l => l.startsWith("FAIL") || l.startsWith("=="))
         .mkString("\n"))
       if (!ok) {

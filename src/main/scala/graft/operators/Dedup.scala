@@ -140,7 +140,7 @@ object Dedup {
     * self-join is fine for the small-scale oracle; the Spark side never
     * materializes the uncapped match set.)
     */
-  private def candCteSql(bandsCte: String, idC: String,
+  private[operators] def candCteSql(bandsCte: String, idC: String,
                          aOut: String, bOut: String): String =
     s"""${sizedCteSql(bandsCte)},
        |cand AS (
@@ -354,10 +354,14 @@ object Dedup {
     // materializes once, both branches below reuse it
     val members = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // hashed shingle sets: the exact-Jaccard join formerly shuffled the
+    // full shingle TEXT arrays (~20 bytes/shingle + offsets) through both
+    // joins; 60-bit md5-prefix longs carry the same set identity at 8
+    // bytes/element and make every intersection probe a long equality
     val d = Tables.documents(s, dir)
       .join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        graft.plans.ShingleSetExpr.shingleSet(col("text"), ShingleK).as("sh"))
+        graft.plans.ShingleSetExpr.shingleHashSet(col("text"), ShingleK).as("sh"))
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -372,10 +376,14 @@ object Dedup {
 
   val qJaccardPairsSql: String = {
     val sh = shinglesSql("ws", ShingleK)
+    // distinct on the shingle TEXT first, then hash — exactly the Spark
+    // side's order, so results agree even under a (2^-60) hash collision
+    val hashSet =
+      s"list_transform(list_distinct($sh), s -> ${graft.plans.ShingleSetExpr.hash60Sql("s")})"
     s"""WITH $minhashCte,
        |$minhashBandsCteSql,
        |${candCteSql("bands", "doc_id", "doc_a", "doc_b")},
-       |d AS (SELECT doc_id, list_distinct($sh) AS sh
+       |d AS (SELECT doc_id, $hashSet AS sh
        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
        |j AS (
        |  SELECT doc_a, doc_b,
@@ -460,6 +468,15 @@ object Dedup {
     * graph `pairs` (canonical a < b edges); ids not in any pair label
     * themselves. Library API — the oracle query composes it with the capped
     * LSH candidate pairs; specs feed synthetic edge lists.
+    *
+    * ACTION-BEARING BUILDER: unlike every other query builder in this
+    * module, calling this function RUNS Spark jobs (eager per-round
+    * checkpoints plus one `isEmpty` convergence action per star round) —
+    * the label fixpoint cannot be expressed as a static plan because the
+    * round count is data-dependent. Consumers that only need a plan shape
+    * (explain, plan audits) should expect construction cost proportional
+    * to the clustering itself; the returned frame is the cheap final-round
+    * join over already-checkpointed edges.
     */
   def componentLabels(ids: DataFrame, idCol: String,
                       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {

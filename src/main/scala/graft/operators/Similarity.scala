@@ -287,8 +287,13 @@ object Similarity {
   private val KmIters = 3
 
   def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    // the working set is read in every assign pass (KmIters + final): lazily
+    // checkpoint it once so the parquet scan + scale projection run ONCE and
+    // later iterations read the materialized rows (MEMORY_AND_DISK) — the
+    // 4x re-scan was the whole remaining K-means overhead at sf1
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), scaled(col("embedding")).as("v"))
+      .localCheckpoint(eager = false)
     var cents = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var assigned: DataFrame = null

@@ -38,6 +38,9 @@ case class ArgminL2Expr(left: Expression, right: Expression)
       var d = 0.0
       var i = 0
       while (i < n) {
+        // a null vector/centroid element would read as 0 through getDouble;
+        // the declarative twin nulls the whole distance — propagate null
+        if (v.isNullAt(i) || cv.isNullAt(i)) return null
         val t = v.getDouble(i) - cv.getDouble(i)
         d += t * t
         i += 1
@@ -54,9 +57,15 @@ case class ArgminL2Expr(left: Expression, right: Expression)
   override def nullSafeEval(v: Any, c: Any): Any =
     compute(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("argminL2", this, classOf[ArgminL2Expr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    val r = ctx.freshName("argminRes")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""org.apache.spark.sql.catalyst.InternalRow $r = $ref.compute($a, $b);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = $r;""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -45,6 +45,9 @@ case class CosineExpr(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // declarative twin propagates a null element through aggregate() to a
+      // null sum; getFloat on a null slot would silently read 0 instead
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val av = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val bv = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
       val x = rnd(av * Scale)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native DISTINCT k-word shingle set: equivalent to
@@ -17,15 +17,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB twins' list_distinct has the same first-occurrence order
   * anyway.
   *
+  * `hashed = true` emits the 60-bit md5-prefix hash of each distinct
+  * shingle instead of its text: value = first 15 hex chars of md5(shingle)
+  * parsed base-16 (= the md5's leading 8 bytes big-endian >>> 4), which
+  * fits a SIGNED 64-bit integer so both engines agree on the type. The
+  * DuckDB twin is
+  * `list_distinct(list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT))`
+  * — the hash is computed identically on both sides, so results match even
+  * in the (2^-60-scale) event of a collision. Shuffling 8-byte longs
+  * instead of ~20-byte shingle strings shrinks the Jaccard join payload
+  * ~3x and turns every intersection comparison into a long equality.
+  *
   * Codegen: direct `compute(value)` call on the expression object (no
   * CodegenFallback row materialization), same pattern as
   * [[MinhashSigExpr]].
   */
-case class ShingleSetExpr(child: Expression, k: Int = 3)
+case class ShingleSetExpr(child: Expression, k: Int = 3, hashed: Boolean = false)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(if (hashed) LongType else StringType, containsNull = false)
   override def prettyName: String = "shingle_set"
+
+  // per-deserialized-instance (= per task) digest: thread-confined reuse
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  /** md5(s) leading 60 bits as a non-negative long (15 hex chars base-16). */
+  private def hash60(s: String): Long = {
+    val md = md5
+    md.reset()
+    md.update(s.getBytes("UTF-8"))
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 
   def compute(input: UTF8String): ArrayData = {
     val words = Tokenize.words(input.toString)
@@ -35,7 +62,11 @@ case class ShingleSetExpr(child: Expression, k: Int = 3)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    if (hashed) {
+      while (it.hasNext) { out(j) = hash60(it.next()); j += 1 }
+    } else {
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    }
     new GenericArrayData(out)
   }
 
@@ -56,4 +87,13 @@ object ShingleSetExpr {
   /** Column API: distinct k-word shingle set of a text column. */
   def shingleSet(text: Column, k: Int = 3): Column =
     GraftSqlBridge.column(ShingleSetExpr(GraftSqlBridge.expression(text), k))
+
+  /** Column API: distinct 60-bit shingle hashes (see class doc). */
+  def shingleHashSet(text: Column, k: Int = 3): Column =
+    GraftSqlBridge.column(
+      ShingleSetExpr(GraftSqlBridge.expression(text), k, hashed = true))
+
+  /** DuckDB twin of [[shingleHashSet]]'s per-shingle hash. */
+  def hash60Sql(s: String): String =
+    s"('0x' || substring(md5($s), 1, 15))::BIGINT"
 }

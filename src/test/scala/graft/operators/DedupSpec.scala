@@ -101,4 +101,36 @@ class DedupSpec extends AnyFunSuite {
     val loose = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.1).count()
     assert(loose >= strict)
   }
+
+  test("a pair whose FIRST matching band is a capped hot bucket stays dropped (both formulations)") {
+    // Locks the deliberate recall trade of first-match emission under the
+    // MaxBucket cap: docs 1,2 share band-0 key "HHHH" (a hot bucket, 70 >
+    // MaxBucket members) AND band-1 key "ssss" (a 2-member bucket). Their
+    // first matching band is 0, whose bucket is dropped — the band-1
+    // emission must NOT resurrect the pair. Control docs 3,4 match only in
+    // band 1 and must survive. Asserted against BOTH the Spark bucketPairs
+    // operator and the oracle twin's CTE (candCteSql is ANSI window SQL,
+    // runnable by Spark itself), so the two formulations cannot drift.
+    import spark.implicits._
+    val hot = (10L until 78L).map(i => (i, f"HHHH$i%04d"))
+    val docs = (Seq((1L, "HHHHssss"), (2L, "HHHHssss"),
+      (3L, "AAAAtttt"), (4L, "BBBBtttt")) ++ hot).toDF("doc_id", "carry")
+    val exploded = docs.select(col("doc_id"), col("carry"),
+      posexplode(array(substring(col("carry"), 1, 4), substring(col("carry"), 5, 4)))
+        .as(Seq("band", "key")))
+    def bandMatch(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, bn: Int) =
+      substring(a, 4 * bn + 1, 4) === substring(b, 4 * bn + 1, 4)
+    val viaOperator = Dedup.bucketPairs(exploded, "doc_id", "carry", "doc_a", "doc_b", 2, bandMatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaOperator == Set((3L, 4L)), s"got $viaOperator")
+    assert(!viaOperator.contains((1L, 2L)), "capped first-match pair resurrected by band 1")
+
+    exploded.select(col("doc_id"), col("band"), col("key"))
+      .createOrReplaceTempView("pin_bands")
+    val viaSql = spark.sql(
+      s"""WITH ${Dedup.candCteSql("(SELECT * FROM pin_bands)", "doc_id", "doc_a", "doc_b")}
+         |SELECT doc_a, doc_b FROM cand""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaOperator, s"SQL twin diverged: $viaSql vs $viaOperator")
+  }
 }

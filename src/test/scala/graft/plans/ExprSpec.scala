@@ -117,6 +117,56 @@ class ExprSpec extends AnyFunSuite {
     assert(math.abs(two.getDouble(0) - 1.0) < 1e-12 && math.abs(two.getDouble(1)) < 1e-12)
   }
 
+  test("hashed shingle set matches hash-of-declarative-set under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val d = s2.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    // declarative twin: distinct shingle TEXT first, then the 60-bit
+    // md5-prefix hash — the exact order the DuckDB oracle uses, so this pin
+    // locks all three formulations together (conv parses the 15 hex chars)
+    val native = d.select(col("doc_id"),
+        ShingleSetExpr.shingleHashSet(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val declarative = d.select(col("doc_id"),
+        transform(ShingleSetExpr.shingleSet(col("text"), 3),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(native.length == 50)
+    native.zip(declarative).foreach { case (n, dec) => assert(n == dec) }
+    assert(native.exists(_.nonEmpty) && native.flatten.forall(_ >= 0L))
+  }
+
+  test("null array elements propagate to null results (native == declarative)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // getFloat/getDouble on a null slot silently reads 0; the declarative
+    // twins null the whole result — the natives must match (ADVICE pin)
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+    val cosRows = df.select(col("id"),
+        graft.plans.CosineExpr.cosine(col("a"), col("b")).as("n"),
+        graft.functions.EmbeddingFunctions.cosineDeclarative(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(cosRows(0).isNullAt(1) && cosRows(0).isNullAt(2),
+      "null element must null the cosine on both paths")
+    assert(!cosRows(1).isNullAt(1) &&
+      java.lang.Double.doubleToLongBits(cosRows(1).getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(cosRows(1).getDouble(2)))
+
+    val cents = Seq((0L, Array[java.lang.Double](0.0, 0.0))).toDF("c_id", "cv")
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val am = Seq((1L, Array[java.lang.Double](1.0, null)), (2L, Array[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "v").crossJoin(broadcast(cents))
+      .select(col("id"), ArgminL2Expr.argminL2(col("v"), col("cents")).as("best"))
+      .orderBy("id").collect()
+    assert(am(0).isNullAt(1), "null vector element must null the argmin")
+    assert(!am(1).isNullAt(1) && am(1).getStruct(1).getLong(1) == 0L)
+  }
+
   test("native tokenization keeps trailing empty tokens like Spark split and DuckDB") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
