@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * Methodology: a warmup pass initializes the JVM/codegen and populates the
   * file-listing caches, then each query is timed end-to-end with a noop-sink
   * write (full materialization of every column — `count()` would let Catalyst
-  * prune the work).
+  * prune the work). Each query is timed MEDIAN-OF-3 (single runs drifted
+  * ±0.2 s round-over-round inside the machine-load noise band, hiding real
+  * 0.1 s-scale regressions); per-query spread (max-min over the 3 runs) is
+  * reported as `"spread"` so the noise bound is part of the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,10 +37,14 @@ object Bench {
       try materialize(q) catch { case _: Throwable => }
     }
 
-    val results = benchQueries.map { q =>
+    def timeOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try materialize(q) catch { case _: Throwable => }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = benchQueries.map { q =>
+      val runs = (1 to 3).map(_ => timeOnce(q)).sorted
+      (q.name, runs(1), runs(2) - runs(0))
     }
     // fixed per-query floor: an empty job through the same timed path
     // (scheduler + noop-sink commit) — lets BASELINE.md separate engine
@@ -49,10 +56,12 @@ object Bench {
     }
     floorOnce() // warmup
     val floor = (1 to 3).map(_ => floorOnce()).sorted.apply(1)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floor,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"floor":$floor,"runs":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
