@@ -172,6 +172,64 @@ object MediaPipeline {
     }
   }
 
+  /** Deterministic PNG corpus for the oracle-checked near-dup composition
+    * (q_multimodal_neardup): class `cls` is a real 9-wide x 8-tall grayscale
+    * PNG whose pixels are constructed so that [[DHash.dhash64]] of the
+    * payload equals [[targetBits]](cls) EXACTLY — at 9x8 each dHash cell is
+    * one pixel (w=9,h=8 block averages collapse to the pixel itself, and
+    * gray g has luma (299g+587g+114g)/1000 = g), so bit (r*8+c) is just
+    * "pixel(r,c+1) brighter than pixel(r,c)", which the renderer walks with
+    * +-8 gray steps. Classes come in near-dup pairs: 2k+1 = 2k with dHash
+    * bits 0,1 flipped (hamming 2 -> feature cosine 0.9375), while distinct
+    * base patterns are md5-derived (~32 bits apart). This makes the REAL
+    * decode -> dHash -> features -> LSH near-dup pipeline deterministic
+    * enough for a cross-engine SQL oracle: the oracle joins doc_id % 1024 to
+    * the same dhash values and mirrors the banding in integer space.
+    */
+  object PngFixture {
+    val NumClasses = 1024
+
+    /** Target dHash for class cls: md5-derived per base pattern (cls/2);
+      * odd variants flip bits 0 and 1.
+      */
+    def targetBits(cls: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"media|${cls / 2}".getBytes("UTF-8"))
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      if (cls % 2 == 1) v ^ 0x3L else v
+    }
+
+    /** Render the class image and PNG-encode it (lossless round-trip). */
+    def payload(cls: Int): Array[Byte] = {
+      val bits = targetBits(cls)
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var r = 0
+      while (r < 8) {
+        var g = 128
+        img.setRGB(0, r, (g << 16) | (g << 8) | g)
+        var c = 0
+        while (c < 8) {
+          g += (if (((bits >> (r * 8 + c)) & 1L) == 1L) 8 else -8)
+          img.setRGB(c + 1, r, (g << 16) | (g << 8) | g)
+          c += 1
+        }
+        r += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Per-JVM caches: executors pay the 1024 encodes once, rows do a lookup. */
+    lazy val payloads: Array[Array[Byte]] = Array.tabulate(NumClasses)(payload)
+    lazy val dhashes: Array[Long] =
+      payloads.map(p => DHash.dhash64(p).getOrElse(
+        sys.error("fixture PNG failed to decode")))
+  }
+
   /** Decode a DataFrame with (media_id: Long, payload: Binary) into typed
     * metadata. One narrow mapPartitions pass — payload bytes never leave the
     * executor, only the small typed metadata comes back. At 100 TB the

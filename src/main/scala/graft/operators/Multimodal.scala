@@ -86,8 +86,79 @@ object Multimodal {
       |WHERE frame_no % 4 = 0
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** End-to-end multimodal near-dup: REAL image pipeline — render a PNG per
+    * row on the executor ([[graft.multimodal.MediaPipeline.PngFixture]],
+    * class = doc_id % 1024), ImageIO-decode it, take the 64-bit pixel dHash,
+    * lift to the ±1 feature vector, and feed the ordinary embedding near-dup
+    * path (random-hyperplane LSH bands + capped buckets + exact cosine) —
+    * the same `Dedup.embeddingNearDupPairs` every embedding column uses.
+    *
+    * The oracle mirrors it in closed-form integer space, which works because
+    * the fixture pins the decoded dHash to a value DuckDB can compute
+    * (md5-derived; PngFixtureSpec asserts decode(payload(cls)) ==
+    * targetBits(cls) for all 1024 classes):
+    *  - LSH sig bit j over a ±1 vector collapses to a hamming test:
+    *    proj_j = 2^20·(64 − 2·popcount(dh XOR mask_j)), so bit j is set iff
+    *    popcount(dh XOR mask_j) < 32 (mask_j = the +1 positions of
+    *    LshSigExpr's md5-derived plane j);
+    *  - exact scaled-int cosine of two ±1 vectors is the dyadic rational
+    *    (64 − 2·hamming)/64 — representable exactly in double on both
+    *    engines (dot = (64−2h)·2^40, norms = 2^23 exactly).
+    */
+  def qMultimodalNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MediaPipeline
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        // payloads is a per-JVM lazy cache: 1024 encodes once per executor
+        it.map(id => (id, MediaPipeline.PngFixture.payloads((id % 1024).toInt)))
+      }.toDF("media_id", "payload")
+    val feats = MediaPipeline.decodeMeta(media) // real ImageIO decode + dHash
+      .select(col("media_id"), col("features"))
+    Dedup.embeddingNearDupPairs(feats, "media_id", "features")
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("cos"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val qMultimodalNearDupSql: String = {
+    import graft.multimodal.MediaPipeline.PngFixture
+    // the fixture dHash in UBIGINT space (logical shifts, no sign traps):
+    // md5('media|'||base) leading 8 bytes big-endian = leading 16 hex chars;
+    // odd classes flip bits 0,1
+    val dhU =
+      "xor(('0x' || substring(md5('media|' || CAST((doc_id % 1024) // 2 AS VARCHAR)), 1, 16))::UBIGINT, " +
+        "CASE WHEN doc_id % 2 = 1 THEN 3::UBIGINT ELSE 0::UBIGINT END)"
+    // plane masks: bit i of mask_j = 1 iff LshSigExpr sign(j, i) = +1
+    val signM = graft.plans.LshSigExpr.signMatrix(32, 64)
+    val masks = signM.map { row =>
+      var m = 0L
+      row.zipWithIndex.foreach { case (v, i) => if (v > 0) m |= 1L << i }
+      java.lang.Long.toUnsignedString(m)
+    }
+    val sigSql = masks.zipWithIndex.map { case (m, j) =>
+      s"(CASE WHEN bit_count(xor(dh, $m::UBIGINT)) < 32 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT media_id, $b AS band, (sig >> ${8 * b}) & 255 AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH meta AS (SELECT doc_id AS media_id, $dhU AS dh FROM documents),
+       |sigs AS (SELECT media_id, $sigSql AS sig FROM meta),
+       |bands AS ($bandRows),
+       |${Dedup.candCteSql("bands", "media_id", "media_a", "media_b")}
+       |SELECT media_a, media_b, cos FROM (
+       |  SELECT media_a, media_b,
+       |    (64 - 2 * bit_count(xor(ma.dh, mb.dh))) / 64.0 AS cos
+       |  FROM cand
+       |  JOIN meta ma ON media_a = ma.media_id
+       |  JOIN meta mb ON media_b = mb.media_id)
+       |WHERE cos > 0.3
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
     QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
+    QueryDef("q_multimodal_neardup", qMultimodalNearDup, Some(qMultimodalNearDupSql)),
   )
 }

@@ -89,6 +89,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("PngFixture decodes to its target dHash for every class (oracle precondition)") {
+    // the q_multimodal_neardup oracle assumes decode(payload(cls)) ==
+    // targetBits(cls) — this is the REAL ImageIO decode + pixel dHash over
+    // all 1024 rendered PNGs, so the closed-form SQL twin stays honest
+    val PF = graft.multimodal.MediaPipeline.PngFixture
+    (0 until PF.NumClasses).foreach { cls =>
+      assert(PF.dhashes(cls) == PF.targetBits(cls), s"class $cls")
+    }
+  }
+
+  test("multimodal near-dup composition: exact dyadic cosine, same-class pairs found") {
+    import spark.implicits._
+    val PF = graft.multimodal.MediaPipeline.PngFixture
+    // classes 0..9 twice: (c, c+1024) are identical images (hamming 0),
+    // guaranteed to share all 4 signature bands
+    val ids = (0L until 10L) ++ (1024L until 1034L)
+    val media = ids.map(id => (id, PF.payloads((id % 1024).toInt)))
+      .toDF("media_id", "payload")
+    val feats = graft.multimodal.MediaPipeline.decodeMeta(media)
+      .select(col("media_id"), col("features"))
+    val pairs = Dedup.embeddingNearDupPairs(feats, "media_id", "features")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (0L until 10L).foreach { c =>
+      assert(pairs.get((c, c + 1024L)).contains(1.0), s"identical pair $c missing")
+    }
+    // every emitted cosine must be the dyadic (64-2h)/64 — bit-exact on
+    // both engines, which is what makes the DuckDB oracle possible
+    pairs.foreach { case ((a, b), cos) =>
+      val h = java.lang.Long.bitCount(
+        PF.targetBits((a % 1024).toInt) ^ PF.targetBits((b % 1024).toInt))
+      assert(cos == (64 - 2.0 * h) / 64.0, s"pair ($a,$b)")
+    }
+  }
+
   test("pngDim column expression reads the IHDR width/height") {
     import spark.implicits._
     val df = Seq(
