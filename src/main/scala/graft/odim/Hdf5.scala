@@ -16,8 +16,9 @@ import java.util.zip.Inflater
   *     headers (+ 'OCHK' continuation blocks)
   *   - old-style symbol-table groups (B-tree v1 + local heap + SNOD) AND
   *     new-style groups: compact (link messages in the header) and dense
-  *     (fractal heap + v2 B-tree name index, single-direct-block heaps —
-  *     enough for ODIM-sized groups; multi-block heaps fail fast)
+  *     (fractal heap + v2 B-tree name index at depth 0 or 1; heaps with a
+  *     direct root or one level of indirect blocks — enough for ODIM-sized
+  *     groups; nested indirect heaps and deeper trees fail fast)
   *   - attribute messages v1 AND v2/v3 (fixed/variable-length strings via
   *     global heap, ints, floats)
   *   - N-D datasets with contiguous or gzip-chunked (B-tree v1 chunk index)
@@ -313,23 +314,80 @@ final class Hdf5File(bytes: Array[Byte]) {
     }
   }
 
-  /** Enumerate a depth-0 v2 B-tree's records, yielding each record's file
-    * position (callers know the per-type record layout).
+  /** A walked v2 B-tree: the header's record size (callers of variable-width
+    * record types — filtered chunks — derive field widths from it) plus each
+    * record's file position in tree order.
     */
-  private def btreeV2Records(btAddr: Long, expectType: Int): Seq[Int] = {
+  private final case class BtreeV2(recordSize: Int, recs: Seq[Int])
+
+  /** Minimum bytes to represent values up to `limit` — the spec's
+    * H5VM_limit_enc_size (floor(log2(limit))/8 + 1), which sizes the
+    * variable-width "number of records" fields in internal-node child
+    * pointers.
+    */
+  private def limitEncSize(limit: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(math.max(limit, 1L))) / 8 + 1
+
+  /** Enumerate a v2 B-tree's records (depth 0 or 1), yielding each record's
+    * file position in tree order (callers know the per-type record layout).
+    *
+    * Depth-1 layout: the root is a BTIN internal node — N records followed
+    * by N+1 child pointers, each pointer = child address + a variable-width
+    * child-record count sized by [[limitEncSize]] of the maximum records a
+    * leaf can hold ((nodeSize − 10) / recordSize; 10 = signature + version +
+    * type + checksum). Children of a depth-1 root are BTLF leaves, so the
+    * pointer carries no subtree-total field (that appears only when the
+    * child is itself internal). Depth ≥ 2 stays fail-fast.
+    */
+  private def btreeV2Walk(btAddr: Long, expectType: Int): BtreeV2 = {
     val bt = btAddr.toInt
     require(ascii(bt, 4) == "BTHD", s"expected BTHD @ $btAddr")
     require(u8(bt + 5) == expectType,
       s"unexpected v2 btree record type ${u8(bt + 5)} (want $expectType)")
+    val nodeSize = u32(bt + 6).toInt
     val recordSize = u16(bt + 10)
     val depth = u16(bt + 12)
-    require(depth == 0, s"multi-level v2 btree (depth=$depth) unsupported")
+    require(depth <= 1, s"v2 btree depth $depth unsupported (max 1)")
     val rootNodeAddr = offAt(bt + 16)
     val rootNRecs = u16(bt + 16 + offsetSize)
-    val leaf = rootNodeAddr.toInt
-    require(ascii(leaf, 4) == "BTLF", s"expected BTLF @ $rootNodeAddr")
-    (0 until rootNRecs).map(i => leaf + 6 + i * recordSize)
+
+    def leafRecs(addr: Int, n: Int): Seq[Int] = {
+      require(ascii(addr, 4) == "BTLF", s"expected BTLF @ $addr")
+      require(u8(addr + 5) == expectType,
+        s"leaf record type ${u8(addr + 5)} != $expectType")
+      (0 until n).map(i => addr + 6 + i * recordSize)
+    }
+
+    val recs =
+      if (depth == 0) leafRecs(rootNodeAddr.toInt, rootNRecs)
+      else {
+        val in = rootNodeAddr.toInt
+        require(ascii(in, 4) == "BTIN", s"expected BTIN @ $rootNodeAddr")
+        require(u8(in + 5) == expectType,
+          s"internal record type ${u8(in + 5)} != $expectType")
+        val maxLeafRecs = (nodeSize - 10) / recordSize
+        val nrecSize = limitEncSize(maxLeafRecs.toLong)
+        val recsAt = in + 6
+        val ptrsAt = recsAt + rootNRecs * recordSize
+        val ptrSize = offsetSize + nrecSize
+        def childNRecs(p: Int): Int = {
+          var v = 0L
+          var b = 0
+          while (b < nrecSize) { v |= u8(p + b).toLong << (8 * b); b += 1 }
+          v.toInt
+        }
+        // tree order: child0, rec0, child1, rec1, …, rec(N−1), childN
+        (0 to rootNRecs).flatMap { i =>
+          val p = ptrsAt + i * ptrSize
+          val child = leafRecs(offAt(p).toInt, childNRecs(p + offsetSize))
+          if (i < rootNRecs) child :+ (recsAt + i * recordSize) else child
+        }
+      }
+    BtreeV2(recordSize, recs)
   }
+
+  private def btreeV2Records(btAddr: Long, expectType: Int): Seq[Int] =
+    btreeV2Walk(btAddr, expectType).recs
 
   /** Dense new-style group: the link-info message points at a fractal heap
     * holding serialized link-message bodies and a v2 B-tree (record type 5:
@@ -580,9 +638,9 @@ final class Hdf5File(bytes: Array[Byte]) {
     * unfiltered client; elements reachable from the index block — inline
     * plus directly-addressed data blocks — which covers hundreds of chunks
     * at libhdf5's default cparams; secondary blocks and paged data blocks
-    * fail fast), v2 B-tree (5, depth-0 unfiltered: type-10 records place
-    * chunks by their recorded scaled offsets; filtered records and deeper
-    * trees fail fast).
+    * fail fast), v2 B-tree (5, depth 0 or 1, unfiltered type-10 or
+    * filtered type-11 records placing chunks by their recorded scaled
+    * offsets; depth ≥ 2 fails fast).
     */
   private def layoutV4Bytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
       dims: Array[Long]): Array[Byte] = {
@@ -764,20 +822,34 @@ final class Hdf5File(bytes: Array[Byte]) {
               slot += 1
             }
           case 5 =>
-            // v2 B-tree chunk index (heavily-appended resizable datasets):
-            // depth-0 tree of type-10 records = chunk address + per-dim
-            // SCALED offsets (grid coordinates, u64 each). Chunks are
-            // placed by their recorded coordinates, so record order never
-            // matters. Filtered records (type 11) and deeper trees fail
-            // fast (btreeV2Records enforces depth 0).
-            require(!gzip, "filtered v2-btree chunk index unsupported")
+            // v2 B-tree chunk index (heavily-appended resizable datasets),
+            // depth 0 or 1. Unfiltered = type-10 records (chunk address +
+            // per-dim SCALED offsets, u64 each); a deflate pipeline =
+            // type-11 records (address + variable-width stored byte size +
+            // filter mask(4) + scaled offsets — the size-field width is
+            // whatever the header's record size leaves over, mirroring the
+            // spec's writer-chosen enc size). Chunks are placed by their
+            // recorded coordinates, so record order never matters.
             val btAddr = offAt(q + 6) // node size(4) + split(1) + merge(1)
-            btreeV2Records(btAddr, 10).foreach { r =>
+            val tree = btreeV2Walk(btAddr, if (gzip) 11 else 10)
+            val szBytes = tree.recordSize - offsetSize - 4 - 8 * dims.length
+            if (gzip) require(szBytes >= 1,
+              s"type-11 record size ${tree.recordSize} too small for rank ${dims.length}")
+            tree.recs.foreach { r =>
               val addr = offAt(r)
+              val (data, offPos) =
+                if (gzip) {
+                  var sz = 0L
+                  var b = 0
+                  while (b < szBytes) { sz |= u8(r + offsetSize + b).toLong << (8 * b); b += 1 }
+                  (inflate(bytes, addr.toInt, sz.toInt, maxOut = chunkBytes),
+                    r + offsetSize + szBytes + 4) // skip filter mask
+                } else {
+                  (bytes.slice(addr.toInt, addr.toInt + chunkBytes), r + offsetSize)
+                }
               val off = Array.tabulate(dims.length)(dd =>
-                u64(r + offsetSize + 8 * dd) * chunkDims(dd))
-              placeChunk(bytes.slice(addr.toInt, addr.toInt + chunkBytes),
-                dims, chunkDims, off, stride, elemSize, out)
+                u64(offPos + 8 * dd) * chunkDims(dd))
+              placeChunk(data, dims, chunkDims, off, stride, elemSize, out)
             }
           case t => sys.error(s"unsupported v4 chunk index type $t")
         }

@@ -229,6 +229,64 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(back.isInteger)
   }
 
+  test("v4 layout: FILTERED v2-btree chunk index (type-11 records) inflates correctly") {
+    // deflate pipeline + v2-btree index: records are type 11 (address +
+    // variable-width stored size + filter mask + scaled offsets); the
+    // reader derives the size-field width from the header's record size
+    val dims = Array(7L, 9L)
+    val values = Array.tabulate(63)(i => ((i * 11) % 89).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(3L, 4L)), layoutV4 = Some(5), gzip = true)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("v4 layout: DEPTH-1 v2-btree chunk index walks BTIN -> BTLF leaves") {
+    // 30 chunks split across several leaves under one internal node; chunks
+    // place by recorded scaled offsets, so leaf order must not matter
+    val dims = Array(60L)
+    val values = Array.tabulate(60)(i => (i * 7 - 23).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(5), btreeDepth1 = true)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("v4 layout: depth-1 v2-btree chunk index with FILTERED records") {
+    // both round-4 additions composed: BTIN walk over type-11 records
+    val dims = Array(11L, 8L)
+    val values = Array.tabulate(88)(i => ((i * 17) % 101).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L, 3L)), layoutV4 = Some(5),
+      gzip = true, btreeDepth1 = true)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("dense group indexed by a DEPTH-1 v2 B-tree resolves every link") {
+    // 30 links under a BTIN-rooted link index: the dense-group walker must
+    // collect records from every leaf AND the internal node itself
+    val children = (0 until 30).map { i =>
+      f"ds_$i%02d" -> (WDataset(Seq("tag" -> i.toLong), Array(2L),
+        Array(i.toDouble, i + 0.25), isInt = false,
+        elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, children, denseDepth1 = true)))
+    val got = f.groupChildren(f.rootHeaderAddr)
+    assert(got.size == 30, s"resolved ${got.size} of 30 links")
+    (0 until 30).foreach { i =>
+      val a = f.resolve(f"ds_$i%02d").get
+      assert(f.dataset(a).values.toSeq == Seq(i.toDouble, i + 0.25), s"link $i")
+      assert(f.attributes(a)("tag") == i.toLong)
+    }
+  }
+
   test("3-D chunked dataset places chunks by full coordinates") {
     val dims = Array(4L, 3L, 5L)
     val values = Array.tabulate(60)(i => (100 - i).toDouble)

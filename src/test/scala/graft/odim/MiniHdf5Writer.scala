@@ -18,19 +18,29 @@ import java.nio.{ByteBuffer, ByteOrder}
 object MiniHdf5Writer {
 
   sealed trait Node
+  /** denseDepth1: when the link set goes dense (> 8 links), index it with a
+    * depth-1 v2 B-tree (multiple BTLF leaves under a BTIN root) instead of
+    * the single-leaf form — the shape libhdf5 produces for groups with
+    * hundreds of links.
+    */
   final case class WGroup(attrs: Seq[(String, Any)],
-      children: Seq[(String, Node)]) extends Node
+      children: Seq[(String, Node)],
+      denseDepth1: Boolean = false) extends Node
   /** layoutV4: None = v3 (contiguous, or v1-btree chunked when chunkDims
     * set); Some(1..5) = v4 chunked with that chunk-index type (single
     * chunk / implicit / fixed array / extensible array / v2 btree) —
     * requires chunkDims. gzip deflates chunk data and emits a filter
     * pipeline message (supported by the extensible-array writer path).
     */
+  /** btreeDepth1: for layoutV4 = Some(5), emit the chunk index as a depth-1
+    * v2 B-tree (the heavily-appended shape) instead of a single leaf.
+    */
   final case class WDataset(attrs: Seq[(String, Any)], dims: Array[Long],
       values: Array[Double], isInt: Boolean, elemSize: Int,
       chunkDims: Option[Array[Long]] = None,
       layoutV4: Option[Int] = None,
-      gzip: Boolean = false) extends Node
+      gzip: Boolean = false,
+      btreeDepth1: Boolean = false) extends Node
 
   private val Undef = -1L
 
@@ -261,22 +271,67 @@ object MiniHdf5Writer {
     (frhpAddr, heapOffsets.toSeq)
   }
 
-  /** Depth-0 v2 B-tree over fixed-size records; returns the BTHD address. */
-  private def writeBtreeV2(o: Out, recType: Int, records: Seq[Array[Byte]]): Long = {
+  /** v2 B-tree over fixed-size records; returns the BTHD address.
+    *
+    * depth1 = false writes the single-leaf form; depth1 = true splits the
+    * records across several BTLF leaves under one BTIN root (records
+    * interleaved B-tree-style: leaf0, rec0, leaf1, rec1, …), with each
+    * child pointer = leaf address + a variable-width record count sized by
+    * the spec's limit-enc-size of the leaf capacity ((nodeSize − 10) /
+    * recordSize) — the field-width computation the reader must mirror.
+    */
+  private def writeBtreeV2(o: Out, recType: Int, records: Seq[Array[Byte]],
+      depth1: Boolean = false, nodeSize: Int = 512): Long = {
     val recordSize = records.head.length
     require(records.forall(_.length == recordSize))
-    val btlfAddr = o.pos.toLong
-    o.ascii("BTLF"); o.u8(0); o.u8(recType)
-    records.foreach(o.bytes)
-    o.u32(0) // checksum
+
+    def writeLeaf(recs: Seq[Array[Byte]]): Long = {
+      val a = o.pos.toLong
+      o.ascii("BTLF"); o.u8(0); o.u8(recType)
+      recs.foreach(o.bytes)
+      o.u32(0) // checksum
+      a
+    }
+
+    val (rootAddr, rootNRecs, depth) =
+      if (!depth1) (writeLeaf(records), records.length, 0)
+      else {
+        require(records.length >= 3, "depth-1 btree needs >= 3 records")
+        val perLeaf = math.max(1, records.length / 3)
+        // B-tree split: leaf, separator record, leaf, separator, …, leaf
+        val leaves = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
+        val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        var i = 0
+        while (i < records.length) {
+          val take = math.min(perLeaf, records.length - i)
+          leaves += records.slice(i, i + take)
+          i += take
+          if (i < records.length) { seps += records(i); i += 1 }
+        }
+        val leafAddrs = leaves.map(writeLeaf)
+        val maxLeafRecs = (nodeSize - 10) / recordSize
+        val nrecSize = (63 - java.lang.Long.numberOfLeadingZeros(
+          math.max(maxLeafRecs.toLong, 1L))) / 8 + 1
+        require(leaves.forall(_.length <= maxLeafRecs), "leaf overflow")
+        val btinAddr = o.pos.toLong
+        o.ascii("BTIN"); o.u8(0); o.u8(recType)
+        seps.foreach(o.bytes)
+        leafAddrs.zip(leaves).foreach { case (a, l) =>
+          o.u64(a)
+          (0 until nrecSize).foreach(b => o.u8((l.length >> (8 * b)) & 0xff))
+        }
+        o.u32(0) // checksum
+        (btinAddr, seps.length, 1)
+      }
+
     val bthdAddr = o.pos.toLong
     o.ascii("BTHD"); o.u8(0); o.u8(recType)
-    o.u32(512)                   // node size
+    o.u32(nodeSize.toLong)
     o.u16(recordSize)
-    o.u16(0)                     // depth
+    o.u16(depth)
     o.u8(100); o.u8(40)          // split / merge percent
-    o.u64(btlfAddr)
-    o.u16(records.length)        // records in root node
+    o.u64(rootAddr)
+    o.u16(rootNRecs)             // records in root node
     o.u64(records.length.toLong) // total records
     o.u32(0)                     // checksum
     bthdAddr
@@ -337,7 +392,7 @@ object MiniHdf5Writer {
         b.put(heapId7(heapOffsets(i), bodies(i).length))
         b.array()
       }
-      val bthdAddr = writeBtreeV2(o, 5, records)
+      val bthdAddr = writeBtreeV2(o, 5, records, depth1 = g.denseDepth1)
       val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
       li.put(0.toByte); li.put(0.toByte); li.putLong(frhpAddr); li.putLong(bthdAddr)
       writeHeader(o, Seq(0x0002 -> li.array(), 0x000A -> Array[Byte](0, 0)) ++ attrMsgs)
@@ -367,8 +422,8 @@ object MiniHdf5Writer {
   }
 
   private def writeDataset(o: Out, d: WDataset): Long = {
-    require(!d.gzip || d.layoutV4.contains(4),
-      "writer: gzip only implemented for the extensible-array path")
+    require(!d.gzip || d.layoutV4.exists(t => t == 4 || t == 5),
+      "writer: gzip only implemented for the extensible-array and v2-btree paths")
     val n = d.dims.product.toInt
     val layout: Array[Byte] = (d.chunkDims, d.layoutV4) match {
       case (None, None) =>
@@ -567,15 +622,31 @@ object MiniHdf5Writer {
         hdrPatches.result().foreach(p => o.patch64(p, eahdAddr))
         eahdAddr
       case 5 => // v2 B-tree: chunks, then BTLF/BTHD with type-10 records
+        // (unfiltered) or type-11 (deflate: addr + variable-width stored
+        // size + filter mask + scaled offsets; size-field width = the
+        // spec's enc-size of the worst-case stored chunk size, +1 headroom
+        // for incompressible chunks, as libhdf5 allows)
+        val chunkBytes = (cd.product * d.elemSize).toInt
+        val szBytes =
+          if (!d.gzip) 0
+          else math.min(8,
+            (63 - java.lang.Long.numberOfLeadingZeros(chunkBytes.toLong)) / 8 + 2)
         val records = offsets.map { off =>
           val addr = o.pos.toLong
-          o.bytes(chunkBlock(d, cd, off))
-          val b = ByteBuffer.allocate(8 + 8 * rank).order(ByteOrder.LITTLE_ENDIAN)
+          val raw = chunkBlock(d, cd, off)
+          val data = if (d.gzip) deflate(raw) else raw
+          o.bytes(data)
+          val b = ByteBuffer.allocate(8 + szBytes + (if (d.gzip) 4 else 0) + 8 * rank)
+            .order(ByteOrder.LITTLE_ENDIAN)
           b.putLong(addr)
+          if (d.gzip) {
+            (0 until szBytes).foreach(k => b.put(((data.length >> (8 * k)) & 0xff).toByte))
+            b.putInt(0) // filter mask
+          }
           (0 until rank).foreach(i => b.putLong(off(i) / cd(i))) // scaled offsets
           b.array()
         }
-        writeBtreeV2(o, 10, records)
+        writeBtreeV2(o, if (d.gzip) 11 else 10, records, depth1 = d.btreeDepth1)
       case t => sys.error(s"writer: unsupported v4 index type $t")
     }
     val extra = idxType match { case 3 => 1; case 4 => 5; case 5 => 6; case _ => 0 }
