@@ -299,6 +299,49 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Mergeable approximate quantiles — the 100 TB answer for percentile
+    * dashboards. `approx_percentile` is Spark's Greenwald-Khanna sketch:
+    * each partition builds a summary, summaries merge associatively
+    * (partial aggregation, no per-group sort), and the result's RANK error
+    * is bounded by n/accuracy. The exact twin [[qQuantiles]] costs a full
+    * sort per group; this costs one scan + a sketch merge tree.
+    *
+    * Library API: per-group approximate quantiles over any column.
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_percentile($valueCol, array(${probs.map(p => s"${p}D").mkString(",")}), $accuracy)")
+        .as("approx_quantiles"))
+
+  /** Oracle-checked twin: at accuracy 1e6 the GK bound n/accuracy < 0.5
+    * ranks for every group up to 500k rows (sf1 events groups are ~20k), so
+    * the sketch answer IS the exact discrete quantile at target rank
+    * ceil(p·n) — which the DuckDB twin computes EXPLICITLY
+    * (list_sort + 1-based index), pinning the rank convention instead of
+    * trusting quantile_disc's. The genuinely-approximate low-accuracy
+    * regime is spec-tested with its rank-error bound (AnalyticsSpec).
+    */
+  def qQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    approxQuantiles(
+      graft.Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+      "cents", Seq("event_type"), Seq(0.25, 0.5, 0.75), accuracy = 1000000)
+      .select(col("event_type"),
+        concat_ws(",", col("approx_quantiles")).as("quartiles_approx"))
+      .orderBy(col("event_type"))
+
+  val qQuantilesApproxSql: String = {
+    val probes = Seq(0.25, 0.5, 0.75).map(p =>
+      s"list_sort(list(cents))[CAST(ceil($p * count(*)) AS BIGINT)]")
+    s"""SELECT event_type,
+       |  array_to_string([${probes.mkString(", ")}], ',') AS quartiles_approx
+       |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+       |      FROM events)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Skew-demonstration pair: identical semantics, the key space is
     * deliberately degenerate (every even l_orderkey folds to key 0, so one
     * key carries ~50% of lineitem). Both variants pin a sort-merge join
@@ -350,6 +393,7 @@ object Analytics {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_quantiles", qQuantiles, Some(qQuantilesSql)),
+    QueryDef("q_quantiles_approx", qQuantilesApprox, Some(qQuantilesApproxSql)),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
