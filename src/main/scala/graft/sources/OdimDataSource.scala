@@ -124,6 +124,27 @@ object OdimFilePruning {
 final case class OdimFileRef(path: String, size: Long)
 final case class OdimInputPartition(files: Seq[OdimFileRef]) extends InputPartition
 
+/** Java-serializable Hadoop Configuration (Configuration is Writable but
+  * not Serializable): carries the SESSION's Hadoop conf to executor-side
+  * readers, so custom filesystems and credentials configured on the session
+  * (fs.s3a.*, fs.<scheme>.impl, …) apply inside the scan — a fresh
+  * `new Configuration()` on the executor would silently drop them.
+  */
+final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 final class OdimScan(options: CaseInsensitiveStringMap,
     required: StructType = null, limit: Int = -1,
     pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
@@ -183,7 +204,9 @@ final class OdimScan(options: CaseInsensitiveStringMap,
     new OdimPartitionReaderFactory(
       Option(options.get("version")).getOrElse("v1.0"),
       Option(options.get("failFast")).forall(_.toBoolean),
-      schema0.fieldNames, limit)
+      schema0.fieldNames, limit,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 }
 
 object OdimScan {
@@ -194,15 +217,17 @@ object OdimScan {
 }
 
 final class OdimPartitionReaderFactory(version: String, failFast: Boolean,
-    columns: Array[String], limit: Int) extends PartitionReaderFactory {
+    columns: Array[String], limit: Int, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[OdimInputPartition].files
-    new OdimPartitionReader(files, version, failFast, columns, limit)
+    new OdimPartitionReader(files, version, failFast, columns, limit, conf)
   }
 }
 
 final class OdimPartitionReader(files: Seq[OdimFileRef], version: String,
-    failFast: Boolean, columns: Array[String], limit: Int)
+    failFast: Boolean, columns: Array[String], limit: Int,
+    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val ruleset = VptsCsvVersion(version)
@@ -212,7 +237,7 @@ final class OdimPartitionReader(files: Seq[OdimFileRef], version: String,
   private val fileIt = files.iterator
   private var rowIt: Iterator[Seq[String]] = Iterator.empty
   private var current: InternalRow = _
-  private val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  private def hadoopConf = conf.value
 
   private def decodeNextFile(): Boolean = {
     while (fileIt.hasNext) {

@@ -86,6 +86,44 @@ class LakeSpec extends AnyFunSuite {
     assert(monthly == wantMonthly, "monthly output differs from golden")
   }
 
+  test("end-to-end rebuild against a non-file:// object-store scheme (s3a seam)") {
+    // no S3 endpoint / hadoop-aws exists offline; the s3a claim rests on
+    // every IO going through Path.getFileSystem(conf) — proven here by
+    // running the FULL rebuild (inventory read, DSv2 h5 scan on executors,
+    // daily CSV sink, monthly gzip concat) against a custom mocks3://
+    // scheme registered via the same fs.<scheme>.impl mechanism s3a uses
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mocks3.impl", classOf[MockObjectStoreFileSystem].getName)
+    val local = Files.createTempDirectory("mocks3lake").toString
+    val bucket = s"mocks3://$local"
+    val h5Dir = Paths.get(s"$local/baltrad/hdf5/nosta/2023/03/11")
+    Files.createDirectories(h5Dir)
+    Files.list(Paths.get(s"$invDir/vp")).forEach { f =>
+      Files.copy(f, h5Dir.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val invLines = Files.list(h5Dir).sorted.toArray.map { f =>
+      s"""dummy,baltrad/hdf5/nosta/2023/03/11/${f.asInstanceOf[java.nio.file.Path].getFileName},123,2023-03-12T00:00:00.000Z"""
+    }
+    Files.write(Paths.get(s"$local/inventory.csv"),
+      invLines.mkString("\n").getBytes("UTF-8"))
+
+    val (okDays, okMonths) = LakeController.run(
+      spark, bucket, s"$bucket/inventory.csv", modifiedDaysAgo = 2,
+      now = java.time.Instant.parse("2023-03-12T12:00:00Z"),
+      coverageOut = Some(s"$bucket/coverage.csv"))
+    assert(okDays == 1 && okMonths == 1)
+
+    val daily = new String(Files.readAllBytes(
+      Paths.get(s"$local/baltrad/daily/nosta/2023/nosta_vpts_20230311.csv")), "UTF-8")
+    val wantDaily = new String(Files.readAllBytes(
+      Paths.get(s"$invDir/nosta_vpts_20230311.csv")), "UTF-8")
+    assert(daily == wantDaily, "daily output differs from golden via mocks3://")
+
+    val monthly = gunzip(Paths.get(s"$local/baltrad/monthly/nosta/2023/nosta_vpts_202303.csv.gz"))
+    assert(monthly == gunzip(Paths.get(s"$invDir/nosta_vpts_202303.csv.gz")),
+      "monthly output differs from golden via mocks3://")
+  }
+
   test("validate op reports zero errors on golden output and catches bad cells") {
     val df = graft.vpts.Vpts.vpts(spark, Seq(s"$invDir/vp"))
     val report = graft.vpts.Validate.validateVpts(df)
