@@ -1,0 +1,84 @@
+package graft.odim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import MiniHdf5Writer.{WDataset, WGroup}
+
+/** Property-based round-trip coverage of the HDF5 dataset-layout matrix:
+  * random shapes × chunk grids × index types × filter/int/float × depth-1
+  * knobs must all survive writer → reader byte-exact. Complements the
+  * hand-picked cases in [[Hdf5ModernSpec]] with the shapes nobody thought
+  * to write down (prime dims, 1×n grids, chunk == extent, heavy edge
+  * clipping).
+  */
+class Hdf5PropertySpec extends AnyFunSuite {
+
+  private def run(prop: Prop, n: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genCase = for {
+    rank <- Gen.choose(1, 3)
+    dims <- Gen.listOfN(rank, Gen.choose(1L, 13L))
+    // per-dim grid of at most 4 => at most 64 chunks: inside the writer's
+    // EA capacity (244 at its cparams) and single-page fixed array
+    chunk <- Gen.sequence[List[Long], Long](
+      dims.map(d => Gen.choose((d + 3) / 4, d)))
+    idxType <- Gen.oneOf(0, 1, 2, 3, 4, 5) // 0 = v3 v1-btree; 1..5 = layout v4
+    isInt <- Gen.oneOf(true, false)
+    gzip <- Gen.oneOf(true, false)
+    depth1 <- Gen.oneOf(true, false)
+    seed <- Gen.choose(0, 1000)
+  } yield (dims.toArray, chunk.toArray, idxType, isInt, gzip, depth1, seed)
+
+  test("random dataset shapes round-trip across every chunk-index type") {
+    run(Prop.forAllNoShrink(genCase) {
+      case (dims, chunk0, idxType, isInt, gzip0, depth1, seed) =>
+        val n = dims.product.toInt
+        val values = Array.tabulate(n)(i => ((i * 31 + seed * 7) % 251).toDouble)
+        // constraints of the format/writer, applied rather than discarded:
+        // single-chunk index needs chunk == extent; implicit + v1-btree +
+        // fixed-array writer paths are unfiltered; gzip v4 support = EA +
+        // v2-btree; depth-1 = v2-btree with >= 3 chunk records
+        val chunk = if (idxType == 1) dims.clone() else chunk0
+        val gzip = gzip0 && (idxType == 4 || idxType == 5)
+        val ds = WDataset(Nil, dims, values, isInt = isInt,
+          elemSize = if (isInt) 4 else 8,
+          chunkDims = Some(chunk),
+          layoutV4 = if (idxType == 0) None else Some(idxType),
+          gzip = gzip,
+          btreeDepth1 = depth1 && idxType == 5 &&
+            dims.zip(chunk).map { case (d, c) => (d + c - 1) / c }.product >= 3)
+        val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+        val back = f.dataset(f.resolve("d").get)
+        back.dims.toSeq == dims.toSeq &&
+          back.values.toSeq == values.toSeq &&
+          back.isInteger == isInt
+    }, 200)
+  }
+
+  test("random wide groups round-trip through compact, dense, and depth-1 dense storage") {
+    run(Prop.forAllNoShrink(for {
+      nLinks <- Gen.choose(1, 40)
+      nAttrs <- Gen.choose(0, 12)
+      depth1 <- Gen.oneOf(true, false)
+    } yield (nLinks, nAttrs, depth1)) { case (nLinks, nAttrs, depth1) =>
+      val attrs = (0 until nAttrs).map(i => (f"a_$i%02d", (i * 3).toLong: Any))
+      val children = (0 until nLinks).map { i =>
+        f"c_$i%02d" -> (WDataset(Nil, Array(2L), Array(i.toDouble, i + 0.5),
+          isInt = false, elemSize = 8): MiniHdf5Writer.Node)
+      }
+      val f = Hdf5File(MiniHdf5Writer.write(
+        WGroup(attrs, children, denseDepth1 = depth1 && nLinks > 8)))
+      val root = f.rootHeaderAddr
+      f.groupChildren(root).size == nLinks &&
+        f.attributes(root).size == nAttrs &&
+        (0 until nLinks).forall { i =>
+          f.dataset(f.resolve(f"c_$i%02d").get).values.toSeq ==
+            Seq(i.toDouble, i + 0.5)
+        }
+    }, 60)
+  }
+}

@@ -297,17 +297,26 @@ object MiniHdf5Writer {
       if (!depth1) (writeLeaf(records), records.length, 0)
       else {
         require(records.length >= 3, "depth-1 btree needs >= 3 records")
-        val perLeaf = math.max(1, records.length / 3)
-        // B-tree split: leaf, separator record, leaf, separator, …, leaf
+        // ~3 leaves for small sets, but never exceed a leaf's capacity
+        // (reserve 1 so the straggler rule below cannot overflow a leaf)
+        val maxLeafCap = (nodeSize - 10) / recordSize
+        val perLeaf = math.min(math.max(1, records.length / 3),
+          math.max(1, maxLeafCap - 1))
+        // B-tree split: leaf, separator record, leaf, separator, …, leaf —
+        // N separators REQUIRE N+1 leaves, so a separator can never be the
+        // final record; a would-be 1-record tail is absorbed into the
+        // preceding leaf instead
         val leaves = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
         val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         var i = 0
         while (i < records.length) {
-          val take = math.min(perLeaf, records.length - i)
+          var take = math.min(perLeaf, records.length - i)
+          if (records.length - i - take == 1) take += 1
           leaves += records.slice(i, i + take)
           i += take
           if (i < records.length) { seps += records(i); i += 1 }
         }
+        require(seps.length == leaves.length - 1, "split invariant broken")
         val leafAddrs = leaves.map(writeLeaf)
         val maxLeafRecs = (nodeSize - 10) / recordSize
         val nrecSize = (63 - java.lang.Long.numberOfLeadingZeros(
