@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.EmbeddingFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -354,6 +354,140 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- Product quantization (PQ) — the ANN compression stage: split the
+  // vector into PqM subspaces, quantize each independently against a small
+  // per-subspace codebook, and search with asymmetric distance computation
+  // (ADC: the query stays exact, data vectors are represented by their
+  // codes). At 100 TB the win is storage/bandwidth: PqM bytes per vector
+  // instead of Dim floats, and a search reads codes + one tiny distance
+  // table instead of raw vectors. Codebooks here are the deterministic
+  // per-label centroid slices (the same exact scaled-int construction as
+  // the IVF coarse quantizer — oracle-tractable; a production index would
+  // Lloyd-iterate each subspace with the qAnnKmeans machinery).
+
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+
+  /** Shared: (label, full-dim scaled centroid) folded into ONE broadcast
+    * row, same shape as the IVF assign path.
+    */
+  private def pqCentArr(e: DataFrame): DataFrame = {
+    val comp = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    comp.groupBy(col("label"), col("i"))
+      .agg(round(sum(col("x")) / count(lit(1))).as("c"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label").as("c_label"), expr("transform(ic, p -> p.c)").as("cv"))
+      .agg(sort_array(collect_list(struct(col("c_label"), col("cv")))).as("cents"))
+  }
+
+  private def subDist(v: Column, cv: Column, j: Int): Column =
+    aggregate(
+      zip_with(slice(v, j * PqSub + 1, PqSub), slice(cv, j * PqSub + 1, PqSub),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** PQ encode: per subspace j, the code is the label of the nearest
+    * codebook slice (ties by label). A narrow broadcast-argmin projection —
+    * no exchange on the n-row path, like qAnnIvfAssign.
+    */
+  def qAnnPqEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
+    val codes = (0 until PqM).map { j =>
+      array_min(transform(col("cents"), c =>
+        struct(subDist(col("v"), c.getField("cv"), j).as("dist"),
+          c.getField("c_label").as("l")))).getField("l").as(s"code_$j")
+    }
+    e.crossJoin(broadcast(pqCentArr(e)))
+      .select(col("vec_id") +: codes: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val qAnnPqEncodeSql: String = {
+    val codeCols = (0 until PqM).map(j =>
+      s"max(CASE WHEN j = $j THEN c_label END) AS code_$j").mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM e),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (v[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(v[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS dist
+       |  FROM e, cent c, (SELECT unnest(range(0, $PqM)) AS j) js),
+       |best AS (
+       |  SELECT vec_id, j, c_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c_label) AS rk
+       |    FROM d)
+       |  WHERE rk = 1)
+       |SELECT vec_id,
+       |  $codeCols
+       |FROM best GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** PQ ADC search: quantize each DATA vector (per-subspace argmin), keep
+    * the query exact, and rank by the additive distance to the vector's
+    * reconstruction: adist = Σ_j ‖q_j − C_j[code_j(v)]‖². The per-entry
+    * struct carries (dist_v, label, dist_q); the argmin orders on
+    * (dist_v, label) — label is unique per entry, so dist_q never
+    * participates in the comparison — and .distq reads the table lookup.
+    * All distances are sums of squared scaled ints (exact in double).
+    */
+  def qAnnPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val adist = (0 until PqM).map { j =>
+      array_min(transform(col("cents"), c =>
+        struct(subDist(col("v"), c.getField("cv"), j).as("dist"),
+          c.getField("c_label").as("l"),
+          subDist(col("qv"), c.getField("cv"), j).as("distq"))))
+        .getField("distq")
+    }.reduce(_ + _)
+    e.crossJoin(broadcast(pqCentArr(e))).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), adist.as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(5)
+  }
+
+  val qAnnPqSearchSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM e),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (v[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(v[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS dist
+       |  FROM e, cent c, (SELECT unnest(range(0, $PqM)) AS j) js
+       |  WHERE e.vec_id <> 0),
+       |dq AS (
+       |  SELECT c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS distq
+       |  FROM cent c, q, (SELECT unnest(range(0, $PqM)) AS j) js),
+       |best AS (
+       |  SELECT vec_id, j, c_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c_label) AS rk
+       |    FROM d)
+       |  WHERE rk = 1)
+       |SELECT vec_id, sum(distq) AS adist
+       |FROM best JOIN dq USING (c_label, j)
+       |GROUP BY vec_id
+       |ORDER BY adist, vec_id
+       |LIMIT 5""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -362,5 +496,7 @@ object Similarity {
     QueryDef("q_ann_lsh_search", qAnnLshSearch, Some(qAnnLshSearchSql)),
     QueryDef("q_ann_lsh_multiprobe", qAnnLshMultiprobe, Some(qAnnLshMultiprobeSql)),
     QueryDef("q_ann_kmeans", qAnnKmeans, Some(qAnnKmeansSql), bench = true),
+    QueryDef("q_ann_pq_encode", qAnnPqEncode, Some(qAnnPqEncodeSql)),
+    QueryDef("q_ann_pq_search", qAnnPqSearch, Some(qAnnPqSearchSql)),
   )
 }
