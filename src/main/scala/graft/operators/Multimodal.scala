@@ -116,6 +116,11 @@ object Multimodal {
       }.toDF("media_id", "payload")
     val feats = MediaPipeline.decodeMeta(media) // real ImageIO decode + dHash
       .select(col("media_id"), col("features"))
+      // decode ONCE: the near-dup operator references the feature frame 3×
+      // (band generation + both exact-cosine join sides); without this the
+      // plan re-runs the decode MapPartitions per reference — cheap for a
+      // parquet re-scan, not for image decode at scale
+      .localCheckpoint(eager = false)
     Dedup.embeddingNearDupPairs(feats, "media_id", "features")
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("cos"))
       .orderBy(col("media_a"), col("media_b"))
