@@ -16,9 +16,9 @@ import java.util.zip.Inflater
   *     headers (+ 'OCHK' continuation blocks)
   *   - old-style symbol-table groups (B-tree v1 + local heap + SNOD) AND
   *     new-style groups: compact (link messages in the header) and dense
-  *     (fractal heap + v2 B-tree name index at depth 0 or 1; heaps with a
+  *     (fractal heap + v2 B-tree name index at any depth; heaps with a
   *     direct root or one level of indirect blocks — enough for ODIM-sized
-  *     groups; nested indirect heaps and deeper trees fail fast)
+  *     groups; nested indirect heaps fail fast)
   *   - attribute messages v1 AND v2/v3 (fixed/variable-length strings via
   *     global heap, ints, floats)
   *   - N-D datasets with contiguous or gzip-chunked (B-tree v1 chunk index)
@@ -328,16 +328,25 @@ final class Hdf5File(bytes: Array[Byte]) {
   private def limitEncSize(limit: Long): Int =
     (63 - java.lang.Long.numberOfLeadingZeros(math.max(limit, 1L))) / 8 + 1
 
-  /** Enumerate a v2 B-tree's records (depth 0 or 1), yielding each record's
+  /** Enumerate a v2 B-tree's records (any depth), yielding each record's
     * file position in tree order (callers know the per-type record layout).
     *
-    * Depth-1 layout: the root is a BTIN internal node — N records followed
-    * by N+1 child pointers, each pointer = child address + a variable-width
-    * child-record count sized by [[limitEncSize]] of the maximum records a
-    * leaf can hold ((nodeSize − 10) / recordSize; 10 = signature + version +
-    * type + checksum). Children of a depth-1 root are BTLF leaves, so the
-    * pointer carries no subtree-total field (that appears only when the
-    * child is itself internal). Depth ≥ 2 stays fail-fast.
+    * An internal (BTIN) node at depth d holds N records followed by N+1
+    * pointers to depth-(d−1) children. Each pointer is the child address
+    * plus two variable-width counts whose widths the reader must re-derive
+    * from the header alone:
+    *   - records IN the child node — width = [[limitEncSize]] of the LEAF
+    *     capacity ((nodeSize − 10) / recordSize; 10 = signature + version +
+    *     type + checksum), at every depth, because leaves hold the most
+    *     records of any node type;
+    *   - total records in the child's whole subtree — present only when the
+    *     child is itself internal (d ≥ 2), width = limitEncSize of the
+    *     cumulative capacity cum(d−1), where cum(0) = leaf capacity and
+    *     cum(d) = maxRec(d) + (maxRec(d)+1)·cum(d−1) with maxRec(d) the
+    *     internal capacity ((nodeSize − 10 − ptrSize(d)) / (recordSize +
+    *     ptrSize(d))).
+    * Only the in-node count steers the walk; the subtree totals exist for
+    * libhdf5's insertion balancing and are skipped here.
     */
   private def btreeV2Walk(btAddr: Long, expectType: Int): BtreeV2 = {
     val bt = btAddr.toInt
@@ -347,43 +356,53 @@ final class Hdf5File(bytes: Array[Byte]) {
     val nodeSize = u32(bt + 6).toInt
     val recordSize = u16(bt + 10)
     val depth = u16(bt + 12)
-    require(depth <= 1, s"v2 btree depth $depth unsupported (max 1)")
     val rootNodeAddr = offAt(bt + 16)
     val rootNRecs = u16(bt + 16 + offsetSize)
 
-    def leafRecs(addr: Int, n: Int): Seq[Int] = {
-      require(ascii(addr, 4) == "BTLF", s"expected BTLF @ $addr")
-      require(u8(addr + 5) == expectType,
-        s"leaf record type ${u8(addr + 5)} != $expectType")
-      (0 until n).map(i => addr + 6 + i * recordSize)
+    val maxLeafRecs = (nodeSize - 10) / recordSize
+    val nrecSize = limitEncSize(maxLeafRecs.toLong)
+    // cumulative subtree capacity per depth → sizes the optional
+    // subtree-total pointer field (cumSize(d) applies to pointers whose
+    // CHILD sits at depth d ≥ 1)
+    val cum = new Array[Long](depth + 1)
+    cum(0) = maxLeafRecs.toLong
+    def ptrSize(childDepth: Int): Int =
+      offsetSize + nrecSize + (if (childDepth >= 1) limitEncSize(cum(childDepth)) else 0)
+    for (d <- 1 to depth) {
+      val ps = ptrSize(d - 1)
+      val maxRec = (nodeSize - 10 - ps) / (recordSize + ps)
+      cum(d) = maxRec.toLong + (maxRec.toLong + 1) * cum(d - 1)
     }
 
-    val recs =
-      if (depth == 0) leafRecs(rootNodeAddr.toInt, rootNRecs)
-      else {
-        val in = rootNodeAddr.toInt
-        require(ascii(in, 4) == "BTIN", s"expected BTIN @ $rootNodeAddr")
-        require(u8(in + 5) == expectType,
-          s"internal record type ${u8(in + 5)} != $expectType")
-        val maxLeafRecs = (nodeSize - 10) / recordSize
-        val nrecSize = limitEncSize(maxLeafRecs.toLong)
-        val recsAt = in + 6
-        val ptrsAt = recsAt + rootNRecs * recordSize
-        val ptrSize = offsetSize + nrecSize
-        def childNRecs(p: Int): Int = {
-          var v = 0L
-          var b = 0
-          while (b < nrecSize) { v |= u8(p + b).toLong << (8 * b); b += 1 }
-          v.toInt
-        }
+    def varUint(p: Int, n: Int): Int = {
+      var v = 0L
+      var b = 0
+      while (b < n) { v |= u8(p + b).toLong << (8 * b); b += 1 }
+      v.toInt
+    }
+
+    def walk(addr: Int, nRecs: Int, d: Int): Seq[Int] =
+      if (d == 0) {
+        require(ascii(addr, 4) == "BTLF", s"expected BTLF @ $addr")
+        require(u8(addr + 5) == expectType,
+          s"leaf record type ${u8(addr + 5)} != $expectType")
+        (0 until nRecs).map(i => addr + 6 + i * recordSize)
+      } else {
+        require(ascii(addr, 4) == "BTIN", s"expected BTIN @ $addr")
+        require(u8(addr + 5) == expectType,
+          s"internal record type ${u8(addr + 5)} != $expectType")
+        val recsAt = addr + 6
+        val ptrsAt = recsAt + nRecs * recordSize
+        val ps = ptrSize(d - 1)
         // tree order: child0, rec0, child1, rec1, …, rec(N−1), childN
-        (0 to rootNRecs).flatMap { i =>
-          val p = ptrsAt + i * ptrSize
-          val child = leafRecs(offAt(p).toInt, childNRecs(p + offsetSize))
-          if (i < rootNRecs) child :+ (recsAt + i * recordSize) else child
+        (0 to nRecs).flatMap { i =>
+          val p = ptrsAt + i * ps
+          val child = walk(offAt(p).toInt, varUint(p + offsetSize, nrecSize), d - 1)
+          if (i < nRecs) child :+ (recsAt + i * recordSize) else child
         }
       }
-    BtreeV2(recordSize, recs)
+
+    BtreeV2(recordSize, walk(rootNodeAddr.toInt, rootNRecs, depth))
   }
 
   private def btreeV2Records(btAddr: Long, expectType: Int): Seq[Int] =
@@ -638,9 +657,9 @@ final class Hdf5File(bytes: Array[Byte]) {
     * unfiltered client; elements reachable from the index block — inline
     * plus directly-addressed data blocks — which covers hundreds of chunks
     * at libhdf5's default cparams; secondary blocks and paged data blocks
-    * fail fast), v2 B-tree (5, depth 0 or 1, unfiltered type-10 or
+    * fail fast), v2 B-tree (5, any depth, unfiltered type-10 or
     * filtered type-11 records placing chunks by their recorded scaled
-    * offsets; depth ≥ 2 fails fast).
+    * offsets).
     */
   private def layoutV4Bytes(p: Int, elemSize: Int, n: Int, gzip: Boolean,
       dims: Array[Long]): Array[Byte] = {
@@ -823,7 +842,7 @@ final class Hdf5File(bytes: Array[Byte]) {
             }
           case 5 =>
             // v2 B-tree chunk index (heavily-appended resizable datasets),
-            // depth 0 or 1. Unfiltered = type-10 records (chunk address +
+            // any depth. Unfiltered = type-10 records (chunk address +
             // per-dim SCALED offsets, u64 each); a deflate pipeline =
             // type-11 records (address + variable-width stored byte size +
             // filter mask(4) + scaled offsets — the size-field width is

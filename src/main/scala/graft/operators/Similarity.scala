@@ -386,6 +386,119 @@ object Similarity {
         (x, c) => (x - c) * (x - c)),
       lit(0.0d), (acc, x) => acc + x)
 
+  /** Cut scaled vectors into per-subspace rows: (id, j, subv). */
+  private def pqSubRows(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val sub = Dim / m
+    df.select(col(idCol).as("__id"), scaled(col(vecCol)).as("__v"))
+      .select(col("__id"), posexplode(array((0 until m).map(j =>
+        slice(col("__v"), j * sub + 1, sub)): _*)).as(Seq("j", "subv")))
+  }
+
+  /** Assign every subvector to its nearest codebook entry. `books` has
+    * (j, c_id, cv); the whole codebook set is folded to an m-row broadcast
+    * and joined on j, then the native argmin runs as a narrow projection —
+    * one job assigns ALL subspaces. Returns (id, j, code, dist).
+    */
+  private def pqAssignRaw(subRows: DataFrame, books: DataFrame): DataFrame = {
+    val byJ = books.groupBy(col("j"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    subRows.join(broadcast(byJ), "j")
+      .withColumn("best", graft.plans.ArgminL2Expr.argminL2(col("subv"), col("cents")))
+  }
+
+  def pqAssign(subRows: DataFrame, books: DataFrame): DataFrame =
+    pqAssignRaw(subRows, books)
+      .select(col("__id").as("id"), col("j"),
+        col("best.c_id").as("code"), col("best.dist").as("dist"))
+
+  /** Lloyd-trained per-subspace PQ codebooks (library API; the oracle pair
+    * below uses deterministic label-centroid codebooks instead because a
+    * 4-subspace iterated k-means is not reasonably SQL-expressible).
+    * Deterministic init (entry c of subspace j = vec c's j-th subvector),
+    * then `iters` rounds of assign + re-mean — ALL subspaces train in one
+    * job per round: subvector rows carry their subspace index j, the m-row
+    * codebook table broadcasts, and the partial-agg mean updates every
+    * (j, code) centroid simultaneously. Same checkpoint discipline as
+    * qAnnKmeans (working set once, codebooks per round, lazily).
+    * Returns (j, c_id, cv).
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = PqM, k: Int = 8, iters: Int = 3): DataFrame = {
+    val subRows = pqSubRows(df, idCol, vecCol, m).localCheckpoint(eager = false)
+    var books = subRows.filter(col("__id") < k)
+      .select(col("j"), col("__id").as("c_id"), col("subv").as("cv"))
+    for (_ <- 1 to iters) {
+      books = pqAssignRaw(subRows, books)
+        .select(col("j"), col("best.c_id").as("code"),
+          posexplode(col("subv")).as(Seq("i", "x")))
+        .groupBy(col("j"), col("code"), col("i"))
+        .agg(round(sum(col("x")) / count(lit(1))).as("mn"))
+        .groupBy(col("j"), col("code"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("im"))
+        .select(col("j"), col("code").as("c_id"), expr("transform(im, p -> p.mn)").as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    books
+  }
+
+  /** Total quantization error of a codebook set over a corpus — the
+    * training objective; TrainSpec pins its monotone descent per round.
+    */
+  def pqQuantizationError(df: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int = PqM): Double =
+    pqAssign(pqSubRows(df, idCol, vecCol, m), books)
+      .agg(sum(col("dist"))).collect()(0).getDouble(0)
+
+  private val PqTrainK = 8
+  private val PqTrainIters = 2
+
+  /** Oracle entry for [[pqTrain]]: two Lloyd rounds over all PqM subspaces
+    * at once, trained codebooks exploded to integer (j, c_id, i, m) rows so
+    * the cross-engine compare is pure scalars (no array rendering). The SQL
+    * twin is qAnnKmeansSql's CTE chain with the subspace index j threaded
+    * through every stage (assign partitions by (vec_id, j), update groups
+    * by (j, code, i)).
+    */
+  def qAnnPqTrain(s: SparkSession, dir: String): DataFrame =
+    pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = PqM, k = PqTrainK, iters = PqTrainIters)
+      .select(col("j"), col("c_id"), posexplode(col("cv")).as(Seq("i", "m")))
+      .select(col("j"), col("c_id"), col("i"), col("m").cast("long").as("m"))
+      .orderBy(col("j"), col("c_id"), col("i"))
+
+  val qAnnPqTrainSql: String = {
+    val vExpr = s"list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")})"
+    val distExpr = s"list_sum(list_transform(range(1, $PqSub+1), i -> (sv[i]-cv[i])*(sv[i]-cv[i])))"
+    def assignCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT vec_id, j, sv, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c_id) AS rk
+         |    FROM (SELECT s.vec_id, s.j, s.sv, c.c_id, $distExpr AS dist
+         |          FROM sub s JOIN $prev c USING (j)))
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT j, c_id, list(m ORDER BY i) AS cv FROM (
+         |    SELECT j, c_id, i, round(sum(x) / count(*)) AS m FROM (
+         |      SELECT j, c_id, unnest(range(1, $PqSub+1)) AS i, unnest(sv) AS x FROM $prev)
+         |    GROUP BY j, c_id, i)
+         |  GROUP BY j, c_id)""".stripMargin
+    val rounds = (1 to PqTrainIters).flatMap { it =>
+      Seq(assignCte(s"c${it - 1}", s"a$it"), updateCte(s"a$it", s"c$it"))
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $vExpr AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, js.j,
+       |    list_transform(range(1, $PqSub+1), i -> v[js.j*$PqSub+i]) AS sv
+       |  FROM e, (SELECT unnest(range(0, $PqM)) AS j) js),
+       |c0 AS (SELECT j, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < $PqTrainK),
+       |$rounds
+       |SELECT j, c_id, i, CAST(m AS BIGINT) AS m FROM (
+       |  SELECT j, c_id, unnest(range(0, $PqSub)) AS i, unnest(cv) AS m FROM c$PqTrainIters)
+       |ORDER BY j, c_id, i""".stripMargin
+  }
+
   /** PQ encode: per subspace j, the code is the label of the nearest
     * codebook slice (ties by label). A narrow broadcast-argmin projection —
     * no exchange on the n-row path, like qAnnIvfAssign.
@@ -498,5 +611,6 @@ object Similarity {
     QueryDef("q_ann_kmeans", qAnnKmeans, Some(qAnnKmeansSql), bench = true),
     QueryDef("q_ann_pq_encode", qAnnPqEncode, Some(qAnnPqEncodeSql)),
     QueryDef("q_ann_pq_search", qAnnPqSearch, Some(qAnnPqSearchSql)),
+    QueryDef("q_ann_pq_train", qAnnPqTrain, Some(qAnnPqTrainSql)),
   )
 }

@@ -41,6 +41,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDedup {
 
   final case class BandArrival(doc_id: Long, ak: String, band: Int, key: String)
+  final case class BandArrivalTs(doc_id: Long, ak: String, band: Int, key: String,
+      ts: java.sql.Timestamp)
   final case class BucketState(members: List[(Long, String)])
   final case class CandPair(id_a: Long, id_b: Long)
 
@@ -49,49 +51,107 @@ object StreamingDedup {
   /** 16-hex band-b key of the 64-hex minhash key-concat carry. */
   private def bandKeyOf(ak: String, b: Int): String = ak.substring(16 * b, 16 * b + 16)
 
+  /** Shared banding projection: native minhash → key-concat carry →
+    * when-gated band posexplode (NULL signature for a sub-k-word doc emits
+    * no band rows; never filter on the expensive expr — it would be pushed
+    * below the projection and recomputed per row).
+    */
+  private def bandRowsOf(docs: DataFrame, textCol: String, shingleK: Int,
+      extra: Seq[(org.apache.spark.sql.Column, String)]): DataFrame =
+    docs
+      .withColumn("__mhs",
+        graft.plans.MinhashSigExpr.minhashSig8Native(col(textCol), shingleK))
+      .select((col("doc_id").cast("long").as("doc_id") +:
+        concat((1 to 8).map(j => element_at(col("__mhs"), j)): _*).as("ak") +:
+        extra.map { case (c, n) => c.as(n) }): _*)
+      .select((col("doc_id") +: col("ak") +:
+        posexplode(when(col("ak").isNotNull,
+          array((0 until Bands).map(b => substring(col("ak"), 16 * b + 1, 16)): _*)))
+          .as(Seq("band", "key")) +: extra.map(x => col(x._2))): _*)
+
+  /** The shared per-bucket arrival fold: admit up to `maxBucket` members
+    * (micro-batch slice sorted like the batch operator's bucket structs),
+    * emit each admitted arrival's pairs against current members under the
+    * batch first-matching-band rule (an earlier shared band owns the pair).
+    */
+  private def foldArrivals(band: Int, arrivals: Seq[(Long, String)],
+      members0: List[(Long, String)], maxBucket: Int)
+      : (List[(Long, String)], Seq[CandPair]) = {
+    var members = members0
+    val out = Seq.newBuilder[CandPair]
+    arrivals.sortBy(identity).foreach { case (id, ak) =>
+      if (members.size < maxBucket && !members.exists(_._1 == id)) {
+        members.foreach { case (mid, mak) =>
+          val earlier = (0 until band).exists(b =>
+            bandKeyOf(mak, b) == bandKeyOf(ak, b))
+          if (!earlier) out += CandPair(math.min(mid, id), math.max(mid, id))
+        }
+        members = (id, ak) :: members
+      }
+    }
+    (members, out.result())
+  }
+
   /** docs: a (possibly streaming) DataFrame with `doc_id` and a text
-    * column. Emits candidate pairs (id_a < id_b) incrementally.
+    * column. Emits candidate pairs (id_a < id_b) incrementally. State per
+    * bucket lives for the query lifetime (corpus-ingest mode); see
+    * [[lshCandidatePairsStreamTtl]] for the unbounded-ingest variant.
     */
   def lshCandidatePairsStream(docs: DataFrame, textCol: String = "text",
       shingleK: Int = 3, maxBucket: Int = Dedup.MaxBucket): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bandRows = docs
-      .withColumn("__mhs",
-        graft.plans.MinhashSigExpr.minhashSig8Native(col(textCol), shingleK))
-      .select(col("doc_id").cast("long").as("doc_id"),
-        concat((1 to 8).map(j => element_at(col("__mhs"), j)): _*).as("ak"))
-      // NULL signature (sub-k-word doc) → no band rows; when-gated
-      // posexplode, same as batch (never filter on the expensive expr)
-      .select(col("doc_id"), col("ak"),
-        posexplode(when(col("ak").isNotNull,
-          array((0 until Bands).map(b => substring(col("ak"), 16 * b + 1, 16)): _*)))
-          .as(Seq("band", "key")))
-      .as[BandArrival]
-
-    bandRows.groupByKey(r => (r.band, r.key))
+    bandRowsOf(docs, textCol, shingleK, Nil).as[BandArrival]
+      .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((band, _), rows, state: GroupState[BucketState]) =>
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = Seq.newBuilder[CandPair]
-          // sort the micro-batch slice for deterministic admission under
-          // the cap (batch sorts bucket structs the same way)
-          rows.toSeq.sortBy(r => (r.doc_id, r.ak)).foreach { r =>
-            if (members.size < maxBucket && !members.exists(_._1 == r.doc_id)) {
-              members.foreach { case (mid, mak) =>
-                // first-match emission: suppress if any EARLIER band also
-                // matches — that band's bucket owns this pair
-                val earlier = (0 until band).exists(b =>
-                  bandKeyOf(mak, b) == bandKeyOf(r.ak, b))
-                if (!earlier)
-                  out += CandPair(math.min(mid, r.doc_id), math.max(mid, r.doc_id))
-              }
-              members = (r.doc_id, r.ak) :: members
-            }
-          }
+          val (members, out) = foldArrivals(band,
+            rows.map(r => (r.doc_id, r.ak)).toSeq,
+            state.getOption.map(_.members).getOrElse(Nil), maxBucket)
           state.update(BucketState(members))
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** Unbounded-ingest variant: bucket state expires after `stateTtl` of
+    * inactivity (event-time timeout against the `tsCol` watermark, the
+    * [[Sessionize]] pattern), so a continuously-running dedup stream holds
+    * state only for recently-active buckets — documents older than the TTL
+    * no longer pair with new arrivals, which is the usual dedup-window
+    * contract for rolling ingest. Admission/emission logic is identical to
+    * [[lshCandidatePairsStream]].
+    */
+  def lshCandidatePairsStreamTtl(docs: DataFrame, tsCol: String,
+      stateTtl: String = "30 minutes", textCol: String = "text",
+      shingleK: Int = 3, maxBucket: Int = Dedup.MaxBucket): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(stateTtl))
+      require(iv.months == 0, "stateTtl must be a fixed duration")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    bandRowsOf(docs, textCol, shingleK, Seq(col(tsCol) -> "ts"))
+      .withWatermark("ts", stateTtl)
+      .as[BandArrivalTs]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arr = rows.toSeq
+            val (members, out) = foldArrivals(band,
+              arr.map(r => (r.doc_id, r.ak)),
+              state.getOption.map(_.members).getOrElse(Nil), maxBucket)
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(arr.map(_.ts.getTime).max + ttlMs)
+            out.iterator
+          }
       }
   }
 }

@@ -249,7 +249,7 @@ class Hdf5ModernSpec extends AnyFunSuite {
     val dims = Array(60L)
     val values = Array.tabulate(60)(i => (i * 7 - 23).toDouble)
     val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
-      chunkDims = Some(Array(2L)), layoutV4 = Some(5), btreeDepth1 = true)
+      chunkDims = Some(Array(2L)), layoutV4 = Some(5), btreeDepth = 1)
     val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
     val back = f.dataset(f.resolve("d").get)
     assert(back.values.toSeq == values.toSeq)
@@ -262,11 +262,53 @@ class Hdf5ModernSpec extends AnyFunSuite {
     val values = Array.tabulate(88)(i => ((i * 17) % 101).toDouble)
     val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
       chunkDims = Some(Array(2L, 3L)), layoutV4 = Some(5),
-      gzip = true, btreeDepth1 = true)
+      gzip = true, btreeDepth = 1)
     val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
     val back = f.dataset(f.resolve("d").get)
     assert(back.values.toSeq == values.toSeq)
     assert(back.isInteger)
+  }
+
+  test("v4 layout: DEPTH-2 v2-btree chunk index walks BTIN -> BTIN -> BTLF") {
+    // 50 chunks under two internal levels: the walker must recurse and the
+    // depth-2 pointer decode must skip the subtree-total field that appears
+    // only on pointers to internal children
+    val dims = Array(100L)
+    val values = Array.tabulate(100)(i => (i * 13 - 57).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(5), btreeDepth = 2)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("v4 layout: depth-2 v2-btree chunk index with FILTERED records") {
+    val dims = Array(25L, 8L)
+    val values = Array.tabulate(200)(i => ((i * 19) % 103).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L, 3L)), layoutV4 = Some(5),
+      gzip = true, btreeDepth = 2)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("dense group indexed by a DEPTH-2 v2 B-tree resolves every link") {
+    val children = (0 until 64).map { i =>
+      f"ds_$i%02d" -> (WDataset(Seq("tag" -> i.toLong), Array(2L),
+        Array(i.toDouble, i + 0.75), isInt = false,
+        elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, children, denseDepth = 2)))
+    val got = f.groupChildren(f.rootHeaderAddr)
+    assert(got.size == 64, s"resolved ${got.size} of 64 links")
+    (0 until 64).foreach { i =>
+      val a = f.resolve(f"ds_$i%02d").get
+      assert(f.dataset(a).values.toSeq == Seq(i.toDouble, i + 0.75), s"link $i")
+      assert(f.attributes(a)("tag") == i.toLong)
+    }
   }
 
   test("dense group indexed by a DEPTH-1 v2 B-tree resolves every link") {
@@ -277,7 +319,7 @@ class Hdf5ModernSpec extends AnyFunSuite {
         Array(i.toDouble, i + 0.25), isInt = false,
         elemSize = 8): MiniHdf5Writer.Node)
     }
-    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, children, denseDepth1 = true)))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, children, denseDepth = 1)))
     val got = f.groupChildren(f.rootHeaderAddr)
     assert(got.size == 30, s"resolved ${got.size} of 30 links")
     (0 until 30).foreach { i =>

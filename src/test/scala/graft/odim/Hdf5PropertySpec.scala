@@ -29,28 +29,29 @@ class Hdf5PropertySpec extends AnyFunSuite {
     idxType <- Gen.oneOf(0, 1, 2, 3, 4, 5) // 0 = v3 v1-btree; 1..5 = layout v4
     isInt <- Gen.oneOf(true, false)
     gzip <- Gen.oneOf(true, false)
-    depth1 <- Gen.oneOf(true, false)
+    depth <- Gen.oneOf(0, 1, 2)
     seed <- Gen.choose(0, 1000)
-  } yield (dims.toArray, chunk.toArray, idxType, isInt, gzip, depth1, seed)
+  } yield (dims.toArray, chunk.toArray, idxType, isInt, gzip, depth, seed)
 
   test("random dataset shapes round-trip across every chunk-index type") {
     run(Prop.forAllNoShrink(genCase) {
-      case (dims, chunk0, idxType, isInt, gzip0, depth1, seed) =>
+      case (dims, chunk0, idxType, isInt, gzip0, depth, seed) =>
         val n = dims.product.toInt
         val values = Array.tabulate(n)(i => ((i * 31 + seed * 7) % 251).toDouble)
         // constraints of the format/writer, applied rather than discarded:
         // single-chunk index needs chunk == extent; implicit + v1-btree +
         // fixed-array writer paths are unfiltered; gzip v4 support = EA +
-        // v2-btree; depth-1 = v2-btree with >= 3 chunk records
+        // v2-btree; a depth-d v2-btree needs >= 2^(d+1)-1 chunk records
         val chunk = if (idxType == 1) dims.clone() else chunk0
         val gzip = gzip0 && (idxType == 4 || idxType == 5)
+        val nChunks = dims.zip(chunk).map { case (d, c) => (d + c - 1) / c }.product
         val ds = WDataset(Nil, dims, values, isInt = isInt,
           elemSize = if (isInt) 4 else 8,
           chunkDims = Some(chunk),
           layoutV4 = if (idxType == 0) None else Some(idxType),
           gzip = gzip,
-          btreeDepth1 = depth1 && idxType == 5 &&
-            dims.zip(chunk).map { case (d, c) => (d + c - 1) / c }.product >= 3)
+          btreeDepth = if (idxType != 5) 0
+            else math.min(depth, if (nChunks >= 7) 2 else if (nChunks >= 3) 1 else 0))
         val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
         val back = f.dataset(f.resolve("d").get)
         back.dims.toSeq == dims.toSeq &&
@@ -59,19 +60,20 @@ class Hdf5PropertySpec extends AnyFunSuite {
     }, 200)
   }
 
-  test("random wide groups round-trip through compact, dense, and depth-1 dense storage") {
+  test("random wide groups round-trip through compact, dense, and deep dense storage") {
     run(Prop.forAllNoShrink(for {
       nLinks <- Gen.choose(1, 40)
       nAttrs <- Gen.choose(0, 12)
-      depth1 <- Gen.oneOf(true, false)
-    } yield (nLinks, nAttrs, depth1)) { case (nLinks, nAttrs, depth1) =>
+      depth <- Gen.oneOf(0, 1, 2)
+    } yield (nLinks, nAttrs, depth)) { case (nLinks, nAttrs, depth) =>
       val attrs = (0 until nAttrs).map(i => (f"a_$i%02d", (i * 3).toLong: Any))
       val children = (0 until nLinks).map { i =>
         f"c_$i%02d" -> (WDataset(Nil, Array(2L), Array(i.toDouble, i + 0.5),
           isInt = false, elemSize = 8): MiniHdf5Writer.Node)
       }
       val f = Hdf5File(MiniHdf5Writer.write(
-        WGroup(attrs, children, denseDepth1 = depth1 && nLinks > 8)))
+        WGroup(attrs, children,
+          denseDepth = if (nLinks > 8) math.min(depth, if (nLinks >= 7) 2 else 1) else 0)))
       val root = f.rootHeaderAddr
       f.groupChildren(root).size == nLinks &&
         f.attributes(root).size == nAttrs &&

@@ -18,29 +18,29 @@ import java.nio.{ByteBuffer, ByteOrder}
 object MiniHdf5Writer {
 
   sealed trait Node
-  /** denseDepth1: when the link set goes dense (> 8 links), index it with a
-    * depth-1 v2 B-tree (multiple BTLF leaves under a BTIN root) instead of
-    * the single-leaf form — the shape libhdf5 produces for groups with
-    * hundreds of links.
+  /** denseDepth: when the link set goes dense (> 8 links), index it with a
+    * v2 B-tree of this depth (0 = single leaf; 1-2 = BTIN levels, the shape
+    * libhdf5 produces for groups with hundreds/thousands of links).
     */
   final case class WGroup(attrs: Seq[(String, Any)],
       children: Seq[(String, Node)],
-      denseDepth1: Boolean = false) extends Node
+      denseDepth: Int = 0) extends Node
   /** layoutV4: None = v3 (contiguous, or v1-btree chunked when chunkDims
     * set); Some(1..5) = v4 chunked with that chunk-index type (single
     * chunk / implicit / fixed array / extensible array / v2 btree) —
     * requires chunkDims. gzip deflates chunk data and emits a filter
     * pipeline message (supported by the extensible-array writer path).
     */
-  /** btreeDepth1: for layoutV4 = Some(5), emit the chunk index as a depth-1
-    * v2 B-tree (the heavily-appended shape) instead of a single leaf.
+  /** btreeDepth: for layoutV4 = Some(5), emit the chunk index as a v2
+    * B-tree of this depth (the heavily-appended shape) instead of a single
+    * leaf.
     */
   final case class WDataset(attrs: Seq[(String, Any)], dims: Array[Long],
       values: Array[Double], isInt: Boolean, elemSize: Int,
       chunkDims: Option[Array[Long]] = None,
       layoutV4: Option[Int] = None,
       gzip: Boolean = false,
-      btreeDepth1: Boolean = false) extends Node
+      btreeDepth: Int = 0) extends Node
 
   private val Undef = -1L
 
@@ -273,19 +273,41 @@ object MiniHdf5Writer {
 
   /** v2 B-tree over fixed-size records; returns the BTHD address.
     *
-    * depth1 = false writes the single-leaf form; depth1 = true splits the
-    * records across several BTLF leaves under one BTIN root (records
-    * interleaved B-tree-style: leaf0, rec0, leaf1, rec1, …), with each
-    * child pointer = leaf address + a variable-width record count sized by
-    * the spec's limit-enc-size of the leaf capacity ((nodeSize − 10) /
-    * recordSize) — the field-width computation the reader must mirror.
+    * depth = 0 writes the single-leaf form; depth ≥ 1 splits the records
+    * across subtrees under BTIN internal nodes (records interleaved
+    * B-tree-style: child0, sep0, child1, sep1, …, childN). Each child
+    * pointer = child address + a variable-width in-node record count sized
+    * by limit-enc-size of the LEAF capacity ((nodeSize − 10) / recordSize;
+    * leaves hold the most records of any node, which is why the field's
+    * width is depth-independent) + — only when the child is itself internal
+    * — a variable-width subtree-total sized by limit-enc-size of the
+    * cumulative capacity cum(childDepth). These are exactly the widths the
+    * reader re-derives from the header.
     */
   private def writeBtreeV2(o: Out, recType: Int, records: Seq[Array[Byte]],
-      depth1: Boolean = false, nodeSize: Int = 512): Long = {
+      depth: Int = 0, nodeSize: Int = 512): Long = {
     val recordSize = records.head.length
     require(records.forall(_.length == recordSize))
 
+    val maxLeafRecs = (nodeSize - 10) / recordSize
+    def encSize(limit: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(limit, 1L))) / 8 + 1
+    val nrecSize = encSize(maxLeafRecs.toLong)
+    // cumulative subtree capacity per depth (sizes the subtree-total field)
+    val cum = new Array[Long](math.max(depth, 1))
+    cum(0) = maxLeafRecs.toLong
+    for (d <- 1 until depth) {
+      val ps = 8 + nrecSize + (if (d - 1 >= 1) encSize(cum(d - 1)) else 0)
+      val maxRec = (nodeSize - 10 - ps) / (recordSize + ps)
+      cum(d) = maxRec.toLong + (maxRec.toLong + 1) * cum(d - 1)
+    }
+    /** Fewest records a depth-d subtree can hold (leaf ≥ 1; internal ≥ two
+      * minimal children + one separator).
+      */
+    def minRecs(d: Int): Int = (1 << (d + 1)) - 1
+
     def writeLeaf(recs: Seq[Array[Byte]]): Long = {
+      require(recs.length <= maxLeafRecs, "leaf overflow")
       val a = o.pos.toLong
       o.ascii("BTLF"); o.u8(0); o.u8(recType)
       recs.foreach(o.bytes)
@@ -293,45 +315,52 @@ object MiniHdf5Writer {
       a
     }
 
-    val (rootAddr, rootNRecs, depth) =
-      if (!depth1) (writeLeaf(records), records.length, 0)
+    /** Writes the subtree bottom-up; returns (node address, records IN the
+      * node, records in the whole subtree).
+      */
+    def build(recs: Seq[Array[Byte]], d: Int): (Long, Int, Long) =
+      if (d == 0) (writeLeaf(recs), recs.length, recs.length.toLong)
       else {
-        require(records.length >= 3, "depth-1 btree needs >= 3 records")
-        // ~3 leaves for small sets, but never exceed a leaf's capacity
-        // (reserve 1 so the straggler rule below cannot overflow a leaf)
-        val maxLeafCap = (nodeSize - 10) / recordSize
-        val perLeaf = math.min(math.max(1, records.length / 3),
-          math.max(1, maxLeafCap - 1))
-        // B-tree split: leaf, separator record, leaf, separator, …, leaf —
-        // N separators REQUIRE N+1 leaves, so a separator can never be the
-        // final record; a would-be 1-record tail is absorbed into the
-        // preceding leaf instead
-        val leaves = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
+        val minChild = minRecs(d - 1)
+        require(recs.length >= minRecs(d), s"depth-$d btree needs >= ${minRecs(d)} records")
+        // ~3 children, each within [minChild, child capacity − minChild]
+        // (the reserve lets the straggler rule below absorb a too-small
+        // tail without overflowing)
+        val capChild = (if (d == 1) maxLeafRecs.toLong else cum(d - 1)).toInt
+        val perChild = math.max(minChild, math.min(
+          math.max(1, recs.length / 3), math.max(minChild, capChild - minChild)))
+        // B-tree split: child, separator record, child, …, child — N
+        // separators REQUIRE N+1 children, and every child needs at least
+        // minChild records; a smaller would-be tail is absorbed into the
+        // preceding child
+        val groups = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
         val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         var i = 0
-        while (i < records.length) {
-          var take = math.min(perLeaf, records.length - i)
-          if (records.length - i - take == 1) take += 1
-          leaves += records.slice(i, i + take)
+        while (i < recs.length) {
+          var take = math.min(perChild, recs.length - i)
+          if (recs.length - i - take - 1 < minChild) take = recs.length - i
+          groups += recs.slice(i, i + take)
           i += take
-          if (i < records.length) { seps += records(i); i += 1 }
+          if (i < recs.length) { seps += recs(i); i += 1 }
         }
-        require(seps.length == leaves.length - 1, "split invariant broken")
-        val leafAddrs = leaves.map(writeLeaf)
-        val maxLeafRecs = (nodeSize - 10) / recordSize
-        val nrecSize = (63 - java.lang.Long.numberOfLeadingZeros(
-          math.max(maxLeafRecs.toLong, 1L))) / 8 + 1
-        require(leaves.forall(_.length <= maxLeafRecs), "leaf overflow")
+        require(seps.length == groups.length - 1, "split invariant broken")
+        val children = groups.map(g => build(g, d - 1))
         val btinAddr = o.pos.toLong
         o.ascii("BTIN"); o.u8(0); o.u8(recType)
         seps.foreach(o.bytes)
-        leafAddrs.zip(leaves).foreach { case (a, l) =>
-          o.u64(a)
-          (0 until nrecSize).foreach(b => o.u8((l.length >> (8 * b)) & 0xff))
+        children.foreach { case (addr, nRec, total) =>
+          o.u64(addr)
+          (0 until nrecSize).foreach(b => o.u8((nRec >> (8 * b)) & 0xff))
+          if (d - 1 >= 1) {
+            val ts = encSize(cum(d - 1))
+            (0 until ts).foreach(b => o.u8(((total >> (8 * b)) & 0xff).toInt))
+          }
         }
         o.u32(0) // checksum
-        (btinAddr, seps.length, 1)
+        (btinAddr, seps.length, recs.length.toLong)
       }
+
+    val (rootAddr, rootNRecs, _) = build(records, depth)
 
     val bthdAddr = o.pos.toLong
     o.ascii("BTHD"); o.u8(0); o.u8(recType)
@@ -401,7 +430,7 @@ object MiniHdf5Writer {
         b.put(heapId7(heapOffsets(i), bodies(i).length))
         b.array()
       }
-      val bthdAddr = writeBtreeV2(o, 5, records, depth1 = g.denseDepth1)
+      val bthdAddr = writeBtreeV2(o, 5, records, depth = g.denseDepth)
       val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
       li.put(0.toByte); li.put(0.toByte); li.putLong(frhpAddr); li.putLong(bthdAddr)
       writeHeader(o, Seq(0x0002 -> li.array(), 0x000A -> Array[Byte](0, 0)) ++ attrMsgs)
@@ -655,7 +684,7 @@ object MiniHdf5Writer {
           (0 until rank).foreach(i => b.putLong(off(i) / cd(i))) // scaled offsets
           b.array()
         }
-        writeBtreeV2(o, if (d.gzip) 11 else 10, records, depth1 = d.btreeDepth1)
+        writeBtreeV2(o, if (d.gzip) 11 else 10, records, depth = d.btreeDepth)
       case t => sys.error(s"writer: unsupported v4 index type $t")
     }
     val extra = idxType match { case 3 => 1; case 4 => 5; case 5 => 6; case _ => 0 }

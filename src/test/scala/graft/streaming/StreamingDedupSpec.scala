@@ -46,6 +46,42 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"stream/batch diverged: extra=${streamed -- batchPairs} missing=${batchPairs -- streamed}")
   }
 
+  test("TTL variant: idle bucket state expires, stale docs stop pairing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val text = "identical text that lands every copy in the same buckets"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingDedup.lshCandidatePairsStreamTtl(
+        input.toDF().toDF("doc_id", "text", "ts"), "ts", stateTtl = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl_test").start()
+    // b1: docs 1,2 @10:00 pair up; bucket timeout armed at 10:30
+    input.addData((1L, text, ts(10, 0)), (2L, text, ts(10, 0)))
+    q.processAllAvailable()
+    // b2: unrelated doc @12:00 advances the watermark past the timeout
+    input.addData((50L, "completely different words entirely unrelated to anything", ts(12, 0)))
+    q.processAllAvailable()
+    // b3: the expired bucket is swept (watermark 11:30 > 10:30)
+    input.addData((51L, "another unrelated document to trigger the sweep pass", ts(12, 1)))
+    q.processAllAvailable()
+    // b4: doc 3, same text as 1,2 — their bucket state is gone, so NO pair
+    input.addData((3L, text, ts(12, 5)))
+    q.processAllAvailable()
+    val got = spark.table("neardup_ttl_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS neardup_ttl_test")
+    assert(got == Set((1L, 2L)),
+      s"expected only the in-window pair, got $got")
+    // contrast: the non-TTL operator on the same sequence DOES pair doc 3
+    val all = Seq((1L, text), (2L, text), (50L, "completely different words entirely unrelated to anything"),
+      (51L, "another unrelated document to trigger the sweep pass"), (3L, text))
+    val noTtl = runStream(Seq(all.take(2), all.slice(2, 3), all.slice(3, 4), all.drop(4)))
+    assert(Set((1L, 3L), (2L, 3L)).subsetOf(noTtl), s"got $noTtl")
+  }
+
   test("over-cap buckets: stream admits the first maxBucket members, batch drops the bucket") {
     import spark.implicits._
     // 8 identical docs, cap 4: every band bucket is the same hot bucket.
