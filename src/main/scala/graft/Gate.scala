@@ -26,8 +26,16 @@ object Gate {
       .getOrElse {
         val base = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
         val sf1 = "/tmp/sf1"
-        if (new java.io.File(s"$sf1/documents.parquet").exists) base :+ sf1
-        else base
+        if (new java.io.File(s"$sf1/documents.parquet").exists) {
+          // machine-state dependency, so say it out loud: a stale or
+          // half-written sf1 from an interrupted make_sf.py would fail the
+          // gate (or validate outdated data) with no hint why otherwise.
+          // Pin scales explicitly with GRAFT_SCALE_DIRS to opt out.
+          println(s"[gate] NOTICE: auto-including $sf1 (found on disk; " +
+            "regenerate with scripts/make_sf.py, or set GRAFT_SCALE_DIRS " +
+            "to pin scales explicitly)")
+          base :+ sf1
+        } else base
       }
 
   def main(args: Array[String]): Unit = {

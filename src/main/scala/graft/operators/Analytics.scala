@@ -309,10 +309,29 @@ object Analytics {
     * Library API: per-group approximate quantiles over any column.
     */
   def approxQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      probs: Seq[Double], accuracy: Int = 10000): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"approx_percentile($valueCol, array(${probs.map(p => s"${p}D").mkString(",")}), $accuracy)")
-        .as("approx_quantiles"))
+      probs: Seq[Double], accuracy: Int = 10000,
+      guardExactRegime: Boolean = false): DataFrame = {
+    // Column API (not SQL-string interpolation): survives column names that
+    // would need backtick-quoting in SQL text.
+    val grouped = df.groupBy(groupCols.map(col): _*)
+    val q = percentile_approx(col(valueCol),
+      array(probs.map(p => lit(p)): _*), lit(accuracy)).as("approx_quantiles")
+    if (!guardExactRegime) grouped.agg(q)
+    else
+      // exact-regime guard: the GK sketch answer equals the discrete
+      // quantile only while every group stays under accuracy/2 rows. A
+      // scale bump that breaks the invariant must fail LOUDLY here, not
+      // flake the hash gate. The filter's predicate is always true when the
+      // precondition holds (coalesce(null, true)); assert_true raises when
+      // it doesn't. The unused-looking _n can't be pruned: the filter
+      // consumes it before the drop.
+      grouped.agg(q, count(lit(1)).as("_n"))
+        .where(coalesce(assert_true(col("_n") < lit(accuracy.toLong / 2),
+          concat(lit(s"approx_quantiles exact-regime precondition violated: " +
+            s"group of "), col("_n"),
+            lit(s" rows >= accuracy/2 = ${accuracy / 2}"))), lit(true)))
+        .drop("_n")
+  }
 
   /** Oracle-checked twin: at accuracy 1e6 the GK bound n/accuracy < 0.5
     * ranks for every group up to 500k rows (sf1 events groups are ~20k), so
@@ -326,7 +345,8 @@ object Analytics {
     approxQuantiles(
       graft.Tables.events(s, dir)
         .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
-      "cents", Seq("event_type"), Seq(0.25, 0.5, 0.75), accuracy = 1000000)
+      "cents", Seq("event_type"), Seq(0.25, 0.5, 0.75), accuracy = 1000000,
+      guardExactRegime = true)
       .select(col("event_type"),
         concat_ws(",", col("approx_quantiles")).as("quartiles_approx"))
       .orderBy(col("event_type"))

@@ -149,6 +149,14 @@ final class OdimScan(options: CaseInsensitiveStringMap,
     required: StructType = null, limit: Int = -1,
     pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
+  // The session that built this scan, captured EAGERLY at construction (the
+  // ScanBuilder runs inside that session's planner). Resolving
+  // SparkSession.active lazily in planInputPartitions/createReaderFactory
+  // would, in a multi-session application, pick up whichever session happens
+  // to be active then and propagate the wrong fs.* settings to executors.
+  @transient private val session = org.apache.spark.sql.SparkSession.active
+  private val serializableConf =
+    new SerializableHadoopConf(session.sparkContext.hadoopConfiguration)
   private val schema0: StructType = Option(required).getOrElse(Vpts.schemaV1)
   override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
@@ -158,8 +166,7 @@ final class OdimScan(options: CaseInsensitiveStringMap,
       (if (pruning.nonEmpty) s", pruneFilters=${pruning.mkString(";")}" else "") + ")"
 
   private def listH5(root: String): Seq[OdimFileRef] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    org.apache.spark.sql.GraftSqlBridge.listFilesRecursive(spark, Seq(root))
+    org.apache.spark.sql.GraftSqlBridge.listFilesRecursive(session, Seq(root))
       .collect { case (p, len) if p.endsWith(".h5") => OdimFileRef(p, len) }
   }
 
@@ -182,8 +189,7 @@ final class OdimScan(options: CaseInsensitiveStringMap,
     // a lake of small files must still fan out across all cores
     val confMax = Option(options.get("maxPartitionBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    val parallelism = org.apache.spark.sql.SparkSession.active
-      .sparkContext.defaultParallelism.max(1)
+    val parallelism = session.sparkContext.defaultParallelism.max(1)
     val totalBytes = files.map(_.size).sum.max(1L)
     val maxBytes = math.max(1L, math.min(confMax, totalBytes / parallelism))
     // first-fit bin-packing in sorted order (keeps day-locality per task)
@@ -204,9 +210,7 @@ final class OdimScan(options: CaseInsensitiveStringMap,
     new OdimPartitionReaderFactory(
       Option(options.get("version")).getOrElse("v1.0"),
       Option(options.get("failFast")).forall(_.toBoolean),
-      schema0.fieldNames, limit,
-      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration))
+      schema0.fieldNames, limit, serializableConf)
 }
 
 object OdimScan {
