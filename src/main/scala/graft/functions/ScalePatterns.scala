@@ -49,4 +49,30 @@ object ScalePatterns {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
+
+  /** Bloom-filter pre-join: build a bloom sketch over the dim side's keys
+    * (one pass, partial-agg'd sketch merge — `df.stat.bloomFilter` is an
+    * ACTION at plan-build time, same documented pattern as
+    * `Dedup.componentLabels`), probe it on the fact side BEFORE the join's
+    * exchange, then run the exact join. Non-candidate fact rows — at 100 TB
+    * usually the overwhelming majority — never enter the shuffle. False
+    * positives (rate `fpp`) pass the probe but die in the exact join;
+    * false negatives cannot occur, so output EQUALS the plain join.
+    *
+    * This is the manual form of Spark's runtime row-level filtering
+    * (spark.sql.optimizer.runtime.bloomFilter.*), for when you want the
+    * sketch built ONCE and reused across many scans/queries of the same
+    * dim, or the dim side is the output of an operator the optimizer won't
+    * inject a runtime filter under. `expectedItems` sizes the bitmap
+    * (~1.2 MB per million keys at fpp 0.01) — size it from dim stats in
+    * production.
+    */
+  def bloomPrejoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    fact
+      .filter(graft.plans.BloomMightContainExpr.mightContain(col(factKey), bloom))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -397,6 +397,38 @@ object Analytics {
       skewFact(s, dir).hint("merge"), skewDim(s, dir), "skew_key",
       hotKeys = Seq(0L), saltFactor = 16))
 
+  /** Bloom pre-join demo: lineitem (fact) x a selective orders subset
+    * (dim). The bloom probe on l_orderkey runs inside the fact scan's
+    * codegen stage, so ~95% of fact rows never enter the sort-merge
+    * exchange — at 100 TB that is the difference between shuffling the
+    * corpus and shuffling the matches. The exact join after the probe
+    * removes the fpp false positives: output EQUALS the plain join, which
+    * is exactly what the oracle runs.
+    */
+  def qBloomPrejoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      cents(col("l_extendedprice")).cast("long").as("cents"),
+      col("l_returnflag"))
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_orderkey"))
+    graft.functions.ScalePatterns.bloomPrejoin(
+        fact.hint("merge"), dim, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), (sum(col("cents")) / 100.0).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qBloomPrejoinSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= '2000-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val qSkewJoinSql: String =
     """WITH fact AS (
       |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS skew_key,
@@ -414,6 +446,7 @@ object Analytics {
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_quantiles", qQuantiles, Some(qQuantilesSql)),
     QueryDef("q_quantiles_approx", qQuantilesApprox, Some(qQuantilesApproxSql)),
+    QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_cube", qCube, Some(qCubeSql)),

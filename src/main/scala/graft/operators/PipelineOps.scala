@@ -211,8 +211,96 @@ object PipelineOps {
        |ORDER BY k.doc_id""".stripMargin
   }
 
+  /** Deterministic hash sampling / split assignment — the 100 TB sampling
+    * primitive. `rand()`-based sampling is irreproducible across retries and
+    * re-partitions (a retried task re-draws); hashing a stable id is
+    * reproducible run-to-run, engine-to-engine, and under any re-partitioning,
+    * and needs no shuffle at all (a codegen'd projection the scan can
+    * evaluate). bucket = md5(seed || id) leading 60 bits mod `buckets` —
+    * the same md5-prefix trick [[graft.plans.ShingleSetExpr]] uses, so both
+    * engines agree bit-for-bit.
+    */
+  def hashBucket(id: org.apache.spark.sql.Column, buckets: Int = 100,
+      seed: String = ""): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(seed), id.cast("string")).cast("binary")), 1, 15),
+      16, 10).cast("long") % buckets
+
+  private def hashBucketSql(id: String, buckets: Int, seed: String = ""): String =
+    s"('0x' || substring(md5('$seed' || CAST($id AS VARCHAR)), 1, 15))::BIGINT % $buckets"
+
+  /** Uniform deterministic sample: keep ids whose bucket < pct. */
+  def sampleHash(df: DataFrame, idCol: String, pct: Int, seed: String = ""): DataFrame =
+    df.filter(hashBucket(col(idCol), 100, seed) < pct)
+
+  /** Per-stratum rates (e.g. downsample web-crawl, keep all curated): a
+    * when-chain from a small literal map — constant-folded per row, still
+    * zero shuffle.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int,
+      seed: String = ""): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 100, seed) < pct)
+  }
+
+  /** Train/valid/test assignment by hash bucket: disjoint, exhaustive,
+    * stable under data growth (a doc never migrates between splits when new
+    * docs arrive — unlike rank- or rand-based splits).
+    */
+  def splitAssign(id: org.apache.spark.sql.Column, trainPct: Int = 80,
+      validPct: Int = 10, seed: String = ""): org.apache.spark.sql.Column = {
+    val b = hashBucket(id, 100, seed)
+    when(b < trainPct, "train").when(b < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    sampleHash(Tables.documents(s, dir), "doc_id", 10)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val qSampleHashSql: String =
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |WHERE ${hashBucketSql("doc_id", 100)} < 10
+       |ORDER BY doc_id""".stripMargin
+
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables.documents(s, dir), "doc_id", "source",
+        Map("web" -> 5, "wiki" -> 50), defaultPct = 20)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+
+  val qSampleStratifiedSql: String =
+    s"""SELECT source, count(*) AS n_kept FROM documents
+       |WHERE ${hashBucketSql("doc_id", 100)} <
+       |  CASE WHEN source = 'web' THEN 5 WHEN source = 'wiki' THEN 50 ELSE 20 END
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), splitAssign(col("doc_id")).as("split"))
+      .groupBy(col("split"), col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("source"))
+
+  val qSplitAssignSql: String = {
+    val b = hashBucketSql("doc_id", 100)
+    s"""SELECT CASE WHEN $b < 80 THEN 'train'
+       |            WHEN $b < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |       source, count(*) AS n
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY split, source""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
+    QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
+    QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+    QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_text_repetition", qTextRepetition, Some(qTextRepetitionSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
     QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql), bench = true),

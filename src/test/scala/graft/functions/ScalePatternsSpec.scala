@@ -53,6 +53,37 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(hotSalts >= 8, s"hot key spread over only $hotSalts salt values")
   }
 
+  test("bloom pre-join equals plain join and prunes fact rows before the shuffle") {
+    val fact = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val dim = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toSeq).toSet
+    val pre = ScalePatterns.bloomPrejoin(fact, dim, "l_orderkey", "o_orderkey")
+    assert(pre.collect().map(_.toSeq).toSet == plain) // no false negatives, exact output
+
+    // the probe really prunes: prefiltered fact cardinality sits between the
+    // true match count and matches + fpp-slack of the full fact
+    val bloom = dim.stat.bloomFilter("o_orderkey", 1L << 20, 0.01)
+    val kept = fact.filter(
+      graft.plans.BloomMightContainExpr.mightContain(col("l_orderkey"), bloom)).count()
+    val matches = plain.size.toLong
+    val total = fact.count()
+    assert(kept >= matches && kept <= matches + (0.05 * total).toLong,
+      s"bloom kept $kept of $total (matches=$matches)")
+    assert(kept < total, "probe pruned nothing")
+
+    // string-key path of the native expression
+    val sBloom = dim.select(col("o_orderkey").cast("string").as("k"))
+      .stat.bloomFilter("k", 1L << 20, 0.01)
+    val sKept = fact.select(col("l_orderkey").cast("string").as("k"))
+      .filter(graft.plans.BloomMightContainExpr.mightContain(col("k"), sBloom)).count()
+    assert(sKept >= matches)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // clean both catalog entries and leftover warehouse dirs (the in-memory
     // catalog forgets tables across JVMs but the directories persist)

@@ -66,6 +66,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(uncapped > 3)
   }
 
+  test("hash sampling: deterministic, disjoint-exhaustive splits, growth-stable") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    // run-to-run determinism (no rand(): a retried task can't re-draw)
+    val a = PipelineOps.sampleHash(docs, "doc_id", 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = PipelineOps.sampleHash(docs, "doc_id", 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+    // rate lands near the target (md5 is uniform; 3 sigma at n=docs)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.10) < 3 * math.sqrt(0.1 * 0.9 / n))
+    // nested rates nest: the 5% sample is a subset of the 10% sample
+    val five = PipelineOps.sampleHash(docs, "doc_id", 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(five.subsetOf(a))
+    // different seed draws a different sample
+    val seeded = PipelineOps.sampleHash(docs, "doc_id", 10, seed = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(seeded != a)
+
+    // splits: disjoint, exhaustive, and stable under data growth — the
+    // assignment of an existing doc never changes when new docs arrive
+    import org.apache.spark.sql.functions.col
+    val splits = docs.select(col("doc_id"),
+      PipelineOps.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits.size == n.toLong)
+    assert(splits.values.toSet == Set("train", "valid", "test"))
+    val half = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+      PipelineOps.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => splits(id) == s })
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val rates = Map("web" -> 5, "wiki" -> 50)
+    val kept = PipelineOps.sampleStratified(docs, "doc_id", "source", rates, 20)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, tot) =>
+      val pct = rates.getOrElse(src, 20) / 100.0
+      val got = kept.getOrElse(src, 0L).toDouble / tot
+      assert(math.abs(got - pct) < 3 * math.sqrt(pct * (1 - pct) / tot) + 0.02,
+        s"$src: got $got want ~$pct")
+    }
+  }
+
   test("dedup-apply output contains no exact duplicates") {
     val kept = PipelineOps.qDedupApply(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
