@@ -362,6 +362,59 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** t-digest quantiles: the third member of the quantile family (exact
+    * sort, GK absolute-rank sketch, t-digest relative-rank sketch). Library
+    * API over any double column; Spark runs the typed aggregator as
+    * ObjectHashAggregate — digests build per (group x partition) and only
+    * centroid lists cross the shuffle.
+    */
+  def tdigestQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      probs: Seq[Double], compression: Double = 100.0): DataFrame = {
+    val agg = udaf(new graft.plans.TDigestAggregator(compression, probs),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(valueCol).cast("double")).as("tdigest_quantiles"))
+  }
+
+  /** Oracle-checked twin, exact regime: with compression >= every group
+    * size no two points fuse, so quantile(p) is midpoint interpolation over
+    * the sorted values — idx = p*n - 0.5, v = vs(lo) + (vs(lo+1) - vs(lo)) *
+    * frac, EXACT double arithmetic for integer cents and dyadic p. The
+    * DuckDB twin computes the closed form explicitly (same formula shape:
+    * a + (b - a) * frac, never (1-frac)*a + frac*b — algebraically equal,
+    * floating-point different). The genuinely-approximate regime is
+    * spec-pinned with its error bound (TDigestSpec).
+    */
+  def qQuantilesTdigest(s: SparkSession, dir: String): DataFrame =
+    tdigestQuantiles(
+      graft.Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+      "cents", Seq("event_type"), Seq(0.25, 0.5, 0.75), compression = 1e9)
+      .select(col("event_type"),
+        concat_ws(",", col("tdigest_quantiles")).as("quartiles_td"))
+      .orderBy(col("event_type"))
+
+  val qQuantilesTdigestSql: String = {
+    def q(p: String): String = {
+      val lo = s"CAST(floor($p * n - 0.5) AS BIGINT)"
+      s"""CASE WHEN $p * n - 0.5 <= 0 THEN CAST(vs[1] AS DOUBLE)
+         |     WHEN $p * n - 0.5 >= n - 1 THEN CAST(vs[n] AS DOUBLE)
+         |     ELSE CAST(vs[$lo + 1] AS DOUBLE)
+         |          + (vs[$lo + 2] - vs[$lo + 1]) * (($p * n - 0.5) - floor($p * n - 0.5))
+         |END""".stripMargin
+    }
+    s"""WITH g AS (
+       |  SELECT event_type, list_sort(list(cents)) AS vs, count(*) AS n
+       |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+       |        FROM events)
+       |  GROUP BY event_type)
+       |SELECT event_type,
+       |  array_to_string([${q("0.25")}, ${q("0.5")}, ${q("0.75")}], ',')
+       |    AS quartiles_td
+       |FROM g
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Skew-demonstration pair: identical semantics, the key space is
     * deliberately degenerate (every even l_orderkey folds to key 0, so one
     * key carries ~50% of lineitem). Both variants pin a sort-merge join
@@ -446,6 +499,7 @@ object Analytics {
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_quantiles", qQuantiles, Some(qQuantilesSql)),
     QueryDef("q_quantiles_approx", qQuantilesApprox, Some(qQuantilesApproxSql)),
+    QueryDef("q_quantiles_tdigest", qQuantilesTdigest, Some(qQuantilesTdigestSql)),
     QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),
