@@ -256,6 +256,57 @@ object PipelineOps {
       .otherwise("test")
   }
 
+  /** Deterministic source mixing: emit each row `weight` times, where
+    * weight is per-stratum and fractional — floor(w) whole epochs plus one
+    * more for the hash-selected frac(w) of ids. Upsampling (w > 1)
+    * replicates curated sources across training epochs; downsampling
+    * (w < 1) thins bulk crawl — one operator, zero shuffle (explode of a
+    * bounded sequence), reproducible run-to-run. The `epoch` column keeps
+    * replicas distinguishable for downstream packing/shuffling.
+    *
+    * Weights with dyadic fractional parts (0.25, 0.5, …) make the
+    * frac-threshold comparison exact in double arithmetic — prefer them
+    * when a twin engine must agree on the boundary.
+    */
+  def mixWeights(df: DataFrame, idCol: String, stratumCol: String,
+      weightByStratum: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: String = ""): DataFrame = {
+    val w = weightByStratum.foldLeft(lit(defaultWeight)) { case (acc, (k, x)) =>
+      when(col(stratumCol) === k, lit(x)).otherwise(acc)
+    }
+    val repeats = floor(w).cast("long") +
+      when(hashBucket(col(idCol), 100, seed) < (w - floor(w)) * 100, 1L)
+        .otherwise(0L)
+    df.withColumn("epoch",
+      explode(when(repeats >= 1, sequence(lit(1L), repeats))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  def qMixWeights(s: SparkSession, dir: String): DataFrame =
+    mixWeights(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_emitted"),
+        countDistinct(col("doc_id")).as("n_unique"))
+      .orderBy(col("source"))
+
+  val qMixWeightsSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    unnest(generate_series(1,
+       |      CAST(floor(w) AS BIGINT)
+       |      + CASE WHEN ${hashBucketSql("doc_id", 100)} < (w - floor(w)) * 100
+       |             THEN 1 ELSE 0 END)) AS epoch
+       |  FROM (SELECT doc_id, source,
+       |          CASE WHEN source = 'src0' THEN 2.5
+       |               WHEN source = 'src1' THEN 0.25
+       |               ELSE 1.0 END AS w
+       |        FROM documents))
+       |SELECT source, count(*) AS n_emitted, count(DISTINCT doc_id) AS n_unique
+       |FROM m
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def qSampleHash(s: SparkSession, dir: String): DataFrame =
     sampleHash(Tables.documents(s, dir), "doc_id", 10)
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -268,14 +319,14 @@ object PipelineOps {
 
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
     sampleStratified(Tables.documents(s, dir), "doc_id", "source",
-        Map("web" -> 5, "wiki" -> 50), defaultPct = 20)
+        Map("src0" -> 5, "src1" -> 50), defaultPct = 20)
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
 
   val qSampleStratifiedSql: String =
     s"""SELECT source, count(*) AS n_kept FROM documents
        |WHERE ${hashBucketSql("doc_id", 100)} <
-       |  CASE WHEN source = 'web' THEN 5 WHEN source = 'wiki' THEN 50 ELSE 20 END
+       |  CASE WHEN source = 'src0' THEN 5 WHEN source = 'src1' THEN 50 ELSE 20 END
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
@@ -301,6 +352,7 @@ object PipelineOps {
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
+    QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
     QueryDef("q_text_repetition", qTextRepetition, Some(qTextRepetitionSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
     QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql), bench = true),

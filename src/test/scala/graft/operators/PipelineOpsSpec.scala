@@ -103,7 +103,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("stratified sampling applies per-stratum rates") {
     val docs = graft.Tables.documents(spark, sfDir)
     import org.apache.spark.sql.functions.col
-    val rates = Map("web" -> 5, "wiki" -> 50)
+    val rates = Map("src0" -> 5, "src1" -> 50)
     val kept = PipelineOps.sampleStratified(docs, "doc_id", "source", rates, 20)
       .groupBy("source").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -115,6 +115,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(got - pct) < 3 * math.sqrt(pct * (1 - pct) / tot) + 0.02,
         s"$src: got $got want ~$pct")
     }
+  }
+
+  test("weighted mixing emits floor(w)..ceil(w) epochs at the right rate") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val mixed = PipelineOps.mixWeights(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+    // per-row repeat counts stay within [floor(w), ceil(w)]
+    val perDoc = mixed.groupBy("doc_id", "source").count()
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(perDoc.forall { case ("src0", c) => c == 2 || c == 3
+                           case ("src1", c) => c == 1
+                           case (_, c) => c == 1 })
+    // aggregate emission rate approaches the weight (hash is uniform)
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emitted = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(src: String): Double = emitted.getOrElse(src, 0L).toDouble / totals(src)
+    assert(math.abs(rate("src0") - 2.5) < 0.3, s"src0 rate ${rate("src0")}")
+    assert(math.abs(rate("src1") - 0.25) < 0.3, s"src1 rate ${rate("src1")}")
+    // deterministic: same emission set on re-run
+    val again = PipelineOps.mixWeights(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+      .select(col("doc_id"), col("epoch"))
+      .collect().map(_.toSeq).toSet
+    assert(mixed.select(col("doc_id"), col("epoch"))
+      .collect().map(_.toSeq).toSet == again)
   }
 
   test("dedup-apply output contains no exact duplicates") {
