@@ -82,6 +82,17 @@ class ScalePatternsSpec extends AnyFunSuite {
     val sKept = fact.select(col("l_orderkey").cast("string").as("k"))
       .filter(graft.plans.BloomMightContainExpr.mightContain(col("k"), sBloom)).count()
     assert(sKept >= matches)
+
+    // plan shape: the probe evaluates BEFORE the join's exchange (scan-side
+    // Filter), so pruned rows never pay shuffle cost
+    val plan = graft.operators.Analytics.qBloomPrejoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"probe missing from plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"), "expected the pinned sort-merge join")
+    val probeAt = plan.indexOf("bloom_might_contain")
+    val scanAt = plan.indexOf("Scan parquet", probeAt)
+    assert(scanAt > probeAt && !plan.substring(probeAt, scanAt).contains("Exchange"),
+      "bloom probe is not directly above its scan (an Exchange intervenes)")
   }
 
   test("bucketed tables join without a shuffle exchange") {
