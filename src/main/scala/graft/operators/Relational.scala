@@ -319,7 +319,68 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Bucketed range join — the scale pattern for non-equi (interval)
+    * joins. A naive `l.ts BETWEEN r.start AND r.end` join has no equi-key,
+    * so Spark plans BroadcastNestedLoopJoin: every (row, interval) pair is
+    * compared — O(n·m), a non-starter at 100 TB. Decomposition: pick a
+    * bucket width W, replicate each interval to the ceil(len/W)+1 buckets
+    * it overlaps, tag each left row with its single bucket, hash-join on
+    * the bucket, and apply the range predicate as a residual. Each matching
+    * pair meets in EXACTLY one bucket (the left row's), so no dedup is
+    * needed. Cost: one shuffle of (n + m·(len/W+1)) rows — tune W toward
+    * the typical interval length.
+    *
+    * Keys are numeric (days, epoch seconds, …); callers convert timestamps
+    * to a unit first — keeps the library TZ-free.
+    */
+  def rangeJoinBucketed(left: DataFrame, leftKey: String, right: DataFrame,
+      startKey: String, endKey: String, bucketWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      floor(col(leftKey) / bucketWidth).cast("long"))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(floor(col(startKey) / bucketWidth).cast("long"),
+        floor(col(endKey) / bucketWidth).cast("long"))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(leftKey) >= col(startKey) && col(leftKey) <= col(endKey))
+      .drop("__bucket")
+  }
+
+  /** Demo: lineitem ship-days landing inside promotional windows (every
+    * 100th order's date + 3 days). Day-integer keys (datediff from a fixed
+    * epoch) keep both engines in exact integer space — no timezone
+    * semantics anywhere. Bucket width 2 days ⇒ each 4-day window spans 2-3
+    * buckets.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      datediff(to_date(col("l_shipdate")), lit("1995-01-01")).cast("long").as("ship_day"),
+      cents(col("l_extendedprice")).cast("long").as("cents"))
+    val iv = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("start_day"))
+      .withColumn("end_day", col("start_day") + 3)
+    rangeJoinBucketed(li, "ship_day", iv, "start_day", "end_day", bucketWidth = 2)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), (sum(col("cents")) / 100.0).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  sum(cents) / 100.0 AS sum_price
+      |FROM (SELECT date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |      FROM lineitem) l
+      |JOIN (SELECT o_orderpriority,
+      |             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS start_day
+      |      FROM orders WHERE o_orderkey % 100 = 0) o
+      |  ON l.ship_day >= o.start_day AND l.ship_day <= o.start_day + 3
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql), bench = true),
     QueryDef("q2_filter_pushdown", q2FilterPushdown, Some(q2FilterPushdownSql), bench = true),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql), bench = true),

@@ -103,6 +103,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p3.contains("TakeOrderedAndProject"), p3)
   }
 
+  test("bucketed range join equals the naive interval join without a nested loop") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      datediff(to_date(col("l_shipdate")), lit("1995-01-01")).cast("long").as("ship_day"),
+      col("l_orderkey"))
+    val iv = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("iv_key"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("start_day"))
+      .withColumn("end_day", col("start_day") + 3)
+    val naive = li.join(iv,
+      col("ship_day") >= col("start_day") && col("ship_day") <= col("end_day"))
+      .select(col("l_orderkey"), col("iv_key"), col("ship_day"))
+      .collect().map(_.toSeq).toSet
+    val bucketed = Relational.rangeJoinBucketed(li, "ship_day", iv,
+      "start_day", "end_day", bucketWidth = 2)
+      .select(col("l_orderkey"), col("iv_key"), col("ship_day"))
+    assert(bucketed.collect().map(_.toSeq).toSet == naive)
+    // exactly once per pair (the single-meeting-bucket property)
+    assert(bucketed.count() == naive.size)
+    // and the plan is an equi-join on the bucket, not a nested loop
+    val p = plan(bucketed)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("__bucket"), p)
+  }
+
   test("q1 aggregates partially before its exchange and prunes the scan") {
     val p = plan(Relational.q1PricingSummary(spark, sfDir))
     assert(p.contains("partial_"), p)
