@@ -293,14 +293,25 @@ object MiniHdf5Writer {
     def encSize(limit: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(limit, 1L))) / 8 + 1
     val nrecSize = encSize(maxLeafRecs.toLong)
-    // cumulative subtree capacity per depth (sizes the subtree-total field)
-    val cum = new Array[Long](math.max(depth, 1))
-    cum(0) = maxLeafRecs.toLong
-    for (d <- 1 until depth) {
-      val ps = 8 + nrecSize + (if (d - 1 >= 1) encSize(cum(d - 1)) else 0)
-      val maxRec = (nodeSize - 10 - ps) / (recordSize + ps)
-      cum(d) = maxRec.toLong + (maxRec.toLong + 1) * cum(d - 1)
+    // cumulative subtree capacity per depth (sizes the subtree-total field
+    // AND drives auto-depth below)
+    def cumAt(levels: Int): Array[Long] = {
+      val c = new Array[Long](math.max(levels, 1))
+      c(0) = maxLeafRecs.toLong
+      for (d <- 1 until levels) {
+        val ps = 8 + nrecSize + (if (d - 1 >= 1) encSize(c(d - 1)) else 0)
+        val maxRec = (nodeSize - 10 - ps) / (recordSize + ps)
+        c(d) = maxRec.toLong + (maxRec.toLong + 1) * c(d - 1)
+      }
+      c
     }
+    // auto-depth: a record set larger than the requested depth's capacity
+    // gets a taller tree (exactly what libhdf5 does as a tree fills) — a
+    // 40-record dense-attr index cannot be a single 29-record leaf
+    var depth0 = depth
+    while ({ val c = cumAt(depth0 + 1); c(depth0) < records.length }) depth0 += 1
+    val effDepth = depth0
+    val cum = cumAt(math.max(effDepth, 1))
     /** Fewest records a depth-d subtree can hold (leaf ≥ 1; internal ≥ two
       * minimal children + one separator).
       */
@@ -323,27 +334,35 @@ object MiniHdf5Writer {
       else {
         val minChild = minRecs(d - 1)
         require(recs.length >= minRecs(d), s"depth-$d btree needs >= ${minRecs(d)} records")
-        // ~3 children, each within [minChild, child capacity − minChild]
-        // (the reserve lets the straggler rule below absorb a too-small
-        // tail without overflowing)
-        val capChild = (if (d == 1) maxLeafRecs.toLong else cum(d - 1)).toInt
-        val perChild = math.max(minChild, math.min(
-          math.max(1, recs.length / 3), math.max(minChild, capChild - minChild)))
+        val capChild = (math.min(if (d == 1) maxLeafRecs.toLong else cum(d - 1),
+          Int.MaxValue.toLong)).toInt
         // B-tree split: child, separator record, child, …, child — N
-        // separators REQUIRE N+1 children, and every child needs at least
-        // minChild records; a smaller would-be tail is absorbed into the
-        // preceding child
+        // separators REQUIRE N+1 children. Pick the child count so an EVEN
+        // spread provably fits: c >= ceil((len+1)/(cap+1)) keeps every child
+        // within capacity, c <= (len+1)/(minChild+1) keeps every child at or
+        // above minChild; prefer ~3 children for shape richness.
+        val len = recs.length
+        val cFit = ((len + 1) + capChild) / (capChild + 1) // ceil((len+1)/(cap+1))
+        val cKeep = (len + 1) / (minChild + 1)
+        val c = math.min(math.max(math.max(2, cFit), math.min(3, cKeep)), cKeep)
+        require(c >= cFit && c >= 2 && c <= cKeep, s"no valid split: $len recs, cap $capChild, min $minChild")
+        val nChildRecs = len - (c - 1)
+        val base = nChildRecs / c
+        val extra = nChildRecs % c // first `extra` children take base+1
         val groups = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
         val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         var i = 0
-        while (i < recs.length) {
-          var take = math.min(perChild, recs.length - i)
-          if (recs.length - i - take - 1 < minChild) take = recs.length - i
+        var g = 0
+        while (g < c) {
+          val take = base + (if (g < extra) 1 else 0)
           groups += recs.slice(i, i + take)
           i += take
-          if (i < recs.length) { seps += recs(i); i += 1 }
+          if (g < c - 1) { seps += recs(i); i += 1 }
+          g += 1
         }
-        require(seps.length == groups.length - 1, "split invariant broken")
+        require(i == len && seps.length == groups.length - 1, "split invariant broken")
+        require(groups.forall(gr => gr.length >= minChild && gr.length <= capChild),
+          s"child size out of bounds: ${groups.map(_.length)} cap=$capChild min=$minChild")
         val children = groups.map(g => build(g, d - 1))
         val btinAddr = o.pos.toLong
         o.ascii("BTIN"); o.u8(0); o.u8(recType)
@@ -360,13 +379,13 @@ object MiniHdf5Writer {
         (btinAddr, seps.length, recs.length.toLong)
       }
 
-    val (rootAddr, rootNRecs, _) = build(records, depth)
+    val (rootAddr, rootNRecs, _) = build(records, effDepth)
 
     val bthdAddr = o.pos.toLong
     o.ascii("BTHD"); o.u8(0); o.u8(recType)
     o.u32(nodeSize.toLong)
     o.u16(recordSize)
-    o.u16(depth)
+    o.u16(effDepth)
     o.u8(100); o.u8(40)          // split / merge percent
     o.u64(rootAddr)
     o.u16(rootNRecs)             // records in root node
