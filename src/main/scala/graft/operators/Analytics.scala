@@ -415,6 +415,39 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** KMV distinct-count sketch (the cardinality member of the sketch
+    * family): mergeable, order-independent, k longs of memory per group x
+    * partition. Library API over any column (rendered to string for the
+    * shared 60-bit hash).
+    */
+  def kmvDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Int = 4096, requireExact: Boolean = false): DataFrame = {
+    val agg = udaf(new graft.plans.KmvDistinctAggregator(k, requireExact),
+      org.apache.spark.sql.Encoders.STRING)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(valueCol).cast("string")).as("distinct_kmv"))
+  }
+
+  /** Oracle-checked twin, exact regime: k=65536 exceeds every group's
+    * distinct user count (15k per event_type at sf1 — 10× the sf0.1
+    * cardinality, which the three-scale gate caught when this entry first
+    * shipped with k=4096), so no eviction fires and the sketch IS the
+    * distinct set — the twin is plain count(DISTINCT). `requireExact`
+    * makes a future scale bump FAIL loudly instead of flaking the hash
+    * gate. The approximate regime (1/sqrt(k-2) error, order-independence)
+    * is spec-pinned in KmvSpec.
+    */
+  def qDistinctKmv(s: SparkSession, dir: String): DataFrame =
+    kmvDistinct(graft.Tables.events(s, dir), "user_id", Seq("event_type"),
+      k = 65536, requireExact = true)
+      .orderBy(col("event_type"))
+
+  val qDistinctKmvSql: String =
+    """SELECT event_type, count(DISTINCT CAST(user_id AS VARCHAR)) AS distinct_kmv
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Skew-demonstration pair: identical semantics, the key space is
     * deliberately degenerate (every even l_orderkey folds to key 0, so one
     * key carries ~50% of lineitem). Both variants pin a sort-merge join
@@ -500,6 +533,7 @@ object Analytics {
     QueryDef("q_quantiles", qQuantiles, Some(qQuantilesSql)),
     QueryDef("q_quantiles_approx", qQuantilesApprox, Some(qQuantilesApproxSql)),
     QueryDef("q_quantiles_tdigest", qQuantilesTdigest, Some(qQuantilesTdigestSql)),
+    QueryDef("q_distinct_kmv", qDistinctKmv, Some(qDistinctKmvSql)),
     QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),

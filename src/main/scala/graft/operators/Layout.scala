@@ -23,31 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton/Z-value: interleave the low `bits` bits of two non-negative
-    * integer columns (x gets odd positions, y even). Codegen'd bit
-    * arithmetic, no UDF. Callers normalize to non-negative ints first
-    * (rank, bucket, or offset — e.g. datediff from an epoch).
+  /** Morton/Z-value of N ≥ 2 non-negative integer columns: bit b of
+    * column i lands at position b·N + (N−1−i), i.e. bits interleave
+    * round-robin with the FIRST column taking the most significant slot of
+    * each round. Codegen'd bit arithmetic, no UDF. Callers normalize to
+    * non-negative ints first (rank, bucket, or offset — e.g. datediff from
+    * an epoch). N·bits must fit a long's 63 value bits.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63, s"$n cols x $bits bits exceeds a long")
     (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      acc
-        .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(1L << b)), b + 1))
-        .bitwiseOR(shiftleft(y.cast("long").bitwiseAND(lit(1L << b)), b))
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, i)) =>
+        a.bitwiseOR(shiftleft(c.cast("long").bitwiseAND(lit(1L << b)),
+          b * (n - 1) + (n - 1 - i)))
+      }
     }
   }
 
-  /** Write `df` as parquet clustered by the Z-value of (x, y):
+  /** Two-column Morton (x odd positions, y even) — the common case. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** Write `df` as parquet clustered by the Z-value of `cols`:
     * range-partition on z (each output file owns a contiguous z range = a
     * bounding box), sort within partitions (tight row-group stats inside
     * each file), drop the helper column. `numFiles` sizes the layout — at
     * 100 TB pick it so files land near the FS block size.
     */
-  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[Column],
       numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue(x, y, bits))
+    df.withColumn("__z", zValueN(cols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+      numFiles: Int, bits: Int): Unit =
+    writeZOrdered(df, path, Seq(x, y), numFiles, bits)
 }

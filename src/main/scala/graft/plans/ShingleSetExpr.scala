@@ -39,26 +39,10 @@ case class ShingleSetExpr(child: Expression, k: Int = 3, hashed: Boolean = false
     ArrayType(if (hashed) LongType else StringType, containsNull = false)
   override def prettyName: String = "shingle_set"
 
-  // ThreadLocal digest: per-task deserialization USUALLY thread-confines the
-  // expression object, but driver-side eval / interpreted-projection reuse /
-  // a broadcast plan would share it — and a shared MessageDigest corrupts
-  // hashes silently instead of failing. Don't hinge correctness on an
-  // undocumented Spark serialization detail.
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  /** md5(s) leading 60 bits as a non-negative long (15 hex chars base-16). */
-  private def hash60(s: String): Long = {
-    val md = md5.get()
-    md.reset()
-    md.update(s.getBytes("UTF-8"))
-    val d = md.digest()
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
+  /** md5(s) leading 60 bits as a non-negative long (15 hex chars base-16);
+    * shared ThreadLocal-digest implementation in [[Hash60]].
+    */
+  private def hash60(s: String): Long = Hash60.of(s)
 
   def compute(input: UTF8String): ArrayData = {
     val words = Tokenize.words(input.toString)

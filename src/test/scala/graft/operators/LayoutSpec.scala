@@ -21,6 +21,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == Seq(0L, 2L, 1L, 3L, 12L, 27L))
   }
 
+  test("zValueN interleaves three columns round-robin") {
+    import spark.implicits._
+    // x=1 (bit0 -> pos 2), y=1 (bit0 -> pos 1), w=1 (bit0 -> pos 0): z=7;
+    // x=2,y=0,w=1: x bit1 -> pos 5, w bit0 -> pos 0 -> 33
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 1L))
+      .toDF("x", "y", "w")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), bits = 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 33L))
+  }
+
   test("z-ordered layout prunes 2-d box queries better than single-column sort") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // two genuinely high-cardinality dimensions: part (0-1999) x ship day

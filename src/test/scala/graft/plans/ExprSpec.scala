@@ -59,6 +59,28 @@ class ExprSpec extends AnyFunSuite {
     assert(native.sameElements(declarative))
   }
 
+  test("bloom_might_contain matches set membership under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    import s2.implicits._
+    val keys = (0L until 200L).filter(_ % 3 == 0)
+    val bloom = keys.toDF("k").stat.bloomFilter("k", 1000, 0.001)
+    val probed = (0L until 200L).toDF("k")
+      .select(col("k"), BloomMightContainExpr.mightContain(col("k"), bloom).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives ever; at fpp 0.001 over 133 non-members, false
+    // positives are overwhelmingly unlikely but tolerated by the contract
+    assert(keys.forall(probed(_)), "false negative from codegen'd bloom probe")
+    assert((0L until 200L).count(k => k % 3 != 0 && probed(k)) <= 2)
+    // null-safety through the unary expression
+    val withNull = Seq[Option[Long]](Some(3L), None).toDF("k")
+      .select(BloomMightContainExpr.mightContain(col("k"), bloom).as("hit"))
+      .collect()
+    assert(withNull(0).getBoolean(0) && withNull(1).isNullAt(0))
+  }
+
   test("shingle_set and argmin_l2 match their declarative forms under forced codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._

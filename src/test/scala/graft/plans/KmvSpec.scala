@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class KmvSpec extends AnyFunSuite {
+
+  test("exact regime: at or under k distinct values the count is exact") {
+    val s = new KmvSketch(64)
+    (0 until 64).foreach(i => s.add(s"v$i"))
+    (0 until 64).foreach(i => s.add(s"v$i")) // duplicates change nothing
+    assert(s.isExact && s.estimate == 64.0)
+    val one = new KmvSketch(64)
+    one.add("x"); one.add("x")
+    assert(one.isExact && one.estimate == 1.0)
+    assert(new KmvSketch(64).estimate == 0.0)
+  }
+
+  test("approximate regime: error within the KMV bound, order-independent") {
+    val n = 100000
+    val k = 256
+    val fwd = new KmvSketch(k)
+    (0 until n).foreach(i => fwd.add(s"item-$i"))
+    assert(!fwd.isExact)
+    val err = math.abs(fwd.estimate / n - 1.0)
+    // stdev ~ 1/sqrt(k-2) = 0.063; 4 sigma
+    assert(err < 0.25, s"estimate ${fwd.estimate} for $n distinct (err $err)")
+
+    // the k smallest distinct hashes don't depend on arrival order: the
+    // reversed stream yields the bit-identical estimate (unlike t-digest)
+    val rev = new KmvSketch(k)
+    (n - 1 to 0 by -1).foreach(i => rev.add(s"item-$i"))
+    assert(rev.estimate == fwd.estimate)
+  }
+
+  test("merge equals single-pass: associative, duplicate-aware across chunks") {
+    val n = 50000
+    val k = 512
+    val whole = new KmvSketch(k)
+    (0 until n).foreach(i => whole.add(s"u${i % 20000}")) // dups across chunks
+    val parts = (0 until n).grouped(5000).map { chunk =>
+      val s = new KmvSketch(k)
+      chunk.foreach(i => s.add(s"u${i % 20000}"))
+      s
+    }.toSeq
+    val merged = parts.reduce((a, b) => a.merge(b))
+    // identical retained min-set => identical estimate (not just close)
+    assert(merged.estimate == whole.estimate)
+    val err = math.abs(merged.estimate / 20000 - 1.0)
+    assert(err < 0.2, s"merged estimate ${merged.estimate} for 20000 (err $err)")
+  }
+
+  test("exactness flag survives merges correctly") {
+    val a = new KmvSketch(8)
+    (0 until 5).foreach(i => a.add(s"a$i"))
+    val b = new KmvSketch(8)
+    (0 until 5).foreach(i => b.add(s"b$i"))
+    val m = a.merge(b) // 10 distinct > k=8: merge itself must evict
+    assert(!m.isExact)
+    assert(math.round(m.estimate) >= 8)
+  }
+}
