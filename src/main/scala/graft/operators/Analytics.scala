@@ -448,6 +448,40 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Audience overlap via KMV set sketches: ONE corpus scan builds a
+    * sketch per cohort (filtered inputs to two aggregator instances), then
+    * set expressions evaluate on the sketch COLUMNS — `array_intersect` of
+    * retained hash sets = the intersection sketch. In the exact regime
+    * (requireExact-guarded) the counts are exact, which is what the twin's
+    * `count(DISTINCT)`/INTERSECT computes; at scale the same plan estimates
+    * overlap with 1/sqrt(k) error from two k-long arrays instead of a
+    * distinct-join of the cohorts.
+    */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sketch = udaf(new graft.plans.KmvSetAggregator(65536, requireExact = true),
+      org.apache.spark.sql.Encoders.STRING)
+    graft.Tables.events(s, dir)
+      .agg(
+        sketch(when(col("event_type") === "click", col("user_id").cast("string")))
+          .as("a"),
+        sketch(when(col("event_type") === "purchase", col("user_id").cast("string")))
+          .as("b"))
+      .select(
+        size(col("a")).cast("long").as("n_click"),
+        size(col("b")).cast("long").as("n_purchase"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("n_both"))
+  }
+
+  val qKmvOverlapSql: String =
+    """SELECT
+      |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS n_click,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_purchase,
+      |  (SELECT count(*) FROM
+      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT
+      |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both
+      |FROM events""".stripMargin
+
   /** Skew-demonstration pair: identical semantics, the key space is
     * deliberately degenerate (every even l_orderkey folds to key 0, so one
     * key carries ~50% of lineitem). Both variants pin a sort-merge join
@@ -534,6 +568,7 @@ object Analytics {
     QueryDef("q_quantiles_approx", qQuantilesApprox, Some(qQuantilesApproxSql)),
     QueryDef("q_quantiles_tdigest", qQuantilesTdigest, Some(qQuantilesTdigestSql)),
     QueryDef("q_distinct_kmv", qDistinctKmv, Some(qDistinctKmvSql)),
+    QueryDef("q_kmv_overlap", qKmvOverlap, Some(qKmvOverlapSql)),
     QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),

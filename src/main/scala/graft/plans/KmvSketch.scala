@@ -66,6 +66,37 @@ final class KmvSketch(val k: Int) extends Serializable {
   def estimate: Double =
     if (isExact) kept.size.toDouble
     else (k - 1).toDouble * (1L << 60).toDouble / kept.last.toDouble
+
+  /** Retention threshold: every distinct hash < theta is in the sketch. */
+  def theta: Long = if (isExact) 1L << 60 else kept.last
+
+  def keptAscending: Array[Long] = {
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}
+
+object KmvSketch {
+  /** Theta-sketch set intersection: both sketches retain every distinct
+    * hash below their theta, so hashes common to both AND below
+    * min(thetaA, thetaB) are a uniform sample of the true intersection at
+    * rate theta/2^60 — estimate = common / rate. When both sketches are
+    * exact this IS the exact intersection cardinality. The same
+    * construction gives any set expression (union = merge, difference =
+    * |A| − |A∩B|) — the audience-overlap primitive, one corpus scan per
+    * side regardless of how many set expressions are evaluated on the
+    * sketches afterwards.
+    */
+  def intersectionEstimate(a: KmvSketch, b: KmvSketch): Double = {
+    val t = math.min(a.theta, b.theta)
+    val bs = new java.util.HashSet[java.lang.Long]()
+    b.keptAscending.foreach { h => if (h < t) bs.add(h): Unit }
+    val common = a.keptAscending.count(h => h < t && bs.contains(h))
+    common.toDouble * (1L << 60).toDouble / t.toDouble
+  }
 }
 
 /** Typed UDAF: per-group distinct count via KMV, finished to a rounded
@@ -77,6 +108,27 @@ final class KmvSketch(val k: Int) extends Serializable {
   * three-scale gate caught exactly this: sf1 has 15k distinct users per
   * event_type, 10× the sf0.1 cardinality).
   */
+/** Typed UDAF finishing to the sketch CONTENT (sorted retained hashes) —
+  * sketch-as-a-value: downstream projections compose set expressions over
+  * the columns (`array_intersect`/`size` = exact-regime overlap) without
+  * re-scanning the corpus. `requireExact` as in [[KmvDistinctAggregator]].
+  */
+final class KmvSetAggregator(k: Int, requireExact: Boolean = false)
+    extends Aggregator[String, KmvSketch, Seq[Long]] {
+  override def zero: KmvSketch = new KmvSketch(k)
+  override def reduce(s: KmvSketch, v: String): KmvSketch = { s.add(v); s }
+  override def merge(a: KmvSketch, b: KmvSketch): KmvSketch = a.merge(b)
+  override def finish(s: KmvSketch): Seq[Long] = {
+    if (requireExact && !s.isExact)
+      throw new IllegalStateException(
+        s"KMV exact-regime precondition violated: a group exceeded k=$k distinct values")
+    s.keptAscending.toSeq
+  }
+  override def bufferEncoder: Encoder[KmvSketch] = Encoders.kryo[KmvSketch]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 final class KmvDistinctAggregator(k: Int, requireExact: Boolean = false)
     extends Aggregator[String, KmvSketch, Long] {
   override def zero: KmvSketch = new KmvSketch(k)

@@ -49,6 +49,26 @@ class KmvSpec extends AnyFunSuite {
     assert(err < 0.2, s"merged estimate ${merged.estimate} for 20000 (err $err)")
   }
 
+  test("intersection estimate: exact when both exact, bounded error when not") {
+    // exact regime: true intersection size exactly
+    val a = new KmvSketch(1024)
+    (0 until 500).foreach(i => a.add(s"u$i"))
+    val b = new KmvSketch(1024)
+    (300 until 800).foreach(i => b.add(s"u$i"))
+    assert(KmvSketch.intersectionEstimate(a, b) == 200.0)
+
+    // approximate regime: 40k vs 40k with 20k common, k=1024
+    val n = 40000
+    val big = new KmvSketch(1024)
+    (0 until n).foreach(i => big.add(s"x$i"))
+    val other = new KmvSketch(1024)
+    (n - 20000 until n + 20000).foreach(i => other.add(s"x$i"))
+    val est = KmvSketch.intersectionEstimate(big, other)
+    val err = math.abs(est / 20000.0 - 1.0)
+    // common-below-theta sample is ~k/2 of each; ~1/sqrt(k/4) stdev, 4 sigma
+    assert(err < 0.35, s"intersection est $est for 20000 (err $err)")
+  }
+
   test("exactness flag survives merges correctly") {
     val a = new KmvSketch(8)
     (0 until 5).foreach(i => a.add(s"a$i"))
