@@ -482,6 +482,38 @@ object Analytics {
       |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both
       |FROM events""".stripMargin
 
+  /** Top-k per group WITHOUT a window: the [[graft.plans.TopKAggregator]]
+    * bounded-list partial aggregation — k rows per (group x partition)
+    * cross the shuffle instead of the whole table, and no per-group sort
+    * runs anywhere. The twin computes the identical answer with a window
+    * (any SQL is fine for the ORACLE; the Spark plan shape is the point,
+    * pinned window-free in PlanShapeSpec).
+    */
+  def qTopPerGroupAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.plans.TopKAggregator(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        cents(col("o_totalprice")).cast("long").as("c"), col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("c"), col("o_orderkey")).as("top3"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qTopPerGroupAggSql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(CAST(c AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR), '|'
+      |             ORDER BY c DESC, o_orderkey) AS top3
+      |FROM (SELECT o_orderpriority, o_orderkey,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |                           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+      |                                    o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Skew-demonstration pair: identical semantics, the key space is
     * deliberately degenerate (every even l_orderkey folds to key 0, so one
     * key carries ~50% of lineitem). Both variants pin a sort-merge join
@@ -569,6 +601,7 @@ object Analytics {
     QueryDef("q_quantiles_tdigest", qQuantilesTdigest, Some(qQuantilesTdigestSql)),
     QueryDef("q_distinct_kmv", qDistinctKmv, Some(qDistinctKmvSql)),
     QueryDef("q_kmv_overlap", qKmvOverlap, Some(qKmvOverlapSql)),
+    QueryDef("q_top_per_group_agg", qTopPerGroupAgg, Some(qTopPerGroupAggSql)),
     QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),

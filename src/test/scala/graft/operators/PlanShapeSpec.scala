@@ -130,6 +130,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__bucket"), p)
   }
 
+  test("aggregator top-k per group runs window-free with partial aggregation") {
+    val df = Analytics.qTopPerGroupAgg(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"window reappeared in aggregator top-k:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+    // and it agrees with the window formulation on data
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("c").desc, col("o_orderkey"))
+    val viaWindow = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        graft.functions.Exact.cents(col("o_totalprice")).cast("long").as("c"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws("|", collect_list(concat_ws(":", col("c"), col("o_orderkey"))))
+        .as("top3"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaAgg = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaAgg == viaWindow)
+  }
+
   test("q1 aggregates partially before its exchange and prunes the scan") {
     val p = plan(Relational.q1PricingSummary(spark, sfDir))
     assert(p.contains("partial_"), p)
