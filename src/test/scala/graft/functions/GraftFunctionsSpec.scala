@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("registerAll exposes the native expressions and sketch UDAFs to spark.sql") {
+    GraftFunctions.registerAll(spark)
+    graft.Tables.documents(spark, sfDir).createOrReplaceTempView("gf_docs")
+    graft.Tables.events(spark, sfDir).createOrReplaceTempView("gf_events")
+
+    // native expressions via SQL == Column API
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh,
+        |       size(shingle_set(text)) AS n_sh,
+        |       size(shingle_hash_set(text)) AS n_hsh
+        |FROM gf_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.plans.SimhashExpr.simhash64(col("text")).as("sh"),
+        size(graft.plans.ShingleSetExpr.shingleSet(col("text"))).as("n_sh"),
+        size(graft.plans.ShingleSetExpr.shingleHashSet(col("text"))).as("n_hsh"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    // hashed and text shingle sets have the same cardinality
+    assert(viaSql.forall(r => r.getInt(2) == r.getInt(3)))
+
+    // cosine on an embedding pair
+    val cos = spark.sql(
+      """SELECT cosine_scaled(a.embedding, b.embedding) AS c
+        |FROM (SELECT embedding FROM parquet.`/root/testdata/sf0.001/embeddings.parquet`
+        |      WHERE vec_id = 0) a
+        |CROSS JOIN (SELECT embedding FROM parquet.`/root/testdata/sf0.001/embeddings.parquet`
+        |      WHERE vec_id = 0) b""".stripMargin).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    // sketch UDAFs run as grouped aggregates from pure SQL
+    val agg = spark.sql(
+      """SELECT event_type,
+        |  kmv_distinct(CAST(user_id AS STRING)) AS n_users,
+        |  tdigest_quartiles(CAST(round(value * 100) AS DOUBLE)) AS qs
+        |FROM gf_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect()
+    assert(agg.length >= 3)
+    val exact = spark.sql(
+      """SELECT event_type, count(DISTINCT user_id) AS n FROM gf_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(_.getLong(1))
+    // events groups stay far under k=4096 at sf0.001: KMV is exact
+    assert(agg.map(_.getLong(1)).sameElements(exact))
+    assert(agg.forall(_.getSeq[Double](2).length == 3))
+
+    // top-k by value and heavy-hitter words
+    val tk = spark.sql(
+      """SELECT topk3_by(CAST(round(value * 100) AS BIGINT), event_id) AS t
+        |FROM gf_events""".stripMargin).head().getString(0)
+    assert(tk.split("\\|").length == 3)
+    val tw = spark.sql("SELECT topk_words(text) AS w FROM gf_docs").head().getString(0)
+    assert(tw.split(",").length == 5)
+  }
+}
