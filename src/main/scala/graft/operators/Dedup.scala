@@ -219,8 +219,11 @@ object Dedup {
     * key) space is md5-derived strings — effectively unbounded cardinality,
     * so the downstream bucket shuffle has no structurally hot key.
     */
-  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
-    val d = withMinhashes(Tables.documents(s, dir))
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame =
+    minhashBandRowsOf(Tables.documents(s, dir))
+
+  private def minhashBandRowsOf(docs: DataFrame): DataFrame = {
+    val d = withMinhashes(docs)
     // sub-k-word docs have a NULL signature: they must produce NO band
     // rows — Spark's groupBy would otherwise cluster all NULL keys into
     // one bucket and pair them, where the oracle's null-dropping
@@ -341,14 +344,18 @@ object Dedup {
     * array_intersect — never a shingle-explode self-join, whose blocking key
     * (formerly `source`) goes quadratic on any frequent shingle at scale.
     */
-  def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(Tables.documents(s, dir))
+
+  /** Library form of [[qJaccardPairs]] over any (doc_id, text) frame. */
+  def jaccardPairsOf(docs: DataFrame): DataFrame = {
     // Candidates are materialized once (eager localCheckpoint; reliable
     // checkpoint(dir) on a cluster) and used twice: to semi-join the corpus
     // down to candidate MEMBERS before the shingle-set computation, and as
     // the pair stream itself. Without this, both join sides below would
     // shingle the FULL corpus and shuffle the big array columns — measured
     // 14.5s -> 4.4s at sf1 (members are a tiny fraction at any scale).
-    val cand = bucketPairs(minhashBandRows(s, dir), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
+    val cand = bucketPairs(minhashBandRowsOf(docs), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
       .localCheckpoint(eager = false) // lazy: building the PLAN must not
     // run the candidate jobs (explain/plan-audit consumers); first action
     // materializes once, both branches below reuse it
@@ -358,7 +365,7 @@ object Dedup {
     // full shingle TEXT arrays (~20 bytes/shingle + offsets) through both
     // joins; 60-bit md5-prefix longs carry the same set identity at 8
     // bytes/element and make every intersection probe a long equality
-    val d = Tables.documents(s, dir)
+    val d = docs
       .join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.plans.ShingleSetExpr.shingleHashSet(col("text"), ShingleK).as("sh"))

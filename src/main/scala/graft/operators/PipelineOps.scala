@@ -347,8 +347,77 @@ object PipelineOps {
        |ORDER BY split, source""".stripMargin
   }
 
+  /** End-to-end training-data preparation, one composed plan: exact-dup
+    * keepers → near-dup partner removal (capped-LSH Jaccard ≥ 0.5) →
+    * benchmark decontamination of the surviving train docs → hash split
+    * assignment → per-(split, source) doc and token counts. The stages are
+    * the library operators verbatim — the point of this entry is that the
+    * COMPOSITION stays one lazy Catalyst plan (no materialization between
+    * stages beyond the operators' own bounded checkpoints) and one oracle
+    * checks the whole funnel, so a semantics drift in any stage fails here
+    * even if the stage's own entry still passes.
+    */
+  def trainingPrep(docs: DataFrame): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDrop = Dedup.jaccardPairsOf(docs)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val keptTrain = keepers.join(nearDrop, Seq("doc_id"), "left_anti")
+      .join(docs, Seq("doc_id"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val flagged = decontaminate(keptTrain, bench, "doc_id", "text")
+      .select(col("doc_id"))
+    keptTrain.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"),
+        splitAssign(col("doc_id")).as("split"))
+  }
+
+  def qPipelinePrep(s: SparkSession, dir: String): DataFrame =
+    trainingPrep(Tables.documents(s, dir))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+
+  val qPipelinePrepSql: String = {
+    val pairsInner = Dedup.qJaccardPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    val sh = shinglesSql("ws", ContamK)
+    val b = hashBucketSql("doc_id", 100)
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |near AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($pairsInner) WHERE jaccard >= 0.5),
+       |kept_train AS (
+       |  SELECT k.doc_id FROM keepers k
+       |  WHERE k.doc_id NOT IN (SELECT doc_id FROM near) AND k.doc_id % 97 <> 0),
+       |grams AS (SELECT doc_id, list_distinct($sh) AS g
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |ev AS (SELECT DISTINCT unnest(g) AS eg FROM grams WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, unnest(g) AS tg FROM grams
+       |       WHERE doc_id IN (SELECT doc_id FROM kept_train)),
+       |dfc AS (SELECT eg, count(*) AS df FROM tr JOIN ev ON tg = eg GROUP BY eg),
+       |rare AS (SELECT eg FROM dfc WHERE df <= $ContamMaxDf),
+       |flagged AS (SELECT doc_id FROM tr JOIN rare ON tg = eg
+       |            GROUP BY doc_id HAVING count(*) >= $ContamMinShared),
+       |clean AS (SELECT doc_id FROM kept_train
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+       |SELECT CASE WHEN $b < 80 THEN 'train'
+       |            WHEN $b < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |       source, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM clean JOIN documents USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY split, source""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
+    QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql)),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),

@@ -145,6 +145,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == again)
   }
 
+  test("training-prep funnel: deduped, decontaminated, benchmark-free, split-assigned") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val prep = PipelineOps.trainingPrep(docs).cache()
+    val n = prep.count()
+    assert(n > 0 && n < docs.count())
+    // no benchmark docs (doc_id % 97 == 0) survive
+    assert(prep.filter(col("doc_id") % 97 === 0).count() == 0)
+    // no two surviving docs share a text (exact dedup held through the funnel)
+    val texts = prep.select(md5(col("text").cast("binary")).as("h"))
+    assert(texts.count() == texts.distinct().count())
+    // split labels are exhaustive over the surviving set
+    val bySplit = prep.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit.values.sum == n)
+    // and every surviving doc is a real corpus doc
+    assert(prep.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+    prep.unpersist()
+  }
+
   test("dedup-apply output contains no exact duplicates") {
     val kept = PipelineOps.qDedupApply(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
