@@ -612,6 +612,79 @@ object Dedup {
        |WHERE rk = 1 AND cluster_size > 1
        |ORDER BY component""".stripMargin
 
+  /** Segment-level dedup — the line-dedup stage of web-corpus pipelines
+    * (RefinedWeb/CCNet style), re-expressed over k-word segments because the
+    * synthetic corpus has no newlines: split each document into consecutive
+    * non-overlapping [[SegW]]-word segments, count every segment's
+    * corpus-wide occurrences, drop segments occurring more than
+    * [[SegMaxOcc]] times (boilerplate: headers, nav bars, license blocks),
+    * and reassemble each document from its surviving segments in original
+    * order.
+    *
+    * Scale design: segmentation is a codegen'd projection (no shuffle); the
+    * occurrence count is one partial-agg'd groupBy on the segment string —
+    * high-cardinality, no structurally hot key for real text; the drop is a
+    * shuffle anti-join on the same key (the duplicate-segment set is
+    * unbounded at corpus scale, so it is NOT broadcast); reassembly is one
+    * groupBy on doc_id with sort_array(collect_list(struct(pos, seg))) —
+    * order restored after an orderless exchange, no window. Three
+    * exchanges total, all on unbounded keys.
+    */
+  private val SegW = 3
+  private val SegMaxOcc = 2
+
+  /** Library form over any (doc_id, text) frame; returns one row per doc:
+    * (doc_id, n_segs, n_kept, clean_text). Documents whose every segment is
+    * boilerplate survive with an empty clean_text (the caller decides
+    * whether to drop them) — a left join keeps the row.
+    */
+  def segmentDedup(docs: DataFrame, w: Int = SegW, maxOcc: Int = SegMaxOcc): DataFrame = {
+    require(w >= 1 && maxOcc >= 1, s"bad segment params w=$w maxOcc=$maxOcc")
+    val ws = words(col("text"))
+    val nSegs = ceil(size(ws).cast("double") / w).cast("long")
+    val segArr = transform(sequence(lit(0L), nSegs - 1),
+      i => array_join(slice(ws, (i * w + 1).cast("int"), lit(w)), " "))
+    val segs = docs.select(col("doc_id"), posexplode(segArr).as(Seq("pos", "seg")))
+    val boilerplate = segs
+      .groupBy(col("seg")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+      .select(col("seg"))
+    val reassembled = segs.join(boilerplate, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x("seg")), " ").as("clean_text"))
+    docs.select(col("doc_id"), nSegs.as("n_segs"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val qSegmentDedupSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws,
+       |          unnest(generate_series(0, CAST(ceil(len(ws) / $SegW.0) AS BIGINT) - 1)) AS pos
+       |        FROM base),
+       |segs AS (SELECT doc_id, pos,
+       |           array_to_string(ws[(pos * $SegW + 1):(pos * $SegW + $SegW)], ' ') AS seg
+       |         FROM idx),
+       |boiler AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) > $SegMaxOcc),
+       |re AS (SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+       |       FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+       |       GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  CAST(ceil(len(b.ws) / $SegW.0) AS BIGINT) AS n_segs,
+       |  COALESCE(r.n_kept, 0) AS n_kept,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM base b LEFT JOIN re r USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
@@ -623,5 +696,6 @@ object Dedup {
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
     QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql), bench = true),
     QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql), bench = true),
+    QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql)),
   )
 }

@@ -35,6 +35,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length <= Dedup.MaxBucket * (Dedup.MaxBucket - 1) / 2)
   }
 
+  test("segment dedup drops only corpus-frequent segments and preserves word order") {
+    import spark.implicits._
+    // 'alpha beta gamma' appears (as a whole segment) in 4 docs -> boilerplate;
+    // every other 3-word segment is unique -> kept verbatim in order
+    val boiler = "alpha beta gamma"
+    val docs = Seq(
+      (1L, s"$boiler one two three four five six"),
+      (2L, s"$boiler seven eight nine"),
+      (3L, s"$boiler ten eleven twelve"),
+      (4L, boiler), // every segment boilerplate -> survives with empty text
+      (5L, "unique words only in this document right here")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, w = 3, maxOcc = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "one two three four five six")))
+    assert(out(2L) == ((2L, 1L, "seven eight nine")))
+    assert(out(4L) == ((1L, 0L, ""))) // fully-boilerplate doc keeps its row
+    assert(out(5L) == ((3L, 3L, "unique words only in this document right here")))
+    // reassembly is the identity when nothing is dropped
+    val ident = Dedup.segmentDedup(docs, w = 3, maxOcc = 100)
+      .join(docs, Seq("doc_id"))
+      .filter(col("clean_text") =!= col("text")).count()
+    assert(ident == 0)
+  }
+
   test("sub-k-word docs (null minhash) never pair with each other") {
     // two docs shorter than ShingleK words have NULL signatures; a
     // null-keyed groupBy bucket would pair them (and diverge from the
