@@ -49,5 +49,8 @@ object GraftFunctions {
     spark.udf.register("topk_words",
       udaf(new graft.plans.TopKWordsAggregator(k = 5, capacity = 4096),
         org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("cms_total",
+      udaf(new graft.plans.CmsFreqAggregator(4, 1024, Seq.empty),
+        org.apache.spark.sql.Encoders.STRING))
   }
 }

@@ -347,6 +347,54 @@ object PipelineOps {
        |ORDER BY split, source""".stripMargin
   }
 
+  /** Token-budget corpus selection: per source, keep documents in
+    * hash-priority order until the cumulative token count reaches the
+    * budget — "give me N tokens of src0, uniformly sampled, the same N
+    * tokens every run". The hash priority makes the selection a uniform
+    * random sample that is reproducible across runs, engines, and retries,
+    * and STABLE under data growth in expectation (new docs displace only
+    * docs near the budget boundary, not reshuffle the whole selection —
+    * unlike rand()-ordered or arrival-ordered selection).
+    *
+    * Scale: the running sum parallelizes across sources (window partitioned
+    * by source). For a single source at 100 TB, bound the window's input
+    * first: the priority is uniform on [0, PrBuckets), so a pre-filter
+    * `pr < ceil(budget / avgTokens / nDocs * PrBuckets * slack)` (one
+    * aggregate to estimate avgTokens) shrinks the sorted window input to
+    * ~budget tokens before any sort — the window never sees the corpus.
+    */
+  private val TokenBudget = 800L // binds at every scale (smallest source ~1100 tokens)
+  private val PrBuckets = 1000000
+
+  def tokenBudget(docs: DataFrame, idCol: String, sourceCol: String,
+      budget: Long = TokenBudget, seed: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("pr"), col(idCol))
+    docs
+      .select(col(idCol), col(sourceCol),
+        size(words(col("text"))).as("n_tokens"),
+        hashBucket(col(idCol), PrBuckets, seed).as("pr"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("pr")
+  }
+
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.documents(s, dir), "doc_id", "source")
+      .orderBy(col("doc_id"))
+
+  val qTokenBudgetSql: String = {
+    val pr = hashBucketSql("doc_id", PrBuckets)
+    s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |          $pr AS pr
+       |        FROM documents))
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** End-to-end training-data preparation, one composed plan: exact-dup
     * keepers → near-dup partner removal (capped-LSH Jaccard ≥ 0.5) →
     * benchmark decontamination of the surviving train docs → hash split
@@ -422,6 +470,7 @@ object PipelineOps {
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
+    QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     QueryDef("q_text_repetition", qTextRepetition, Some(qTextRepetitionSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
     QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql), bench = true),

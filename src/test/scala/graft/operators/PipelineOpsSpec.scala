@@ -145,6 +145,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == again)
   }
 
+  test("token budget: per-source cap respected, selection is a stable prefix under growth") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sel = PipelineOps.tokenBudget(docs, "doc_id", "source", budget = 800L).cache()
+    // every source's selection stays within budget and is non-empty
+    val bySource = sel.groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"),
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, t, n) =>
+      assert(t <= 800L, s"$src over budget: $t")
+      assert(n > 0, s"$src empty")
+    }
+    // the budget actually binds: some docs are excluded (anti-vacuous)
+    assert(sel.count() < docs.count(), "budget did not bind — selection kept everything")
+    // growth stability: selecting from HALF the corpus yields a superset of
+    // the full-corpus selection restricted to that half (prefix property —
+    // removing docs can only pull more docs under the budget, never evict
+    // an already-selected one)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val selHalf = PipelineOps.tokenBudget(half, "doc_id", "source", budget = 800L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullRestricted = sel.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fullRestricted.subsetOf(selHalf),
+      s"selection not prefix-stable: ${(fullRestricted -- selHalf).take(5)}")
+    sel.unpersist()
+  }
+
   test("training-prep funnel: deduped, decontaminated, benchmark-free, split-assigned") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, sfDir)
