@@ -451,6 +451,92 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * REMOVAL scoped to embedding clusters. The paper clusters the corpus
+    * (k-means), then drops all but one member of each within-cluster
+    * near-duplicate set — semantically-redundant documents whose TEXT
+    * differs too much for shingle dedup.
+    *
+    * Scale form: a literal within-cluster all-pairs comparison is
+    * O(n²/k) per cluster — unbounded as data grows at fixed k, the same
+    * cliff the per-label self-join died on. Here the pair generation is
+    * the capped banded-LSH machinery with the CLUSTER PREPENDED to every
+    * band key: candidates must share (cluster, band key), buckets stay
+    * capped, exact cosine runs only on candidates. Clustering is the
+    * deterministic nearest-label-centroid assignment
+    * ([[Similarity.labelCentroidAssign]] — at production scale swap in the
+    * Lloyd-trained quantizer from `Similarity.qAnnKmeans`; the operator
+    * only needs SOME deterministic assignment column).
+    *
+    * Drop rule: a vector is dropped iff it pairs (cos > threshold) with
+    * any SMALLER id in its cluster; its keeper is the highest-cosine such
+    * partner (ties → smallest id), via partial-agg min(struct(-cos, id)) —
+    * no window.
+    */
+  def semanticDropList(e: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val assigned = Similarity.labelCentroidAssign(e)
+      .select(col("vec_id"), col("assigned"))
+    val sigs = e
+      .select(col("vec_id"),
+        graft.plans.LshSigExpr.lshSigNative(col("embedding"), NdPlanes, NdDim).as("sig"))
+      .join(assigned, "vec_id")
+    val bandRows = sigs.select(col("vec_id"), col("sig"),
+      posexplode(array((0 until NdBands).map { b =>
+        concat(col("assigned").cast("string"), lit("|"),
+          shiftrightunsigned(col("sig"), NdBandBits * b)
+            .bitwiseAND(lit((1L << NdBandBits) - 1)).cast("string"))
+      }: _*)).as(Seq("band", "key")))
+    // both members of a bucket share the cluster by construction, so the
+    // first-matching-band rule needs only the sig carry (an earlier-band
+    // sig match implies the same earlier (cluster, band) bucket)
+    def sigBandMatch(a: Column, bb: Column, b: Int): Column =
+      shiftrightunsigned(a.bitwiseXOR(bb), NdBandBits * b)
+        .bitwiseAND(lit((1L << NdBandBits) - 1)) === 0
+    bucketPairs(bandRows, "vec_id", "sig", "id_a", "id_b", NdBands, sigBandMatch)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("__ea")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("__eb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("cos"))
+      .filter(col("cos") > threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("id_a").as("k"))).as("best"))
+      .select(col("vec_id"), col("best.k").as("keeper"), (-col("best.nc")).as("cos"))
+  }
+
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    semanticDropList(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+
+  val qDedupSemanticSql: String = {
+    val signM = graft.plans.LshSigExpr.signMatrix(NdPlanes, NdDim)
+    val sigSql = (0 until NdPlanes).map { j =>
+      val lst = signM(j).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${NdDim + 1}), i -> ($lst)[i] * ${scaledElemSql("embedding", "i")})) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val bandRows = (0 until NdBands).map { b =>
+      s"""SELECT s.vec_id, $b AS band,
+         |    CAST(a.assigned AS VARCHAR) || '|' ||
+         |    CAST((s.sig >> ${NdBandBits * b}) & ${(1L << NdBandBits) - 1} AS VARCHAR) AS key
+         |  FROM sigs s JOIN assigned a USING (vec_id)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${Similarity.assignedCteSql},
+       |sigs AS (SELECT vec_id, $sigSql AS sig FROM embeddings),
+       |bands AS ($bandRows),
+       |${candCteSql("bands", "vec_id", "vec_a", "vec_b")},
+       |pairs AS (
+       |  SELECT vec_a, vec_b, cos FROM (
+       |    SELECT vec_a, vec_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+       |    FROM cand
+       |    JOIN embeddings ea ON vec_a = ea.vec_id
+       |    JOIN embeddings eb ON vec_b = eb.vec_id)
+       |  WHERE cos > 0.3)
+       |SELECT vec_id, keeper, cos FROM (
+       |  SELECT vec_b AS vec_id, vec_a AS keeper, cos,
+       |    row_number() OVER (PARTITION BY vec_b ORDER BY cos DESC, vec_a) AS rk
+       |  FROM pairs)
+       |WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Duplicate CLUSTERS from the LSH candidate pairs via alternating
     * large-star/small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") iterated to CONVERGENCE — unlike
@@ -697,5 +783,6 @@ object Dedup {
     QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql), bench = true),
     QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql), bench = true),
     QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql)),
+    QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql)),
   )
 }

@@ -172,8 +172,17 @@ object Similarity {
     * table is tiny and broadcast, the assignment is a narrow map, and probe
     * queries read only matching centroid partitions.
     */
-  def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
+  def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame =
+    labelCentroidAssign(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+
+  /** Library form of the coarse-quantizer assignment: nearest label-centroid
+    * per vector by exact squared L2 in scaled-int space, over any
+    * (vec_id, label, embedding) frame. Returns (vec_id, label, assigned,
+    * dist) unordered. Shared by the IVF entries and SemDeDup
+    * ([[Dedup.semanticDropList]]), whose cluster scoping is this assignment.
+    */
+  def labelCentroidAssign(e0: DataFrame): DataFrame = {
+    val e = e0.withColumn("v", scaled(col("embedding")))
     // centroid: per-label elementwise mean of scaled components, re-rounded
     val comp = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
     val cent = comp.groupBy(col("label"), col("i"))
@@ -195,11 +204,14 @@ object Similarity {
           c.getField("c_label").as("c_label")))))
       .select(col("vec_id"), col("label"),
         col("best.c_label").as("assigned"), col("best.dist").as("dist"))
-      .orderBy(col("vec_id"))
   }
 
-  val qAnnIvfAssignSql: String =
-    s"""WITH e AS (
+  /** DuckDB twin of [[labelCentroidAssign]] as a reusable CTE chain ending
+    * in `assigned(vec_id, label, assigned, dist)` — shared by the IVF
+    * oracle entry and the SemDeDup twin in [[Dedup]].
+    */
+  private[operators] val assignedCteSql: String =
+    s"""e AS (
        |  SELECT vec_id, label,
        |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
        |  FROM embeddings),
@@ -209,14 +221,19 @@ object Similarity {
        |  SELECT label AS c_label, list(c ORDER BY i) AS cv
        |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
        |  GROUP BY label),
-       |d AS (
+       |dmat AS (
        |  SELECT e.vec_id, e.label, c.c_label,
        |    list_sum(list_transform(range(1, $Dim+1), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS dist
-       |  FROM e, cent c)
-       |SELECT vec_id, label, c_label AS assigned, dist FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rk
-       |  FROM d)
-       |WHERE rk = 1
+       |  FROM e, cent c),
+       |assigned AS (
+       |  SELECT vec_id, label, c_label AS assigned, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rk
+       |    FROM dmat)
+       |  WHERE rk = 1)""".stripMargin
+
+  val qAnnIvfAssignSql: String =
+    s"""WITH $assignedCteSql
+       |SELECT vec_id, label, assigned, dist FROM assigned
        |ORDER BY vec_id""".stripMargin
 
   /** Full IVF probe-search: pick the centroid nearest to the query vector,

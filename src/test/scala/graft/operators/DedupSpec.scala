@@ -59,6 +59,31 @@ class DedupSpec extends AnyFunSuite {
     assert(ident == 0)
   }
 
+  test("semantic dedup: drops only same-cluster near-dups, keepers are smaller ids") {
+    import org.apache.spark.sql.functions.{col, min}
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dropped = Dedup.semanticDropList(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dropped.nonEmpty, "no semantic dups found — fixture degenerate?")
+    val assigned = graft.operators.Similarity.labelCentroidAssign(e)
+      .select(col("vec_id"), col("assigned"))
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    dropped.foreach { case (v, k, cos) =>
+      assert(k < v, s"keeper $k not smaller than dropped $v")
+      assert(cos > 0.3, s"pair ($k,$v) below threshold: $cos")
+      assert(assigned(k) == assigned(v),
+        s"cross-cluster drop: $k in ${assigned(k)}, $v in ${assigned(v)}")
+    }
+    // the globally smallest vec_id can never be dropped (no smaller keeper
+    // exists) — the drop relation always points toward smaller ids
+    val minVec = e.agg(min(col("vec_id"))).head().getLong(0)
+    assert(!dropped.map(_._1).contains(minVec))
+    // determinism
+    val again = Dedup.semanticDropList(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == dropped.toSet)
+  }
+
   test("sub-k-word docs (null minhash) never pair with each other") {
     // two docs shorter than ShingleK words have NULL signatures; a
     // null-keyed groupBy bucket would pair them (and diverge from the
