@@ -63,4 +63,100 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
       numFiles: Int, bits: Int): Unit =
     writeZOrdered(df, path, Seq(x, y), numFiles, bits)
+
+  final case class CompactStats(filesBefore: Int, filesAfter: Int,
+      bytes: Long, partitions: Int)
+
+  /** Small-file compaction — OPTIMIZE for bare parquet. Streaming ingest
+    * and per-day jobs leave lakes with thousands of KB-scale files per
+    * partition; at 100 TB the resulting task-per-file scheduling and
+    * footer-read overhead dominate scans long before data volume does.
+    * Rewrites `path` so every Hive partition holds
+    * ceil(partitionBytes / targetBytes) files.
+    *
+    * Mechanics: one driver-side listing (control-plane, like
+    * `LakeController`'s day listing) sizes each partition; rows get a salt
+    * `pmod(hash(*), nFiles(partition))` joined in from that small sizing
+    * table (broadcast), and a repartition on (partitionCols, salt) makes
+    * each (partition, salt) exactly one write task = one output file. The
+    * rewrite lands in `<path>.compacting` and swaps in via rename —
+    * atomic on HDFS-like filesystems; on object stores run it from the
+    * single maintenance writer, same as every table-maintenance op
+    * without a transaction log.
+    *
+    * Row-level content is preserved exactly (hash salt only routes rows
+    * to files); pass `sortWithin` to additionally cluster rows inside
+    * each output file (tight row-group stats, composes with [[zValueN]]).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil,
+      sortWithin: Seq[Column] = Nil): CompactStats = {
+    require(targetBytes > 0, s"bad targetBytes $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // driver-side sizing listing: (partition-relative dir -> (files, bytes))
+    val rootUri = fs.makeQualified(hPath).toUri.getPath
+    val it = fs.listFiles(hPath, true)
+    val sizes = scala.collection.mutable.Map[String, (Int, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val parent = f.getPath.getParent.toUri.getPath
+        require(parent.startsWith(rootUri), s"listing escaped root: $parent")
+        val rel = parent.stripPrefix(rootUri).stripPrefix("/")
+        val (n, b) = sizes.getOrElse(rel, (0, 0L))
+        sizes(rel) = (n + 1, b + f.getLen)
+      }
+    }
+    val filesBefore = sizes.valuesIterator.map(_._1).sum
+    val totalBytes = sizes.valuesIterator.map(_._2).sum
+    def nFilesFor(bytes: Long): Int =
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+
+    val df = spark.read.parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
+    fs.delete(tmp, true)
+
+    if (partitionCols.isEmpty) {
+      val n = nFilesFor(totalBytes)
+      val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(n)))
+        .repartition(n, col("__salt"))
+      val sorted = if (sortWithin.nonEmpty) salted.sortWithinPartitions(sortWithin: _*)
+                   else salted
+      sorted.drop("__salt").write.mode("overwrite").parquet(tmp.toString)
+    } else {
+      // per-partition file counts from the sizing listing (dir is
+      // "k1=v1/k2=v2"); values parse as strings — join keys cast to match
+      import spark.implicits._
+      val counts = sizes.toSeq.map { case (rel, (_, b)) =>
+        val vals = rel.split("/").filter(_.nonEmpty).map(_.split("=", 2)(1))
+        (vals.toSeq, nFilesFor(b))
+      }.toDF("__pvals", "__nf")
+      val keyArr = array(partitionCols.map(c => col(c).cast("string")): _*)
+      val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+      val salted = df
+        .join(broadcast(counts), keyArr === col("__pvals"))
+        .withColumn("__salt", pmod(hash(dataCols: _*), col("__nf")))
+        .repartition((partitionCols.map(col) :+ col("__salt")): _*)
+      val sorted = if (sortWithin.nonEmpty) salted.sortWithinPartitions(sortWithin: _*)
+                   else salted
+      sorted.drop("__pvals", "__nf", "__salt")
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(tmp.toString)
+    }
+
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"compaction swap failed for $path")
+    val after = fs.listFiles(hPath, true)
+    var filesAfter = 0
+    while (after.hasNext) {
+      val f = after.next()
+      val nm = f.getPath.getName
+      if (f.isFile && !nm.startsWith("_") && !nm.startsWith(".")) filesAfter += 1
+    }
+    CompactStats(filesBefore, filesAfter, totalBytes, sizes.size)
+  }
 }

@@ -75,4 +75,48 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order read $zRead rows, single-sort $sRead (total $total)")
     assert(zRead < total / 2, s"z-order read $zRead of $total — no real pruning")
   }
+
+  test("compaction merges small files per partition and preserves every row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 3 partitions x 12 tiny files each
+    val rows = (0 until 360).map(i => (i.toLong, s"src${i % 3}", s"payload-$i"))
+    rows.toDF("id", "src", "v")
+      .repartition(36)
+      .write.partitionBy("src").parquet(dir)
+    def countFiles(): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = countFiles()
+    assert(before >= 30, s"fixture not fragmented: $before files")
+    val stats = Layout.compact(spark, dir, targetBytes = 1L << 30,
+      partitionCols = Seq("src"))
+    assert(stats.filesBefore == before)
+    assert(stats.partitions == 3)
+    assert(stats.filesAfter == 3, s"expected 1 file/partition, got ${stats.filesAfter}")
+    assert(countFiles() == 3)
+    // content identical, partition column included
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(1))).toSet
+    assert(got == rows.toSet)
+
+    // unpartitioned: tiny target -> multiple output files, content preserved
+    val dir2 = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
+    rows.toDF("id", "src", "v").repartition(24).write.parquet(dir2)
+    val s2 = Layout.compact(spark, dir2, targetBytes = 8L * 1024)
+    assert(s2.filesAfter < s2.filesBefore && s2.filesAfter > 1,
+      s"got ${s2.filesBefore} -> ${s2.filesAfter}")
+    val got2 = spark.read.parquet(dir2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got2 == rows.toSet)
+  }
 }
