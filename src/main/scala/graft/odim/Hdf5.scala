@@ -762,11 +762,14 @@ final class Hdf5File(bytes: Array[Byte]) {
             // extensible array (resizable datasets): EAHD header -> EAIB
             // index block; element i = chunk i in row-major grid order.
             // The first idxBlkElmts elements are inline in the index block;
-            // the rest live in data blocks addressed directly from it, with
-            // the published doubling pattern (super block u holds 2^(u/2)
-            // blocks of minElmts*2^((u+1)/2) elements; super blocks 0 until
-            // 2*log2(minPtrs) are index-block-direct). Secondary blocks and
-            // paged data blocks fail fast.
+            // the rest live in data blocks, with the published doubling
+            // pattern (super block u holds 2^(u/2) blocks of
+            // minElmts*2^((u+1)/2) elements). Super blocks 0 until
+            // 2*log2(minPtrs) have their data blocks addressed DIRECTLY
+            // from the index block; later super blocks are reached through
+            // EASB secondary blocks whose pointers follow the direct area.
+            // Paged data blocks (block capacity > 2^pageBits elements, i.e.
+            // ~100k+ chunks at default cparams) fail fast.
             val eahd = offAt(q + 5).toInt // 5 cparam bytes precede the addr
             require(ascii(eahd, 4) == "EAHD", s"expected EAHD @ $eahd")
             val clientId = u8(eahd + 5)
@@ -820,16 +823,10 @@ final class Hdf5File(bytes: Array[Byte]) {
             }
             val dblkAddrAt = inlineAt + idxBlkElmts * entrySize
             val blockOffSize = (maxBits + 7) / 8
-            var slot = 0
-            while (next < nChunks) {
-              require(slot < dblkCaps.length,
-                "extensible-array secondary blocks unsupported")
-              val dblkAddr = offAt(dblkAddrAt + slot * offsetSize)
-              require(!undef(dblkAddr),
-                s"EA data block $slot unallocated but chunks remain")
+            def walkDataBlock(dblkAddr: Long, cap: Int, what: String): Unit = {
+              require(!undef(dblkAddr), s"EA $what unallocated but chunks remain")
               val db = dblkAddr.toInt
               require(ascii(db, 4) == "EADB", s"expected EADB @ $db")
-              val cap = dblkCaps(slot)
               require(cap <= (1 << pageBits), "paged EA data block unsupported")
               val elemAt = db + 6 + offsetSize + blockOffSize
               var i = 0
@@ -838,7 +835,34 @@ final class Hdf5File(bytes: Array[Byte]) {
                 i += 1
                 next += 1
               }
+            }
+            var slot = 0
+            while (next < nChunks && slot < dblkCaps.length) {
+              walkDataBlock(offAt(dblkAddrAt + slot * offsetSize),
+                dblkCaps(slot), s"data block $slot")
               slot += 1
+            }
+            // secondary blocks: pointer s (super block u = nsblksDirect + s)
+            // sits after the direct data-block pointer area; each EASB holds
+            // 2^(u/2) data-block pointers of minElmts*2^((u+1)/2) elements
+            var sblk = 0
+            while (next < nChunks) {
+              val u = nsblksDirect + sblk
+              val sblkAddr = offAt(dblkAddrAt + (dblkCaps.length + sblk) * offsetSize)
+              require(!undef(sblkAddr),
+                s"EA secondary block $sblk unallocated but chunks remain")
+              val sb = sblkAddr.toInt
+              require(ascii(sb, 4) == "EASB", s"expected EASB @ $sb")
+              val ndblks = 1 << (u / 2)
+              val cap = minElmts << ((u + 1) / 2)
+              val ptrAt = sb + 6 + offsetSize + blockOffSize
+              var dbI = 0
+              while (dbI < ndblks && next < nChunks) {
+                walkDataBlock(offAt(ptrAt + dbI * offsetSize), cap,
+                  s"data block $dbI of secondary block $sblk")
+                dbI += 1
+              }
+              sblk += 1
             }
           case 5 =>
             // v2 B-tree chunk index (heavily-appended resizable datasets),

@@ -205,6 +205,33 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(f.dataset(f.resolve("d").get).values.toSeq == values.toSeq)
   }
 
+  test("v4 layout: extensible-array index overflows into SECONDARY blocks") {
+    // direct capacity at default cparams = 4 inline + (16+32+32+32+64+64) =
+    // 244 chunks; 300 chunks push 56 elements into super block 4's first
+    // 64-element data block behind an EASB secondary block
+    val dims = Array(600L)
+    val values = Array.tabulate(600)(i => ((i * 11) % 251 - 125).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(4))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("v4 layout: extensible array spanning MULTIPLE secondary blocks, filtered") {
+    // 800 chunks = 244 direct + 256 in super block 4 (4 x 64) + 300 into
+    // super block 5 (3 of 4 x 128-element blocks), every chunk deflated
+    val dims = Array(1600L)
+    val values = Array.tabulate(1600)(i => ((i * 7) % 193).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(4), gzip = true)
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
   test("v4 layout: FILTERED extensible-array chunks inflate correctly") {
     // 30 chunks (4 inline + 16 + 10 of the next block), gzip'd per chunk:
     // client-1 elements carry address + stored size + filter mask

@@ -634,30 +634,59 @@ object MiniHdf5Writer {
         val inline = chunkAddrs.take(idxElmts)
         val rest = chunkAddrs.drop(idxElmts)
         // directly-addressed data blocks: super block u holds 2^(u/2)
-        // blocks of minElmts*2^((u+1)/2) elements, u < 2*log2(minPtrs)
+        // blocks of minElmts*2^((u+1)/2) elements, u < 2*log2(minPtrs);
+        // later super blocks go through EASB secondary blocks
         val nsblksDirect = 2 * (31 - Integer.numberOfLeadingZeros(minPtrs))
         val dblkCaps = (0 until nsblksDirect).flatMap(u =>
           Seq.fill(1 << (u / 2))(minElmts << ((u + 1) / 2)))
-        require(rest.length <= dblkCaps.sum,
-          "writer: EA secondary blocks unsupported (too many chunks)")
-        var consumed = 0
         val hdrPatches = Seq.newBuilder[Int]
-        val dblkAddrs = Seq.newBuilder[Long]
-        var slot = 0
-        while (consumed < rest.length) {
-          val cap = dblkCaps(slot)
+        def writeDataBlock(take: Seq[(Long, Int)], cap: Int, blockOff: Int): Long = {
           val addr = o.pos.toLong
           o.ascii("EADB"); o.u8(0); o.u8(client)
           hdrPatches += o.pos
-          o.u64(0)                          // header address (patched)
-          o.u32((idxElmts + consumed).toLong) // block offset, maxBits/8 = 4 bytes
-          val take = rest.slice(consumed, consumed + cap)
+          o.u64(0)               // header address (patched)
+          o.u32(blockOff.toLong) // block offset, maxBits/8 = 4 bytes
           take.foreach(writeElem)
           (take.length until cap).foreach(_ => writeUndefElem()) // unallocated
-          o.u32(0)                          // checksum
-          dblkAddrs += addr
+          o.u32(0)               // checksum
+          addr
+        }
+        var consumed = 0
+        val dblkAddrs = Seq.newBuilder[Long]
+        var slot = 0
+        while (consumed < rest.length && slot < dblkCaps.length) {
+          val cap = dblkCaps(slot)
+          val take = rest.slice(consumed, consumed + cap)
+          dblkAddrs += writeDataBlock(take, cap, idxElmts + consumed)
           consumed += take.length
           slot += 1
+        }
+        // overflow into secondary blocks: super block u = nsblksDirect + s
+        val sblkAddrs = Seq.newBuilder[Long]
+        var sblk = 0
+        while (consumed < rest.length) {
+          val u = nsblksDirect + sblk
+          val ndblks = 1 << (u / 2)
+          val cap = minElmts << ((u + 1) / 2)
+          val sbDblks = Seq.newBuilder[Long]
+          var dbI = 0
+          while (dbI < ndblks && consumed < rest.length) {
+            val take = rest.slice(consumed, consumed + cap)
+            sbDblks += writeDataBlock(take, cap, idxElmts + consumed)
+            consumed += take.length
+            dbI += 1
+          }
+          val addr = o.pos.toLong
+          o.ascii("EASB"); o.u8(0); o.u8(client)
+          hdrPatches += o.pos
+          o.u64(0)                            // header address (patched)
+          o.u32((idxElmts + dblkCaps.sum).toLong) // block offset of the super block
+          val written = sbDblks.result()
+          written.foreach(o.u64)
+          (written.length until ndblks).foreach(_ => o.u64(Undef))
+          o.u32(0)                            // checksum
+          sblkAddrs += addr
+          sblk += 1
         }
         val eaibAddr = o.pos.toLong
         o.ascii("EAIB"); o.u8(0); o.u8(client)
@@ -668,6 +697,7 @@ object MiniHdf5Writer {
         val dblks = dblkAddrs.result()
         dblks.foreach(o.u64)
         (dblks.length until dblkCaps.length).foreach(_ => o.u64(Undef))
+        sblkAddrs.result().foreach(o.u64) // secondary pointers after direct area
         o.u32(0) // checksum
         val eahdAddr = o.pos.toLong
         o.ascii("EAHD"); o.u8(0); o.u8(client)
