@@ -724,22 +724,35 @@ final class Hdf5File(bytes: Array[Byte]) {
                 base.toInt + (i + 1) * chunkBytes), i)
               i += 1
             }
-          case 3 => // fixed array: FAHD header -> FADB data block of entries
+          case 3 => // fixed array: FAHD header -> FADB data block of entries.
+            // When maxEntries > 2^pageBits the data block is PAGED: a
+            // page-init bitmap follows the FADB header and elements live in
+            // contiguous pages of 2^pageBits entries, each page followed by
+            // its own 4-byte checksum (the >1024-chunk shape of big fixed
+            // volume scans).
             val fahd = offAt(q + 1).toInt // +1: page-bits byte precedes addr
             require(ascii(fahd, 4) == "FAHD", s"expected FAHD @ $fahd")
             val clientId = u8(fahd + 5)
             val entrySize = u8(fahd + 6)
             val pageBits = u8(fahd + 7)
             val maxEntries = lenAt(fahd + 8)
-            require(maxEntries <= (1L << pageBits),
-              s"paged fixed array ($maxEntries entries) unsupported")
             val fadb = offAt(fahd + 8 + lengthSize).toInt
             require(ascii(fadb, 4) == "FADB", s"expected FADB @ $fadb")
-            val elems = fadb + 6 + offsetSize // sig + ver + clientId + header addr
+            val hdrEnd = fadb + 6 + offsetSize // sig + ver + clientId + header addr
+            val paged = maxEntries > (1L << pageBits)
+            val pageNelmts = 1 << pageBits
+            val nPages = ((maxEntries + pageNelmts - 1) / pageNelmts).toInt
+            // paged: header + page-init bitmap + data-block checksum, THEN
+            // the element pages (each tailed by its own checksum)
+            val elems = if (paged) hdrEnd + (nPages + 7) / 8 + 4 else hdrEnd
+            def entryAt(i: Int): Int =
+              if (!paged) elems + i * entrySize
+              else elems + (i >> pageBits) * (pageNelmts * entrySize + 4) +
+                (i & (pageNelmts - 1)) * entrySize
             val nChunks = gridDims.product
             var i = 0
             while (i < nChunks) {
-              val e = elems + i * entrySize
+              val e = entryAt(i)
               val addr = offAt(e)
               val data = clientId match {
                 case 0 =>

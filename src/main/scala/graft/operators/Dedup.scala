@@ -782,7 +782,7 @@ object Dedup {
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
     QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql), bench = true),
     QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql), bench = true),
-    QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql)),
-    QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql)),
+    QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql), bench = true),
+    QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),
   )
 }

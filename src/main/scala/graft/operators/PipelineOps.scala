@@ -465,7 +465,7 @@ object PipelineOps {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
-    QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql)),
+    QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),

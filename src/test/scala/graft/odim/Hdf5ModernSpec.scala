@@ -171,6 +171,19 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(back.isInteger)
   }
 
+  test("v4 layout: PAGED fixed-array index (>1024 chunks) reads across pages") {
+    // 1500 chunks of 2 elements: 2 pages (1024 + 476 entries) with a
+    // page-init bitmap and per-page checksums between the entry runs
+    val dims = Array(3000L)
+    val values = Array.tabulate(3000)(i => ((i * 17) % 509 - 254).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(3))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
   test("v4 layout: extensible-array index, all elements inline in the index block") {
     // 4 chunks = libhdf5's default idx_blk_elmts, so no data blocks exist
     val dims = Array(8L, 4L)

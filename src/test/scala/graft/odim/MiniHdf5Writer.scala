@@ -589,22 +589,37 @@ object MiniHdf5Writer {
         val base = o.pos.toLong
         offsets.foreach(off => o.bytes(chunkBlock(d, cd, off)))
         base
-      case 3 => // fixed array: chunks, then FADB entries, then FAHD
+      case 3 => // fixed array: chunks, then FADB entries, then FAHD.
+        // > 2^pageBits entries -> PAGED data block: page-init bitmap after
+        // the header, elements in 1024-entry pages each tailed by a checksum
         val chunkAddrs = offsets.map { off =>
           val a = o.pos.toLong
           o.bytes(chunkBlock(d, cd, off))
           a
         }
+        val pageBits = 10
+        val pageNelmts = 1 << pageBits
+        val paged = chunkAddrs.length > pageNelmts
         val fadbAddr = o.pos.toLong
         o.ascii("FADB"); o.u8(0); o.u8(0) // version, client 0 (unfiltered)
         val fahdPatch = o.pos
         o.u64(0) // header address (patched)
-        chunkAddrs.foreach(o.u64)
-        o.u32(0) // checksum
+        if (!paged) {
+          chunkAddrs.foreach(o.u64)
+          o.u32(0) // data-block checksum
+        } else {
+          val nPages = (chunkAddrs.length + pageNelmts - 1) / pageNelmts
+          (0 until (nPages + 7) / 8).foreach(_ => o.u8(0xff)) // page-init bitmap
+          o.u32(0) // data-block checksum (covers header + bitmap)
+          chunkAddrs.grouped(pageNelmts).foreach { page =>
+            page.foreach(o.u64)
+            o.u32(0) // per-page checksum
+          }
+        }
         val fahdAddr = o.pos.toLong
         o.ascii("FAHD"); o.u8(0); o.u8(0) // version, client 0
         o.u8(8)  // entry size (one 8-byte address)
-        o.u8(10) // page bits (single page: entries <= 1024)
+        o.u8(pageBits)
         o.u64(chunkAddrs.length.toLong) // max entries
         o.u64(fadbAddr)
         o.u32(0) // checksum
