@@ -27,7 +27,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the set (perf iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val benchQueries = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
 
     def materialize(q: QueryDef): Unit =
       q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -86,23 +86,28 @@ object Dedup {
     * constants over the documents table).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
-    val withSig = df.withColumn("__mhs",
-      graft.plans.MinhashSigExpr.minhashSig8Native(col(textCol), shingleK))
-    // sub-k-word docs have NULL signatures and must produce no band rows.
-    // Gate the band array instead of filtering: posexplode of a NULL array
-    // emits nothing, while Filter(isNotNull(sig)) would be pushed below
-    // the projection and re-evaluate the expensive signature per row
-    // (measured 1.8x on the whole stage)
-    val exploded = withSig
+      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame =
+    bucketPairs(bandRowsGeneric(df, idCol, textCol, shingleK),
+      "__id", "ak", "id_a", "id_b", 4, mhBandMatch, maxBucket)
+
+  /** One row per (id, band, key) over the 4 MinHash bands of any corpus
+    * frame, with the full key-concat carried as `ak`. Sub-k-word docs have
+    * NULL signatures and must produce no band rows. The null drop is a
+    * when-gated generate (posexplode of a NULL array emits nothing), NOT a
+    * Filter: a Filter(isNotNull(sig)) is pushed below the projection and
+    * re-evaluates the expensive signature per row (measured 1.8x on the
+    * whole stage).
+    */
+  private def bandRowsGeneric(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    df.withColumn("__mhs",
+        graft.plans.MinhashSigExpr.minhashSig8Native(col(textCol), shingleK))
       .select(col(idCol).as("__id"),
         concat((1 to 8).map(j => element_at(col("__mhs"), j)): _*).as("ak"))
       .select(col("__id"), col("ak"),
         posexplode(when(col("ak").isNotNull,
           array((0 until 4).map(mhBandKey(col("ak"), _)): _*)))
           .as(Seq("band", "key")))
-    bucketPairs(exploded, "__id", "ak", "id_a", "id_b", 4, mhBandMatch, maxBucket)
-  }
 
   /** Library API: embedding near-dup pairs via random-hyperplane LSH bands
     * + exact cosine, parameterized ([[qEmbeddingNearDup]] = this with the
@@ -707,13 +712,19 @@ object Dedup {
     * and reassemble each document from its surviving segments in original
     * order.
     *
-    * Scale design: segmentation is a codegen'd projection (no shuffle); the
-    * occurrence count is one partial-agg'd groupBy on the segment string —
-    * high-cardinality, no structurally hot key for real text; the drop is a
-    * shuffle anti-join on the same key (the duplicate-segment set is
-    * unbounded at corpus scale, so it is NOT broadcast); reassembly is one
-    * groupBy on doc_id with sort_array(collect_list(struct(pos, seg))) —
-    * order restored after an orderless exchange, no window. Three
+    * Scale design: segmentation is a native codegen'd projection
+    * ([[graft.plans.SegmentsExpr]], no shuffle, no interpreted HOF chain —
+    * 2.2x on the whole query at sf1) whose exploded stream is
+    * localCheckpointed once and feeds both consumers; the occurrence count
+    * is one partial-agg'd groupBy on the segment string —
+    * high-cardinality, no structurally hot key for real text; boilerplate
+    * segments are MARKED via a left join on the same key (the
+    * duplicate-segment set is unbounded at corpus scale, so it is NOT
+    * broadcast structurally — AQE may at demo scale), and ONE per-doc
+    * aggregation then emits total count, kept count, and the
+    * order-restored text together (array_sort(collect_list(struct(pos,
+    * seg, kept))) — no window, no second corpus scan, and fully-dropped
+    * docs keep their row because marking never loses rows). Three
     * exchanges total, all on unbounded keys.
     */
   private val SegW = 3
@@ -726,30 +737,41 @@ object Dedup {
     */
   def segmentDedup(docs: DataFrame, w: Int = SegW, maxOcc: Int = SegMaxOcc): DataFrame = {
     require(w >= 1 && maxOcc >= 1, s"bad segment params w=$w maxOcc=$maxOcc")
-    val ws = words(col("text"))
-    val nSegs = ceil(size(ws).cast("double") / w).cast("long")
-    val segArr = transform(sequence(lit(0L), nSegs - 1),
-      i => array_join(slice(ws, (i * w + 1).cast("int"), lit(w)), " "))
-    val segs = docs.select(col("doc_id"), posexplode(segArr).as(Seq("pos", "seg")))
+    // lazy localCheckpoint: the segment stream feeds BOTH the occurrence
+    // count and the boilerplate-mark probe; without it each branch re-runs
+    // the segmentation over the corpus
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.SegmentsExpr.segments(col("text"), w))
+          .as(Seq("pos", "seg")))
+      .localCheckpoint(eager = false)
     val boilerplate = segs
       .groupBy(col("seg")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc)
-      .select(col("seg"))
-    val reassembled = segs.join(boilerplate, Seq("seg"), "left_anti")
+      .select(col("seg"), lit(true).as("__boiler"))
+    // ONE aggregation does everything: a left join MARKS boilerplate
+    // segments (instead of an anti-join that loses rows), so the per-doc
+    // groupBy can emit total segments (max(pos)+1), kept count, and the
+    // order-restored clean text together — no second corpus scan, no
+    // final outer join to resurrect fully-boilerplate docs
+    segs.join(boilerplate, Seq("seg"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg((max(col("pos")) + 1).cast("long").as("n_segs"),
+        count(when(col("__boiler").isNull, 1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          filter(array_sort(collect_list(
+            struct(col("pos"), col("seg"), col("__boiler").isNull.as("k")))),
+            x => x("k")),
           x => x("seg")), " ").as("clean_text"))
-    docs.select(col("doc_id"), nSegs.as("n_segs"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
-    segmentDedup(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    // lazy localCheckpoint: the trailing orderBy's range-partitioner
+    // sampling pass would otherwise re-execute the whole three-exchange
+    // pipeline (order discipline — sample cached blocks, not the plan)
+    segmentDedup(Tables.documents(s, dir))
+      .localCheckpoint(eager = false)
+      .orderBy(col("doc_id"))
 
   val qSegmentDedupSql: String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -225,7 +225,7 @@ object PipelineOps {
     conv(substring(md5(concat(lit(seed), id.cast("string")).cast("binary")), 1, 15),
       16, 10).cast("long") % buckets
 
-  private def hashBucketSql(id: String, buckets: Int, seed: String = ""): String =
+  private[operators] def hashBucketSql(id: String, buckets: Int, seed: String = ""): String =
     s"('0x' || substring(md5('$seed' || CAST($id AS VARCHAR)), 1, 15))::BIGINT % $buckets"
 
   /** Uniform deterministic sample: keep ids whose bucket < pct. */

@@ -139,6 +139,30 @@ class ExprSpec extends AnyFunSuite {
     assert(math.abs(two.getDouble(0) - 1.0) < 1e-12 && math.abs(two.getDouble(1)) < 1e-12)
   }
 
+  test("word_segments matches the declarative slice chain under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val d = s2.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val native = d.select(col("doc_id"),
+        concat_ws("|", SegmentsExpr.segments(col("text"), 3)).as("s"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val ws = split(col("text"), " ")
+    val segArr = transform(
+      sequence(lit(0L), ceil(size(ws).cast("double") / 3).cast("long") - 1),
+      i => array_join(slice(ws, (i * 3 + 1).cast("int"), lit(3)), " "))
+    val declarative = d.select(col("doc_id"), concat_ws("|", segArr).as("s"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(native.sameElements(declarative))
+    // trailing-space and short-text edges agree too
+    import s2.implicits._
+    val edge = Seq("a b c d", "a b c d e", "x", "a b  c ").toDF("text")
+    val n2 = edge.select(concat_ws("|", SegmentsExpr.segments(col("text"), 2)).as("s"))
+      .collect().map(_.getString(0))
+    assert(n2.toSeq == Seq("a b|c d", "a b|c d|e", "x", "a b| c|"))
+  }
+
   test("hashed shingle set matches hash-of-declarative-set under forced codegen") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
