@@ -712,20 +712,39 @@ object Dedup {
     * and reassemble each document from its surviving segments in original
     * order.
     *
-    * Scale design: segmentation is a native codegen'd projection
-    * ([[graft.plans.SegmentsExpr]], no shuffle, no interpreted HOF chain —
-    * 2.2x on the whole query at sf1) whose exploded stream is
-    * localCheckpointed once and feeds both consumers; the occurrence count
-    * is one partial-agg'd groupBy on the segment string —
-    * high-cardinality, no structurally hot key for real text; boilerplate
-    * segments are MARKED via a left join on the same key (the
-    * duplicate-segment set is unbounded at corpus scale, so it is NOT
-    * broadcast structurally — AQE may at demo scale), and ONE per-doc
-    * aggregation then emits total count, kept count, and the
-    * order-restored text together (array_sort(collect_list(struct(pos,
-    * seg, kept))) — no window, no second corpus scan, and fully-dropped
-    * docs keep their row because marking never loses rows). Three
-    * exchanges total, all on unbounded keys.
+    * Scale design (r6 rewrite — the r5 shape shuffled the exploded segment
+    * STRINGS twice and localCheckpointed the whole exploded stream, 17.9x
+    * DuckDB at sf1): segment strings never cross a segment-keyed exchange.
+    * The only exploded stream the exchanges see is `(doc_id, pos, hash60)`
+    * — three longs per segment ([[graft.plans.SegmentHashesExpr]], same
+    * compiled tokenizer+assembly as [[graft.plans.SegmentsExpr]] so
+    * boundaries can never diverge). Hash identity in place of string
+    * identity is the same md5-prefix trade the jaccard operator made in
+    * r4: 60-bit collisions are negligible below ~2^30 distinct segments
+    * and the oracle hash-checks the result.
+    *
+    * The boilerplate SET (hashes occurring > maxOcc) is structurally small
+    * relative to the corpus — it is the frequent tail, bounded by
+    * totalSegments / maxOcc and in practice orders of magnitude below
+    * that. So, exactly like the decontamination operator's broadcast gram
+    * set, the operator is ADAPTIVE on its size:
+    *
+    *  - broadcast regime (set fits [[segmentDedup]]'s `broadcastMaxSet`):
+    *    ONE partial-agg'd exchange computes the set, a bounded collect
+    *    ships it as a sorted long array in a `Broadcast`, and
+    *    [[graft.plans.SegmentCleanExpr]] re-derives and filters the
+    *    segments in ONE codegen'd projection over the corpus — zero
+    *    joins, zero string shuffles, two corpus scans total.
+    *
+    *  - join regime (set too big, or `broadcastMaxSet = 0` for a fully
+    *    lazy plan): a left-semi probe marks boilerplate (doc_id, pos)
+    *    pairs, a per-doc collect_set(pos) gathers them (longs only), and
+    *    the single string-bearing exchange is the final doc_id join of
+    *    the un-exploded doc rows (segment array in-row) against the
+    *    sparse position sets; reassembly is a per-row filter-by-index.
+    *
+    * Fully-boilerplate and empty docs keep their row in both regimes
+    * (n_kept=0, clean_text='').
     */
   private val SegW = 3
   private val SegMaxOcc = 2
@@ -735,34 +754,63 @@ object Dedup {
     * boilerplate survive with an empty clean_text (the caller decides
     * whether to drop them) — a left join keeps the row.
     */
-  def segmentDedup(docs: DataFrame, w: Int = SegW, maxOcc: Int = SegMaxOcc): DataFrame = {
+  def segmentDedup(docs: DataFrame, w: Int = SegW, maxOcc: Int = SegMaxOcc,
+      broadcastMaxSet: Int = 4 << 20): DataFrame = {
     require(w >= 1 && maxOcc >= 1, s"bad segment params w=$w maxOcc=$maxOcc")
-    // lazy localCheckpoint: the segment stream feeds BOTH the occurrence
-    // count and the boilerplate-mark probe; without it each branch re-runs
-    // the segmentation over the corpus
-    val segs = docs
-      .select(col("doc_id"),
-        posexplode(graft.plans.SegmentsExpr.segments(col("text"), w))
-          .as(Seq("pos", "seg")))
-      .localCheckpoint(eager = false)
-    val boilerplate = segs
-      .groupBy(col("seg")).agg(count(lit(1)).as("occ"))
+    // the exploded stream the exchanges see: three longs per segment,
+    // recomputed per consumer (a narrow codegen projection over the scan —
+    // materializing it is what made the r5 shape pay >corpus-size blocks)
+    val hashed = docs.select(col("doc_id"),
+      posexplode(graft.plans.SegmentsExpr.segmentHashes(col("text"), w))
+        .as(Seq("pos", "h")))
+    val boiler = hashed
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc)
-      .select(col("seg"), lit(true).as("__boiler"))
-    // ONE aggregation does everything: a left join MARKS boilerplate
-    // segments (instead of an anti-join that loses rows), so the per-doc
-    // groupBy can emit total segments (max(pos)+1), kept count, and the
-    // order-restored clean text together — no second corpus scan, no
-    // final outer join to resurrect fully-boilerplate docs
-    segs.join(boilerplate, Seq("seg"), "left")
-      .groupBy(col("doc_id"))
-      .agg((max(col("pos")) + 1).cast("long").as("n_segs"),
-        count(when(col("__boiler").isNull, 1)).as("n_kept"),
-        array_join(transform(
-          filter(array_sort(collect_list(
-            struct(col("pos"), col("seg"), col("__boiler").isNull.as("k")))),
-            x => x("k")),
-          x => x("seg")), " ").as("clean_text"))
+      .select(col("h"))
+
+    // adaptive regime pick: a BOUNDED collect (limit cap+1 — an oversized
+    // set can never OOM the driver, it just flips the regime)
+    val smallSet: Option[Array[Long]] =
+      if (broadcastMaxSet <= 0) None
+      else {
+        val a = boiler.limit(broadcastMaxSet + 1)
+          .collect().map(_.getLong(0))
+        if (a.length <= broadcastMaxSet) Some(a) else None
+      }
+
+    smallSet match {
+      case Some(arr) =>
+        // broadcast regime: sorted longs ride a Broadcast handle; the
+        // whole per-doc side is ONE codegen'd projection, zero joins
+        java.util.Arrays.sort(arr)
+        val bc = docs.sparkSession.sparkContext.broadcast(arr)
+        docs.select(col("doc_id"),
+            graft.plans.SegmentsExpr.segmentClean(col("text"), bc, w).as("c"))
+          .select(col("doc_id"), col("c.n_segs"), col("c.n_kept"),
+            col("c.clean_text"))
+      case None =>
+        // join regime (fully lazy; unbounded boilerplate set)
+        // strings stay inside the doc row — one row per doc, never exploded
+        val base = docs.select(col("doc_id"),
+          graft.plans.SegmentsExpr.segments(col("text"), w).as("segs"))
+        // which positions of which docs are boilerplate — sparse (only
+        // docs that contain a boilerplate segment), longs only
+        val boilerPos = hashed.join(boiler, Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("pos")).as("bpos"))
+        // the ONE string-bearing exchange: un-exploded doc rows join the
+        // sparse position sets on doc_id (unbounded side — not broadcast
+        // structurally; AQE may at demo scale), then reassembly is a
+        // per-row filter-by-index over the in-row segment array
+        base.join(boilerPos, Seq("doc_id"), "left")
+          .withColumn("bp", coalesce(col("bpos"), lit(Array.empty[Int])))
+          .select(col("doc_id"),
+            size(col("segs")).cast("long").as("n_segs"),
+            (size(col("segs")) - size(col("bp"))).cast("long").as("n_kept"),
+            array_join(
+              filter(col("segs"), (s, i) => !array_contains(col("bp"), i)),
+              " ").as("clean_text"))
+    }
   }
 
   def qSegmentDedup(s: SparkSession, dir: String): DataFrame =

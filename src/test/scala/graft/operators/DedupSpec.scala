@@ -59,6 +59,44 @@ class DedupSpec extends AnyFunSuite {
     assert(ident == 0)
   }
 
+  test("segment dedup: empty and whitespace-only docs keep their row (twin parity, both regimes)") {
+    import spark.implicits._
+    // split(' ', -1) keeps empty tokens exactly like DuckDB string_split:
+    // '' -> [''] -> 1 segment '' ; ' ' -> ['',''] -> 1 segment ' '.
+    // Neither segment recurs > maxOcc times here, so both are KEPT.
+    for (cap <- Seq(4 << 20, 0)) { // broadcast regime, then join regime
+      val docs = Seq(
+        (1L, ""),
+        (2L, " "),
+        (3L, "regular words here")).toDF("doc_id", "text")
+      val out = Dedup.segmentDedup(docs, w = 3, maxOcc = 2, broadcastMaxSet = cap)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out.keySet == Set(1L, 2L, 3L), s"a doc vanished from the output (cap=$cap)")
+      assert(out(1L) == ((1L, 1L, "")), s"cap=$cap")
+      assert(out(2L) == ((1L, 1L, " ")), s"cap=$cap")
+      assert(out(3L) == ((1L, 1L, "regular words here")), s"cap=$cap")
+      // and when the empty segment IS corpus-frequent it drops like any other
+      val many = (1L to 5L).map(i => (i, "")).toDF("doc_id", "text")
+      val dropped = Dedup.segmentDedup(many, w = 3, maxOcc = 2, broadcastMaxSet = cap)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(dropped.length == 5 && dropped.forall(_ == ((1L, 0L, ""))), s"cap=$cap")
+    }
+  }
+
+  test("segment dedup: broadcast and join regimes agree row-for-row on real docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bcast = Dedup.segmentDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val joined = Dedup.segmentDedup(docs, broadcastMaxSet = 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(bcast == joined)
+    assert(bcast.nonEmpty)
+    // an undersized cap (1) must flip to the join regime, not truncate the set
+    val capped = Dedup.segmentDedup(docs, broadcastMaxSet = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(capped == joined, "tiny broadcast cap must fall back, never truncate")
+  }
+
   test("semantic dedup: drops only same-cluster near-dups, keepers are smaller ids") {
     import org.apache.spark.sql.functions.{col, min}
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
