@@ -71,22 +71,36 @@ object Layout {
     * and per-day jobs leave lakes with thousands of KB-scale files per
     * partition; at 100 TB the resulting task-per-file scheduling and
     * footer-read overhead dominate scans long before data volume does.
-    * Rewrites `path` so every Hive partition holds
+    * Rewrites `path` so every Hive partition holds about
     * ceil(partitionBytes / targetBytes) files.
     *
-    * Mechanics: one driver-side listing (control-plane, like
-    * `LakeController`'s day listing) sizes each partition; rows get a salt
-    * `pmod(hash(*), nFiles(partition))` joined in from that small sizing
-    * table (broadcast), and a repartition on (partitionCols, salt) makes
-    * each (partition, salt) exactly one write task = one output file. The
-    * rewrite lands in `<path>.compacting` and swaps in via rename —
-    * atomic on HDFS-like filesystems; on object stores run it from the
-    * single maintenance writer, same as every table-maintenance op
-    * without a transaction log.
+    * Mechanics: per-partition byte sizes are keyed by the DataFrame's OWN
+    * partition column values — each row's file (via `input_file_name()`)
+    * joins the driver listing's per-file byte counts, so null partitions
+    * (`__HIVE_DEFAULT_PARTITION__`), Hive-escaped special characters and
+    * type-inferred values (`part=01` reading back as int 1) can never
+    * mis-join the way parsing directory strings would, and the sizing
+    * join itself is null-safe (`<=>`). Each partition gets a contiguous
+    * block of global file ids (driver-computed offsets, broadcast back),
+    * rows get `fid = offset + pmod(hash(dataCols), nFiles(partition))`,
+    * and a RANGE repartition on fid makes ~one write task per output file
+    * (range, not hash — hashing the fid lets distinct fids collide into
+    * one task, merging files past targetBytes; range sampling keeps
+    * counts near-exact, not guaranteed-exact).
     *
-    * Row-level content is preserved exactly (hash salt only routes rows
-    * to files); pass `sortWithin` to additionally cluster rows inside
-    * each output file (tight row-group stats, composes with [[zValueN]]).
+    * Safety: the rewrite lands in `<path>.compacting`, and the swap
+    * refuses to touch the original until the rewritten row count equals
+    * the original's. The swap itself renames the original ASIDE
+    * (`<path>.compacting.old`), renames the rewrite into place, then
+    * deletes the old copy — a crash between the renames leaves the
+    * original intact under a documented name instead of a window where
+    * the table path is missing. On object stores run it from the single
+    * maintenance writer, same as every table-maintenance op without a
+    * transaction log.
+    *
+    * Row-level content is preserved exactly (fid only routes rows to
+    * files); pass `sortWithin` to additionally cluster rows inside each
+    * output file (tight row-group stats, composes with [[zValueN]]).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
@@ -96,60 +110,110 @@ object Layout {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // driver-side sizing listing: (partition-relative dir -> (files, bytes))
+    // driver-side listing (control-plane, like LakeController's day
+    // listing): per-file bytes for the sizing join + per-dir stats
     val rootUri = fs.makeQualified(hPath).toUri.getPath
     val it = fs.listFiles(hPath, true)
-    val sizes = scala.collection.mutable.Map[String, (Int, Long)]()
+    val fileBytes = scala.collection.mutable.Map[String, Long]()
+    val dirs = scala.collection.mutable.Set[String]()
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
         val parent = f.getPath.getParent.toUri.getPath
         require(parent.startsWith(rootUri), s"listing escaped root: $parent")
-        val rel = parent.stripPrefix(rootUri).stripPrefix("/")
-        val (n, b) = sizes.getOrElse(rel, (0, 0L))
-        sizes(rel) = (n + 1, b + f.getLen)
+        dirs += parent.stripPrefix(rootUri).stripPrefix("/")
+        fileBytes(f.getPath.toUri.getPath) = f.getLen
       }
     }
-    val filesBefore = sizes.valuesIterator.map(_._1).sum
-    val totalBytes = sizes.valuesIterator.map(_._2).sum
+    val filesBefore = fileBytes.size
+    val totalBytes = fileBytes.valuesIterator.sum
     def nFilesFor(bytes: Long): Int =
       math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
     val df = spark.read.parquet(path)
+    val originalCount = df.count()
     val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
     fs.delete(tmp, true)
 
     if (partitionCols.isEmpty) {
       val n = nFilesFor(totalBytes)
       val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(n)))
-        .repartition(n, col("__salt"))
+        .repartitionByRange(n, col("__salt"))
       val sorted = if (sortWithin.nonEmpty) salted.sortWithinPartitions(sortWithin: _*)
                    else salted
       sorted.drop("__salt").write.mode("overwrite").parquet(tmp.toString)
     } else {
-      // per-partition file counts from the sizing listing (dir is
-      // "k1=v1/k2=v2"); values parse as strings — join keys cast to match
       import spark.implicits._
-      val counts = sizes.toSeq.map { case (rel, (_, b)) =>
-        val vals = rel.split("/").filter(_.nonEmpty).map(_.split("=", 2)(1))
-        (vals.toSeq, nFilesFor(b))
-      }.toDF("__pvals", "__nf")
-      val keyArr = array(partitionCols.map(c => col(c).cast("string")): _*)
+      // per-partition bytes keyed by the df's own (typed) partition values:
+      // distinct (partitionCols, file) is ~one row per file after partial
+      // agg, and the partition columns are directory-derived so the scan
+      // reads no parquet data columns. The path normalization (URI -> raw
+      // fs path, matching the listing) runs on those ~#files rows only.
+      val normPath = udf((s: String) =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(s)).toUri.getPath)
+      val pcols = partitionCols.map(col)
+      val bytesDf = fileBytes.toSeq.toDF("__fpath", "__fbytes")
+      val perPart = df.select(pcols :+ input_file_name().as("__f"): _*)
+        .distinct()
+        .withColumn("__fpath", normPath(col("__f")))
+        .join(broadcast(bytesDf), Seq("__fpath"))
+        .groupBy(pcols: _*).agg(sum(col("__fbytes")).as("__pbytes"))
+        .collect()
+      // contiguous global file-id blocks per partition, driver-computed
+      var off = 0L
+      val blocks = perPart.map { r =>
+        val nf = nFilesFor(r.getLong(r.length - 1))
+        val vals = (0 until r.length - 1).map(r.get)
+        val b = (vals, off, nf)
+        off += nf
+        b
+      }
+      val totalFiles = math.max(1, off).toInt
+      val counts = spark.createDataFrame(
+        spark.sparkContext.parallelize(blocks.toSeq.map { case (vals, o, nf) =>
+          org.apache.spark.sql.Row.fromSeq(vals :+ o :+ nf)
+        }, 1),
+        org.apache.spark.sql.types.StructType(
+          partitionCols.map(c => df.schema(c)
+            .copy(name = s"__p_$c")) ++ Seq(
+            org.apache.spark.sql.types.StructField("__off",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__nf",
+              org.apache.spark.sql.types.IntegerType))))
+      // null-safe join: every df row matches (keys came from df itself)
+      val cond = partitionCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
       val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
       val salted = df
-        .join(broadcast(counts), keyArr === col("__pvals"))
-        .withColumn("__salt", pmod(hash(dataCols: _*), col("__nf")))
-        .repartition((partitionCols.map(col) :+ col("__salt")): _*)
+        .join(broadcast(counts), cond)
+        .withColumn("__fid", col("__off") + pmod(hash(dataCols: _*), col("__nf")))
+        .repartitionByRange(totalFiles, col("__fid"))
       val sorted = if (sortWithin.nonEmpty) salted.sortWithinPartitions(sortWithin: _*)
                    else salted
-      sorted.drop("__pvals", "__nf", "__salt")
+      sorted.drop((partitionCols.map(c => s"__p_$c") ++ Seq("__off", "__nf", "__fid")): _*)
         .write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(tmp.toString)
     }
 
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"compaction swap failed for $path")
+    // refuse the swap unless the rewrite holds every row
+    val rewrittenCount = spark.read.parquet(tmp.toString).count()
+    require(rewrittenCount == originalCount,
+      s"compaction rewrite of $path has $rewrittenCount rows, original has " +
+        s"$originalCount — refusing to swap; original untouched, rewrite kept at $tmp")
+
+    // swap: original aside -> rewrite in -> drop aside (never a window
+    // with the table path missing; crash recovery = rename .old back)
+    val old = new org.apache.hadoop.fs.Path(path + ".compacting.old")
+    fs.delete(old, true)
+    require(fs.rename(hPath, old), s"compaction swap: could not move $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      val restored = fs.rename(old, hPath)
+      throw new IllegalStateException(
+        s"compaction swap failed for $path; original " +
+          (if (restored) "restored" else s"preserved at $old") +
+          s"; rewrite kept at $tmp")
+    }
+    fs.delete(old, true)
     val after = fs.listFiles(hPath, true)
     var filesAfter = 0
     while (after.hasNext) {
@@ -157,6 +221,6 @@ object Layout {
       val nm = f.getPath.getName
       if (f.isFile && !nm.startsWith("_") && !nm.startsWith(".")) filesAfter += 1
     }
-    CompactStats(filesBefore, filesAfter, totalBytes, sizes.size)
+    CompactStats(filesBefore, filesAfter, totalBytes, dirs.size)
   }
 }
