@@ -424,6 +424,81 @@ object PipelineOps {
         splitAssign(col("doc_id")).as("split"))
   }
 
+  /** The full funnel: [[trainingPrep]]'s exact-dup → near-dup →
+    * decontaminate → split stages, then the round-5/6 stages real pipelines
+    * run BEFORE packing — segment-level (line) dedup over the train split
+    * and token-budget selection per source over the CLEANED text. Uses
+    * [[Dedup.segmentDedup]]'s fully-lazy join regime (`broadcastMaxSet =
+    * 0`) so the whole funnel stays ONE lazy Catalyst plan end-to-end, and
+    * one oracle checks the composition: a drift in any of six stages
+    * breaks this entry even if each stage's own entry still passes.
+    * Fully-boilerplate docs (n_kept = 0) drop before budgeting, like a
+    * real line-dedup stage dropping emptied documents.
+    */
+  def trainingPrepFull(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val train = trainingPrep(docs).filter(col("split") === "train")
+    val cleaned = Dedup.segmentDedup(
+        train.select(col("doc_id"), col("text")), broadcastMaxSet = 0)
+      .filter(col("n_kept") > 0)
+    val withSrc = cleaned.join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+    tokenBudget(withSrc.select(col("doc_id"), col("source"),
+      col("clean_text").as("text")), "doc_id", "source", budget)
+  }
+
+  def qPipelineFull(s: SparkSession, dir: String): DataFrame =
+    trainingPrepFull(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val qPipelineFullSql: String = {
+    val pairsInner = Dedup.qJaccardPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    val sh = shinglesSql("ws", ContamK)
+    val b = hashBucketSql("doc_id", 100)
+    val pr = hashBucketSql("doc_id", PrBuckets)
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |near AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($pairsInner) WHERE jaccard >= 0.5),
+       |kept_train AS (
+       |  SELECT k.doc_id FROM keepers k
+       |  WHERE k.doc_id NOT IN (SELECT doc_id FROM near) AND k.doc_id % 97 <> 0),
+       |grams AS (SELECT doc_id, list_distinct($sh) AS g
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |ev AS (SELECT DISTINCT unnest(g) AS eg FROM grams WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, unnest(g) AS tg FROM grams
+       |       WHERE doc_id IN (SELECT doc_id FROM kept_train)),
+       |dfc AS (SELECT eg, count(*) AS df FROM tr JOIN ev ON tg = eg GROUP BY eg),
+       |rare AS (SELECT eg FROM dfc WHERE df <= $ContamMaxDf),
+       |flagged AS (SELECT doc_id FROM tr JOIN rare ON tg = eg
+       |            GROUP BY doc_id HAVING count(*) >= $ContamMinShared),
+       |clean AS (SELECT doc_id FROM kept_train
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |train AS (SELECT d.doc_id, d.source, d.text
+       |          FROM clean JOIN documents d USING (doc_id)
+       |          WHERE $b < 80),
+       |sbase AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+       |sidx AS (SELECT doc_id, ws,
+       |           unnest(generate_series(0, CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS pos
+       |         FROM sbase),
+       |ssegs AS (SELECT doc_id, pos,
+       |            array_to_string(ws[(pos * 3 + 1):(pos * 3 + 3)], ' ') AS seg
+       |          FROM sidx),
+       |sboiler AS (SELECT seg FROM ssegs GROUP BY seg HAVING count(*) > 2),
+       |sre AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(seg, ' ' ORDER BY pos) AS clean_text
+       |        FROM ssegs WHERE seg NOT IN (SELECT seg FROM sboiler)
+       |        GROUP BY doc_id),
+       |kept AS (SELECT t.doc_id, t.source, r.clean_text
+       |         FROM train t JOIN sre r USING (doc_id)),
+       |sel AS (SELECT doc_id, source, n_tokens,
+       |          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_tokens
+       |        FROM (SELECT doc_id, source,
+       |                len(string_split(clean_text, ' ')) AS n_tokens,
+       |                $pr AS pr
+       |              FROM kept))
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def qPipelinePrep(s: SparkSession, dir: String): DataFrame =
     trainingPrep(Tables.documents(s, dir))
       .groupBy(col("split"), col("source"))
@@ -466,6 +541,7 @@ object PipelineOps {
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),
+    QueryDef("q_pipeline_full", qPipelineFull, Some(qPipelineFullSql), bench = true),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
