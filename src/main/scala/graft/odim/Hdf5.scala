@@ -781,8 +781,9 @@ final class Hdf5File(bytes: Array[Byte]) {
             // 2*log2(minPtrs) have their data blocks addressed DIRECTLY
             // from the index block; later super blocks are reached through
             // EASB secondary blocks whose pointers follow the direct area.
-            // Paged data blocks (block capacity > 2^pageBits elements, i.e.
-            // ~100k+ chunks at default cparams) fail fast.
+            // Data blocks with capacity > 2^pageBits elements are PAGED:
+            // a checksummed prefix with no inline elements, then
+            // 2^pageBits-element pages each tailed by a checksum.
             val eahd = offAt(q + 5).toInt // 5 cparam bytes precede the addr
             require(ascii(eahd, 4) == "EAHD", s"expected EAHD @ $eahd")
             val clientId = u8(eahd + 5)
@@ -840,13 +841,30 @@ final class Hdf5File(bytes: Array[Byte]) {
               require(!undef(dblkAddr), s"EA $what unallocated but chunks remain")
               val db = dblkAddr.toInt
               require(ascii(db, 4) == "EADB", s"expected EADB @ $db")
-              require(cap <= (1 << pageBits), "paged EA data block unsupported")
-              val elemAt = db + 6 + offsetSize + blockOffSize
-              var i = 0
-              while (i < cap && next < nChunks) {
-                placeElem(elemAt + i * entrySize, next)
-                i += 1
-                next += 1
+              if (cap <= (1 << pageBits)) {
+                val elemAt = db + 6 + offsetSize + blockOffSize
+                var i = 0
+                while (i < cap && next < nChunks) {
+                  placeElem(elemAt + i * entrySize, next)
+                  i += 1
+                  next += 1
+                }
+              } else {
+                // PAGED data block (capacity > 2^pageBits): the prefix
+                // carries its own checksum and holds NO elements; pages of
+                // 2^pageBits elements follow back-to-back, each tailed by
+                // a 4-byte page checksum (H5EAcache serialize layout)
+                val pageNelmts = 1 << pageBits
+                val pageSize = pageNelmts * entrySize + 4
+                val base = db + 6 + offsetSize + blockOffSize + 4
+                var i = 0
+                while (i < cap && next < nChunks) {
+                  val at = base + (i / pageNelmts) * pageSize +
+                    (i % pageNelmts) * entrySize
+                  placeElem(at, next)
+                  i += 1
+                  next += 1
+                }
               }
             }
             var slot = 0

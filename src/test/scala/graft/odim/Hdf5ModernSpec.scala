@@ -245,6 +245,37 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(back.isInteger)
   }
 
+  test("v4 layout: PAGED extensible-array data blocks (cap > 2^pageBits)") {
+    // shrunken cparams (idxElmts=2, minElmts=4, minPtrs=2, pageBits=2) make
+    // every data block beyond the first exceed the 4-element page size:
+    // prefix-checksummed EADB with elements in checksum-tailed pages. 40
+    // chunks = 2 inline + 4 + 8(paged, 2 pages) + secondary blocks u=2
+    // (2 x 8-cap paged) and u=3 (16-cap, 4 pages, partially filled)
+    val dims = Array(80L)
+    val values = Array.tabulate(80)(i => ((i * 17) % 211 - 100).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(4),
+      eaCparams = (2, 4, 2, 2))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
+  test("v4 layout: PAGED + FILTERED extensible-array data blocks") {
+    // same shrunken geometry with the deflate client: 16-byte elements
+    // (addr + stored size + mask) inside checksum-tailed pages
+    val dims = Array(60L)
+    val values = Array.tabulate(60)(i => ((i * 29) % 127).toDouble)
+    val ds = WDataset(Nil, dims, values, isInt = true, elemSize = 4,
+      chunkDims = Some(Array(2L)), layoutV4 = Some(4), gzip = true,
+      eaCparams = (2, 4, 2, 2))
+    val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
+    val back = f.dataset(f.resolve("d").get)
+    assert(back.values.toSeq == values.toSeq)
+    assert(back.isInteger)
+  }
+
   test("v4 layout: FILTERED extensible-array chunks inflate correctly") {
     // 30 chunks (4 inline + 16 + 10 of the next block), gzip'd per chunk:
     // client-1 elements carry address + stored size + filter mask

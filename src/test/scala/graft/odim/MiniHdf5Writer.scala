@@ -40,7 +40,12 @@ object MiniHdf5Writer {
       chunkDims: Option[Array[Long]] = None,
       layoutV4: Option[Int] = None,
       gzip: Boolean = false,
-      btreeDepth: Int = 0) extends Node
+      btreeDepth: Int = 0,
+      // extensible-array creation params (idxElmts, minElmts, minPtrs,
+      // pageBits); the libhdf5 defaults unless a test shrinks them to
+      // reach deep EA shapes (secondary blocks, paged data blocks) with
+      // small fixtures
+      eaCparams: (Int, Int, Int, Int) = (4, 16, 4, 10)) extends Node
 
   private val Undef = -1L
 
@@ -626,8 +631,8 @@ object MiniHdf5Writer {
         o.patch64(fahdPatch, fahdAddr)
         fahdAddr
       case 4 => // extensible array: chunks -> EADB data blocks -> EAIB -> EAHD
-        val maxBits = 32; val idxElmts = 4; val minElmts = 16
-        val minPtrs = 4; val pageBits = 10 // libhdf5 default cparams
+        val maxBits = 32
+        val (idxElmts, minElmts, minPtrs, pageBits) = d.eaCparams
         val client = if (d.gzip) 1 else 0
         val entrySize = if (d.gzip) 16 else 8 // addr [+ size(4) + mask(4)]
         // (addr, stored byte size) per chunk; filtered chunks are deflated
@@ -661,9 +666,24 @@ object MiniHdf5Writer {
           hdrPatches += o.pos
           o.u64(0)               // header address (patched)
           o.u32(blockOff.toLong) // block offset, maxBits/8 = 4 bytes
-          take.foreach(writeElem)
-          (take.length until cap).foreach(_ => writeUndefElem()) // unallocated
-          o.u32(0)               // checksum
+          if (cap <= (1 << pageBits)) {
+            take.foreach(writeElem)
+            (take.length until cap).foreach(_ => writeUndefElem()) // unallocated
+            o.u32(0)             // checksum
+          } else {
+            // PAGED data block (capacity > 2^pageBits elements): the
+            // prefix carries its own checksum, then each page is
+            // 2^pageBits elements tailed by a page checksum — no elements
+            // inline in the prefix (H5EAcache serialize layout)
+            o.u32(0)             // prefix checksum
+            val pageNelmts = 1 << pageBits
+            var i = 0
+            while (i < cap) {
+              if (i < take.length) writeElem(take(i)) else writeUndefElem()
+              i += 1
+              if (i % pageNelmts == 0) o.u32(0) // page checksum
+            }
+          }
           addr
         }
         var consumed = 0
@@ -679,6 +699,10 @@ object MiniHdf5Writer {
         // overflow into secondary blocks: super block u = nsblksDirect + s
         val sblkAddrs = Seq.newBuilder[Long]
         var sblk = 0
+        // element offset where the NEXT super block's range starts —
+        // advances by each super block's full capacity (ndblks * cap),
+        // so every EASB writes its own correct block-offset field
+        var sblkElemOff = idxElmts + dblkCaps.sum
         while (consumed < rest.length) {
           val u = nsblksDirect + sblk
           val ndblks = 1 << (u / 2)
@@ -694,13 +718,14 @@ object MiniHdf5Writer {
           val addr = o.pos.toLong
           o.ascii("EASB"); o.u8(0); o.u8(client)
           hdrPatches += o.pos
-          o.u64(0)                            // header address (patched)
-          o.u32((idxElmts + dblkCaps.sum).toLong) // block offset of the super block
+          o.u64(0)                 // header address (patched)
+          o.u32(sblkElemOff.toLong) // block offset of THIS super block
           val written = sbDblks.result()
           written.foreach(o.u64)
           (written.length until ndblks).foreach(_ => o.u64(Undef))
           o.u32(0)                            // checksum
           sblkAddrs += addr
+          sblkElemOff += ndblks * cap
           sblk += 1
         }
         val eaibAddr = o.pos.toLong
@@ -762,8 +787,9 @@ object MiniHdf5Writer {
     b.put(idxType.toByte)
     if (idxType == 3) b.put(10.toByte) // page bits
     if (idxType == 4) { // cparams: maxBits, idxElmts, minPtrs, minElmts, pageBits
-      b.put(32.toByte); b.put(4.toByte); b.put(4.toByte)
-      b.put(16.toByte); b.put(10.toByte)
+      val (idxElmts, minElmts, minPtrs, pageBits) = d.eaCparams
+      b.put(32.toByte); b.put(idxElmts.toByte); b.put(minPtrs.toByte)
+      b.put(minElmts.toByte); b.put(pageBits.toByte)
     }
     if (idxType == 5) { // node size (4), split percent, merge percent
       b.putInt(512); b.put(100.toByte); b.put(40.toByte)
