@@ -17,8 +17,9 @@ import java.util.zip.Inflater
   *   - old-style symbol-table groups (B-tree v1 + local heap + SNOD) AND
   *     new-style groups: compact (link messages in the header) and dense
   *     (fractal heap + v2 B-tree name index at any depth; heaps with a
-  *     direct root or one level of indirect blocks — enough for ODIM-sized
-  *     groups; nested indirect heaps fail fast)
+  *     direct root, indirect roots, NESTED indirect blocks, and FILTERED
+  *     heaps whose deflated direct blocks inflate into an extension
+  *     address space)
   *   - attribute messages v1 AND v2/v3 (fixed/variable-length strings via
   *     global heap, ints, floats)
   *   - N-D datasets with contiguous or gzip-chunked (B-tree v1 chunk index)
@@ -32,10 +33,39 @@ final class Hdf5File(bytes: Array[Byte]) {
 
   private val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
-  private def u8(p: Int): Int = bytes(p) & 0xff
-  private def u16(p: Int): Int = buf.getShort(p) & 0xffff
-  private def u32(p: Int): Long = buf.getInt(p) & 0xffffffffL
-  private def u64(p: Int): Long = buf.getLong(p)
+  // Extension address space: positions >= fileLen address `ext` — scratch
+  // holding INFLATED filtered fractal-heap direct blocks, so heap-object
+  // parsing (links, attributes) reads decompressed bytes through the same
+  // position-typed primitives as the rest of the file. Grown only at
+  // FractalHeap construction; reads never straddle the boundary because a
+  // parsed structure lives entirely in one space.
+  private val fileLen = bytes.length
+  private var ext: Array[Byte] = Array.emptyByteArray
+  private var extBuf: ByteBuffer = ByteBuffer.wrap(ext).order(ByteOrder.LITTLE_ENDIAN)
+  private def addScratch(data: Array[Byte]): Int = {
+    val base = fileLen + ext.length
+    ext = java.util.Arrays.copyOf(ext, ext.length + data.length)
+    System.arraycopy(data, 0, ext, base - fileLen, data.length)
+    extBuf = ByteBuffer.wrap(ext).order(ByteOrder.LITTLE_ENDIAN)
+    base
+  }
+
+  private def u8(p: Int): Int =
+    (if (p < fileLen) bytes(p) else ext(p - fileLen)) & 0xff
+  private def u16(p: Int): Int =
+    if (p < fileLen) buf.getShort(p) & 0xffff else extBuf.getShort(p - fileLen) & 0xffff
+  private def u32(p: Int): Long =
+    if (p < fileLen) buf.getInt(p) & 0xffffffffL else extBuf.getInt(p - fileLen) & 0xffffffffL
+  private def u64(p: Int): Long =
+    if (p < fileLen) buf.getLong(p) else extBuf.getLong(p - fileLen)
+  private def i32(p: Int): Int =
+    if (p < fileLen) buf.getInt(p) else extBuf.getInt(p - fileLen)
+  private def f32(p: Int): Float =
+    if (p < fileLen) buf.getFloat(p) else extBuf.getFloat(p - fileLen)
+  private def f64(p: Int): Double =
+    if (p < fileLen) buf.getDouble(p) else extBuf.getDouble(p - fileLen)
+  private def strAt(p: Int, n: Int, cs: String): String =
+    if (p < fileLen) new String(bytes, p, n, cs) else new String(ext, p - fileLen, n, cs)
 
   // --- superblock ---
   private val sigOk = bytes.length > 8 &&
@@ -226,26 +256,29 @@ final class Hdf5File(bytes: Array[Byte]) {
       case 8 => u64(q)
     }).toInt
     q += lenFieldSize
-    val name = new String(bytes, q, nameLen, "UTF-8")
+    val name = strAt(q, nameLen, "UTF-8")
     name -> offAt(q + nameLen)
   }
 
   /** Parsed fractal-heap geometry: resolve a managed heap ID (found at
-    * `idPos` in the file) to the file position of its object. Supports a
-    * single root direct block AND an indirect root whose direct-block rows
-    * follow the doubling table (rows 0-1 at the starting block size, row i
-    * at startingSize * 2^(i-1)); nested indirect blocks (heaps beyond
-    * width x doubling-row capacity, i.e. far past any ODIM-sized group or
-    * attribute set) fail fast.
+    * `idPos` in the file) to the position of its object. Supports a single
+    * root direct block, an indirect root whose direct-block rows follow
+    * the doubling table (rows 0-1 at the starting block size, row i at
+    * startingSize * 2^(i-1)), NESTED indirect blocks (rows at or past
+    * maxDirectRows hold child indirect blocks covering that row's block
+    * size, recursively — a child covering size S has
+    * log2(S) - log2(startSize * width) + 1 rows), and FILTERED heaps:
+    * whole direct blocks are deflated on disk (sizes ride the
+    * indirect-block entries, or the header for a filtered direct root),
+    * inflated once into the extension address space, and parsed there
+    * through the same primitives.
     */
   private final class FractalHeap(heapAddr: Long) {
     private val h = heapAddr.toInt
     require(ascii(h, 4) == "FRHP", s"expected FRHP @ $heapAddr")
     private val heapIdLen = u16(h + 5)
-    // fail-fast invariant: a filtered heap changes the indirect-block
-    // entry layout (extra filtered-size/mask fields) — refuse rather than
-    // silently misparse
-    require(u16(h + 7) == 0, "filtered fractal heap unsupported")
+    private val ioFilterLen = u16(h + 7)
+    private val filtered = ioFilterLen > 0
     // fixed fields: maxManagedObjSize(4) then 12 length-sized + 2
     // offset-sized fields interleaved; walk them positionally
     private var f = h + 10 + 4
@@ -257,46 +290,82 @@ final class Hdf5File(bytes: Array[Byte]) {
     f += lengthSize * 2      // tiny size, ntiny
     private val tableWidth = u16(f); f += 2
     private val startBlockSize = lenAt(f); f += lengthSize
-    f += lengthSize          // max direct block size
+    private val maxDirectSize = lenAt(f); f += lengthSize
     private val maxHeapSizeBits = u16(f); f += 2
     f += 2                   // starting # rows
     private val rootBlockAddr = offAt(f); f += offsetSize
-    private val curRows = u16(f)
+    private val curRows = u16(f); f += 2
+    // filtered heap + direct root: the root block's stored size + mask
+    // precede the filter info
+    private val rootFilteredSize: Long =
+      if (filtered && curRows == 0) { val s = lenAt(f); f += lengthSize + 4; s }
+      else 0L
     val heapOffSize: Int = (maxHeapSizeBits + 7) / 8
     require(heapIdLen - 1 - heapOffSize >= 1,
       s"implausible heap id layout $heapIdLen/$heapOffSize")
 
-    /** (heap-space start offset, size, file address) per direct block, in
-      * heap-offset order.
+    private def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    private val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+    private val firstRowBits = log2(startBlockSize) + log2(tableWidth)
+    private def rowBlockSize(row: Int): Long =
+      if (row <= 1) startBlockSize else startBlockSize << (row - 1)
+
+    /** Verify an FHDB block (inflating a filtered one into the extension
+      * space) and return its readable position.
+      */
+    private def directBlockPos(addr: Long, size: Long, storedSize: Long): Long = {
+      val pos: Long =
+        if (filtered)
+          addScratch(inflate(bytes, addr.toInt, storedSize.toInt,
+            maxOut = size.toInt)).toLong
+        else addr
+      require(ascii(pos.toInt, 4) == "FHDB", s"expected FHDB @ $addr")
+      pos
+    }
+
+    /** (heap-space start offset, size, readable position) per direct
+      * block, in heap-offset order.
       */
     private val blocks: Seq[(Long, Long, Long)] =
       if (curRows == 0) {
-        require(ascii(rootBlockAddr.toInt, 4) == "FHDB",
-          s"expected FHDB @ $rootBlockAddr")
-        Seq((0L, Long.MaxValue, rootBlockAddr))
+        if (filtered)
+          Seq((0L, maxDirectSize,
+            directBlockPos(rootBlockAddr, maxDirectSize, rootFilteredSize)))
+        else
+          Seq((0L, Long.MaxValue, directBlockPos(rootBlockAddr, 0, 0)))
       } else {
-        val ib = rootBlockAddr.toInt
-        require(ascii(ib, 4) == "FHIB", s"expected FHIB @ $rootBlockAddr")
-        // child addresses follow sig + version + heap hdr addr + block offset
-        var p = ib + 5 + offsetSize + heapOffSize
         val out = Seq.newBuilder[(Long, Long, Long)]
-        var heapOff = 0L
-        var row = 0
-        while (row < curRows) {
-          val rowBlockSize =
-            if (row <= 1) startBlockSize else startBlockSize << (row - 1)
-          var col = 0
-          while (col < tableWidth) {
-            val addr = offAt(p); p += offsetSize
-            if (!undef(addr)) {
-              require(ascii(addr.toInt, 4) == "FHDB", s"expected FHDB @ $addr")
-              out += ((heapOff, rowBlockSize, addr))
+        def walkIndirect(addr: Long, baseOff: Long, nrows: Int): Unit = {
+          val ib = addr.toInt
+          require(ascii(ib, 4) == "FHIB", s"expected FHIB @ $addr")
+          // child entries follow sig + version + heap hdr addr + block offset
+          var p = ib + 5 + offsetSize + heapOffSize
+          var heapOff = baseOff
+          var row = 0
+          while (row < nrows) {
+            val sz = rowBlockSize(row)
+            var col = 0
+            while (col < tableWidth) {
+              if (row < maxDirectRows) {
+                // direct entry: address (+ stored size and filter mask in
+                // filtered heaps)
+                val a = offAt(p); p += offsetSize
+                var fsz = 0L
+                if (filtered) { fsz = lenAt(p); p += lengthSize + 4 }
+                if (!undef(a)) out += ((heapOff, sz, directBlockPos(a, sz, fsz)))
+              } else {
+                // indirect entry: a child covering this row's block size
+                val a = offAt(p); p += offsetSize
+                if (!undef(a))
+                  walkIndirect(a, heapOff, log2(sz) - firstRowBits + 1)
+              }
+              heapOff += sz
+              col += 1
             }
-            heapOff += rowBlockSize
-            col += 1
+            row += 1
           }
-          row += 1
         }
+        walkIndirect(rootBlockAddr, 0L, curRows)
         out.result()
       }
 
@@ -433,12 +502,12 @@ final class Hdf5File(bytes: Array[Byte]) {
     offAt(p + 8 + 2 * lengthSize).toInt
   }
 
-  private def ascii(p: Int, n: Int): String = new String(bytes, p, n, "ASCII")
+  private def ascii(p: Int, n: Int): String = strAt(p, n, "ASCII")
 
   private def cstring(p: Int): String = {
     var e = p
-    while (bytes(e) != 0) e += 1
-    new String(bytes, p, e - p, "UTF-8")
+    while (u8(e) != 0) e += 1
+    strAt(p, e - p, "UTF-8")
   }
 
   // --- datatype ---
@@ -529,15 +598,15 @@ final class Hdf5File(bytes: Array[Byte]) {
         val v = dt.size match {
           case 1 => u8(q).toLong
           case 2 => u16(q).toLong
-          case 4 => buf.getInt(q).toLong
+          case 4 => i32(q).toLong
           case 8 => u64(q)
           case s => sys.error(s"unsupported int size $s")
         }
         v
       case 1 => // float
-        if (dt.size == 4) buf.getFloat(q).toDouble else buf.getDouble(q)
+        if (dt.size == 4) f32(q).toDouble else f64(q)
       case 3 => // fixed-size string (null-terminated/padded)
-        val raw = new String(bytes, q, dt.size, "UTF-8")
+        val raw = strAt(q, dt.size, "UTF-8")
         val z = raw.indexOf('\u0000')
         if (z >= 0) raw.substring(0, z) else raw
       case 9 => // variable-length (string): length(4) + global heap id

@@ -116,6 +116,66 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(f.attributes(leaf)("tag") == 39L)
   }
 
+  test("NESTED indirect fractal heap: links beyond the direct rows resolve") {
+    // heapMaxDirect = 1024 caps direct rows at 3 (4 x (512+512+1024) = 8 KB
+    // of direct space); 120 links with ~180-byte names overflow into child
+    // indirect blocks hanging off root rows >= 3
+    val children = (0 until 120).map { i =>
+      val name = f"leaf_$i%03d_" + "x" * 170
+      name -> (WDataset(Seq("tag" -> i.toLong), Array(2L),
+        Array(i.toDouble, i + 0.5), isInt = false, elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapMaxDirect = 1024L)))
+    val got = f.groupChildren(f.rootHeaderAddr)
+    assert(got.size == 120)
+    val name77 = f"leaf_077_" + "x" * 170
+    val leaf = f.resolve(name77).get
+    assert(f.dataset(leaf).values.toSeq == Seq(77.0, 77.5))
+    assert(f.attributes(leaf)("tag") == 77L)
+  }
+
+  test("FILTERED fractal heap: single deflated root direct block") {
+    // few links -> the root IS a direct block; filtered heap deflates it
+    // whole, stored size + mask live in the FRHP header
+    val children = (0 until 9).map { i =>
+      f"d_$i" -> (WDataset(Nil, Array(1L), Array(i * 3.0), isInt = false,
+        elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapFiltered = true)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 9)
+    assert(f.dataset(f.resolve("d_4").get).values.toSeq == Seq(12.0))
+  }
+
+  test("FILTERED fractal heap: multi-block indirect root, all blocks deflated") {
+    // 40 links with long names overflow the root block -> indirect root
+    // whose direct-block entries carry (addr, stored size, mask) triplets
+    val children = (0 until 40).map { i =>
+      val name = f"node_$i%02d_" + "y" * 60
+      name -> (WDataset(Nil, Array(1L), Array(i + 0.25), isInt = false,
+        elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapFiltered = true)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 40)
+    val nm = f"node_23_" + "y" * 60
+    assert(f.dataset(f.resolve(nm).get).values.toSeq == Seq(23.25))
+  }
+
+  test("FILTERED + NESTED fractal heap: deflated blocks behind child indirects") {
+    val children = (0 until 120).map { i =>
+      val name = f"n_$i%03d_" + "z" * 170
+      name -> (WDataset(Nil, Array(1L), Array(i - 0.5), isInt = false,
+        elemSize = 8): MiniHdf5Writer.Node)
+    }
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapMaxDirect = 1024L, heapFiltered = true)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 120)
+    val nm = f"n_099_" + "z" * 170
+    assert(f.dataset(f.resolve(nm).get).values.toSeq == Seq(98.5))
+  }
+
   test("2-D chunk grids with multiple columns reassemble correctly") {
     // 6x8 dataset cut into 3x4 chunks -> 2x2 chunk grid: a max()-based
     // linear offset would collapse the (0,4) and (3,0) chunks onto the same

@@ -24,7 +24,12 @@ object MiniHdf5Writer {
     */
   final case class WGroup(attrs: Seq[(String, Any)],
       children: Seq[(String, Node)],
-      denseDepth: Int = 0) extends Node
+      denseDepth: Int = 0,
+      // dense-link fractal-heap knobs: shrink heapMaxDirect to force
+      // NESTED indirect blocks with small fixtures; heapFiltered deflates
+      // every direct block whole
+      heapMaxDirect: Long = 65536L,
+      heapFiltered: Boolean = false) extends Node
   /** layoutV4: None = v3 (contiguous, or v1-btree chunked when chunkDims
     * set); Some(1..5) = v4 chunked with that chunk-index type (single
     * chunk / implicit / fixed array / extensible array / v2 btree) —
@@ -177,81 +182,175 @@ object MiniHdf5Writer {
     * the root IS that direct block (curRows = 0, as libhdf5 does); larger
     * payloads get an indirect root whose direct-block rows follow the
     * doubling table (rows 0-1 at 512, row i at 512 * 2^(i-1), width 4) —
-    * the layout real dense attribute sets (> ~500 bytes) occupy.
+    * the layout real dense attribute sets (> ~500 bytes) occupy. Rows at
+    * or past maxDirectRows (log2(maxDirect/start) + 2) hold NESTED child
+    * indirect blocks, each covering that row's block size with
+    * log2(size) - log2(start*width) + 1 internal rows — shrink
+    * `maxDirect` to reach nesting with small fixtures. `filtered = true`
+    * deflates every direct block whole (stored size + mask ride the
+    * indirect entries, or the header for a filtered direct root) and
+    * carries an I/O-filter pipeline description in the header.
     */
   private val HeapWidth = 4
   private val HeapStartBlock = 512L
   private val DbHeaderLen = 4 + 1 + 8 + 4 // sig + ver + hdr addr + 4-byte block offset
 
-  private def writeFractalHeap(o: Out, bodies: Seq[Array[Byte]]): (Long, Seq[Int]) = {
-    // plan: walk doubling-table slots, packing bodies first-fit in order;
-    // slot skipped (left undef) when the next body cannot fit in it
-    final case class Slot(row: Int, startOff: Long, size: Long,
-        items: scala.collection.mutable.ArrayBuffer[(Int, Int)]) // (bodyIdx, offInBlock)
+  private def writeFractalHeap(o: Out, bodies: Seq[Array[Byte]],
+      maxDirect: Long = 65536L, filtered: Boolean = false): (Long, Seq[Int]) = {
+    def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val maxDirectRows = log2(maxDirect) - log2(HeapStartBlock) + 2
+    val firstRowBits = log2(HeapStartBlock) + log2(HeapWidth.toLong)
     def slotSize(row: Int): Long =
       if (row <= 1) HeapStartBlock else HeapStartBlock << (row - 1)
-    val slots = scala.collection.mutable.ArrayBuffer.empty[Slot]
-    var heapOff = 0L
-    var slotIdx = 0
-    def newSlot(): Slot = {
-      val row = slotIdx / HeapWidth
-      val s = Slot(row, heapOff, slotSize(row), scala.collection.mutable.ArrayBuffer.empty)
-      heapOff += s.size; slotIdx += 1
-      slots += s; s
+
+    // the heap-space tree: direct-block leaves in heap-offset order, with
+    // the indirect path (list of (indirect node id, entry index)) recorded
+    // so used children can be wired bottom-up
+    final case class Leaf(startOff: Long, size: Long, owner: Int, entry: Int,
+        items: scala.collection.mutable.ArrayBuffer[(Int, Int)]) // (bodyIdx, offInBlock)
+    final case class INode(id: Int, startOff: Long, rows: Int, owner: Int,
+        entry: Int) // owner = parent INode id (-1 for root), entry index there
+    val inodes = scala.collection.mutable.ArrayBuffer.empty[INode]
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+    // root is INode 0 with a generous row budget; unused rows trim later
+    val RootRowCap = 12
+    def buildIndirect(id: Int, baseOff: Long, nrows: Int): Long = {
+      var off = baseOff
+      var entry = 0
+      for (row <- 0 until nrows; _ <- 0 until HeapWidth) {
+        val sz = slotSize(row)
+        if (row < maxDirectRows) {
+          leaves += Leaf(off, sz, id, entry, scala.collection.mutable.ArrayBuffer.empty)
+        } else {
+          val childId = inodes.length
+          inodes += INode(childId, off, log2(sz) - firstRowBits + 1, id, entry)
+          buildIndirect(childId, off, inodes(childId).rows): Unit
+        }
+        off += sz
+        entry += 1
+      }
+      off
     }
-    var cur = newSlot()
+    inodes += INode(0, 0L, RootRowCap, -1, 0)
+    buildIndirect(0, 0L, RootRowCap): Unit
+
+    // first-fit packing over the leaves in heap-offset order
+    var li = 0
     var cursor = DbHeaderLen
     val heapOffsets = new Array[Int](bodies.length)
     bodies.zipWithIndex.foreach { case (b, i) =>
-      // advance slots until the body fits (row sizes double, so it will)
-      while (cursor + b.length > cur.size.toInt) {
-        cur = newSlot(); cursor = DbHeaderLen
-      }
-      cur.items += ((i, cursor))
-      heapOffsets(i) = (cur.startOff + cursor).toInt
+      while (cursor + b.length > leaves(li).size.toInt) { li += 1; cursor = DbHeaderLen }
+      leaves(li).items += ((i, cursor))
+      heapOffsets(i) = (leaves(li).startOff + cursor).toInt
       cursor += b.length
     }
-    val used = slots.filter(_.items.nonEmpty)
-    val single = used.length == 1 && used.head.row == 0 && slots.length == 1
-    // write the direct blocks (header + packed bodies; no padding needed —
-    // the reader resolves heap offsets through the recorded geometry)
+    val used = leaves.filter(_.items.nonEmpty)
+    val single = used.length == 1 && used.head.startOff == 0L &&
+      used.head.owner == 0
     val hdrPatches = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val blockAddrs = scala.collection.mutable.Map.empty[Long, Long] // startOff -> file addr
+
+    // write used direct blocks; filtered blocks are padded to their full
+    // size and deflated whole, like libhdf5's filtered-dblock pipeline
+    final case class WrittenLeaf(addr: Long, storedSize: Int)
+    val writtenLeaves = scala.collection.mutable.Map.empty[(Int, Int), WrittenLeaf]
+    var rootDirectStored = 0
     used.foreach { s =>
       val addr = o.pos.toLong
-      o.ascii("FHDB"); o.u8(0)
-      hdrPatches += o.pos
-      o.u64(0)                // heap header address (patched)
-      o.u32(s.startOff)       // block offset in heap space
-      var at = DbHeaderLen
-      s.items.foreach { case (i, off) =>
-        require(off == at, "non-contiguous packing")
-        o.bytes(bodies(i)); at += bodies(i).length
-      }
-      blockAddrs(s.startOff) = addr
-    }
-    val curRows = if (single) 0 else slots.last.row + 1
-    val rootAddr: Long =
-      if (single) blockAddrs(0L)
-      else {
-        val ib = o.pos.toLong
-        o.ascii("FHIB"); o.u8(0)
+      if (!filtered) {
+        o.ascii("FHDB"); o.u8(0)
         hdrPatches += o.pos
-        o.u64(0)  // heap header address (patched)
-        o.u32(0)  // block offset
-        var off = 0L
-        for (row <- 0 until curRows; _ <- 0 until HeapWidth) {
-          o.u64(blockAddrs.getOrElse(off, Undef))
-          off += slotSize(row)
+        o.u64(0)          // heap header address (patched; 0 pre-deflate for filtered)
+        o.u32(s.startOff)
+        var at = DbHeaderLen
+        s.items.foreach { case (i, off) =>
+          require(off == at, "non-contiguous packing")
+          o.bytes(bodies(i)); at += bodies(i).length
         }
-        o.u32(0)  // checksum
-        ib
+        writtenLeaves((s.owner, s.entry)) = WrittenLeaf(addr, 0)
+      } else {
+        val blk = ByteBuffer.allocate(s.size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+        blk.put("FHDB".getBytes("ASCII")); blk.put(0.toByte)
+        blk.putLong(0L)   // heap header address (unpatchable post-deflate; reader ignores)
+        blk.putInt(s.startOff.toInt)
+        s.items.foreach { case (i, off) => blk.position(off); blk.put(bodies(i)) }
+        val deflated = deflate(blk.array())
+        o.bytes(deflated)
+        writtenLeaves((s.owner, s.entry)) = WrittenLeaf(addr, deflated.length)
+        if (s.startOff == 0L && s.owner == 0) rootDirectStored = deflated.length
       }
-    val managed = heapOff
+    }
+
+    // wire indirect blocks bottom-up: a node is written iff it owns a used
+    // leaf or a written child
+    val writtenNodes = scala.collection.mutable.Map.empty[Int, Long]
+    val nodeRowsUsed = scala.collection.mutable.Map.empty[Int, Int]
+    used.foreach { s =>
+      val r = s.entry / HeapWidth
+      nodeRowsUsed(s.owner) = math.max(nodeRowsUsed.getOrElse(s.owner, 0), r + 1)
+    }
+    def writeNode(id: Int): Long = writtenNodes.getOrElseUpdate(id, {
+      val children = inodes.filter(_.owner == id)
+      // children written first (addresses needed in this node's entries)
+      val childAddrs = children.flatMap { c =>
+        if (subtreeUsed(c.id)) Some(c.entry -> writeNode(c.id)) else None
+      }.toMap
+      val node = inodes(id)
+      val nrows =
+        if (id == 0) nodeRowsUsed.getOrElse(0, 1)
+          .max(childAddrs.keys.map(_ / HeapWidth + 1).maxOption.getOrElse(0)).max(1)
+        else node.rows
+      val ib = o.pos.toLong
+      o.ascii("FHIB"); o.u8(0)
+      hdrPatches += o.pos
+      o.u64(0)                 // heap header address (patched)
+      o.u32(node.startOff)     // block offset
+      for (row <- 0 until nrows; col <- 0 until HeapWidth) {
+        val entry = row * HeapWidth + col
+        if (row < maxDirectRows) {
+          writtenLeaves.get((id, entry)) match {
+            case Some(w) =>
+              o.u64(w.addr)
+              if (filtered) { o.u64(w.storedSize.toLong); o.u32(0) }
+            case None =>
+              o.u64(Undef)
+              if (filtered) { o.u64(0); o.u32(0) }
+          }
+        } else {
+          o.u64(childAddrs.getOrElse(entry, Undef))
+        }
+      }
+      o.u32(0)                 // checksum
+      ib
+    })
+    def subtreeUsed(id: Int): Boolean =
+      leaves.exists(l => l.owner == id && l.items.nonEmpty) ||
+        inodes.exists(n => n.owner == id && subtreeUsed(n.id))
+
+    val curRows =
+      if (single) 0
+      else nodeRowsUsed.getOrElse(0, 0)
+        .max(inodes.filter(n => n.owner == 0 && subtreeUsed(n.id))
+          .map(_.entry / HeapWidth + 1).maxOption.getOrElse(0)).max(1)
+    val rootAddr: Long =
+      if (single) writtenLeaves((0, 0)).addr
+      else writeNode(0)
+    val managed = leaves.map(l => l.startOff + l.size).maxOption.getOrElse(0L)
+    // deflate filter pipeline description (version 2, one filter: id 1
+    // deflate, no flags, one client value) — the reader records its length
+    // and skips the bytes
+    val filterInfo: Array[Byte] =
+      if (!filtered) Array.emptyByteArray
+      else {
+        val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(2.toByte); b.put(1.toByte)       // version, nfilters
+        b.putShort(1); b.putShort(0); b.putShort(1) // id=deflate, flags, nvalues
+        b.putInt(6)                            // aggression
+        b.array()
+      }
     val frhpAddr = o.pos.toLong
     o.ascii("FRHP"); o.u8(0)
     o.u16(7)      // heap ID length: 1 flag + 4 offset + 2 length
-    o.u16(0)      // I/O filter encoded length
+    o.u16(filterInfo.length) // I/O filter encoded length
     o.u8(0)       // flags (no checksummed blocks)
     o.u32(4096)   // max managed object size
     o.u64(0)      // next huge id
@@ -266,11 +365,13 @@ object MiniHdf5Writer {
     o.u64(0); o.u64(0)         // tiny size / count
     o.u16(HeapWidth)
     o.u64(HeapStartBlock)
-    o.u64(65536)  // max direct block size
+    o.u64(maxDirect) // max direct block size
     o.u16(32)     // max heap size (bits) -> heapOffSize 4
     o.u16(1)      // starting rows
     o.u64(rootAddr)
     o.u16(curRows)
+    if (filtered && curRows == 0) { o.u64(rootDirectStored.toLong); o.u32(0) }
+    o.bytes(filterInfo)
     o.u32(0)      // checksum
     hdrPatches.foreach(o.patch64(_, frhpAddr))
     (frhpAddr, heapOffsets.toSeq)
@@ -447,7 +548,8 @@ object MiniHdf5Writer {
       // dense links: serialized link bodies in a fractal heap + a type-5
       // v2 B-tree (record: hash + 7-byte heap ID)
       val bodies = links.map(l => linkBody(l._1, l._2))
-      val (frhpAddr, heapOffsets) = writeFractalHeap(o, bodies)
+      val (frhpAddr, heapOffsets) =
+        writeFractalHeap(o, bodies, g.heapMaxDirect, g.heapFiltered)
       val records = bodies.indices.map { i =>
         val b = ByteBuffer.allocate(4 + 7).order(ByteOrder.LITTLE_ENDIAN)
         b.putInt(0) // name hash (reader enumerates, ignores)
