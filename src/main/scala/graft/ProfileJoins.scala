@@ -59,6 +59,31 @@ object ProfileJoins {
         .join(o5, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey"), col("l_extendedprice")))
     time("q5 4: full query")(q5)
+
+    // as-of join decomposition (round-6 verdict item): is the 2.2x-DuckDB
+    // sf1 cost the exchanges+sorts Catalyst inserts for the custom exec's
+    // required distribution/ordering, or the interpreted one-pass merge?
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    time("asof 1: both scans+filters")(
+      purchases.unionByName(clicks.select(col("c_user").as("user_id"),
+        lit(null).cast("long").as("event_id"), col("c_ts").as("ts")),
+        allowMissingColumns = false).select(col("user_id")))
+    time("asof 2: + exchange + (key,time) sort, both sides")(
+      purchases.repartition(col("user_id")).sortWithinPartitions(col("user_id"), col("ts"))
+        .unionByName(clicks.repartition(col("c_user"))
+          .sortWithinPartitions(col("c_user"), col("c_ts"))
+          .select(col("c_user").as("user_id"), lit(null).cast("long").as("event_id"),
+            col("c_ts").as("ts"))))
+    time("asof 3: asof core (no render/orderBy)")(
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+        purchases("user_id"), clicks("c_user"), purchases("ts"), clicks("c_ts")))
+    time("asof 4: full query (render + orderBy)")(
+      operators.Analytics.qAsofJoin(spark, sfDir))
+
     println("\n=== q3 plan ===")
     println(operators.Relational.q3ShippingPriority(spark, sfDir)
       .queryExecution.executedPlan.toString.take(3000))

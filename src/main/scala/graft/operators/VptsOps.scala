@@ -100,8 +100,48 @@ object VptsOps {
        |ORDER BY directory""".stripMargin
   }
 
+  /** ODIM HDF5 ingest throughput — the reference's actual core workload
+    * (many ~25 KB .h5 files decoded to profile rows,
+    * vph5_to_vpts.py's whole job). Benched through the DSv2 `odim`
+    * format so the number covers listing, bin-packed file partitions and
+    * the pure-JVM HDF5 decode. The corpus is STAGED ONCE per machine
+    * (2000 copies of the 5 reference VP fixtures into /tmp, a driver-side
+    * control-plane copy, ~50 MB) and reused by every timed run; the query
+    * itself never writes. Ignores sfDir by design — the input regime is
+    * file-count-bound, not row-scale-bound; the rows-only correctness
+    * check still pins row count and schema at every scale.
+    */
+  private lazy val ingestCorpus: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get("/tmp/graft_odim_ingest_corpus")
+    val done = root.resolve("_STAGED")
+    if (!Files.exists(done)) {
+      val src = Paths.get("/root/reference/tests/data/vp/bejab/2022/11/11")
+      val srcFiles = Files.list(src).sorted.toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+      (0 until 400).foreach { c =>
+        val day = root.resolve(f"bejab/2022/11/${11 + c % 20}%02d")
+        Files.createDirectories(day)
+        srcFiles.foreach { f =>
+          Files.copy(f, day.resolve(s"c${c}_${f.getFileName}"),
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+      Files.createFile(done): Unit
+    }
+    root.toString
+  }
+
+  def qOdimIngest(s: SparkSession, dir: String): DataFrame =
+    s.read.format("odim").load(ingestCorpus)
+      .groupBy(col("source_file"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("height").cast("long")).as("height_sum"))
+      .orderBy(col("source_file"))
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_odim_path_parse", qOdimPathParse, Some(qOdimPathParseSql)),
     QueryDef("q_odim_coverage", qOdimCoverage, Some(qOdimCoverageSql)),
+    QueryDef("q_odim_ingest", qOdimIngest, None, bench = true),
   )
 }
