@@ -119,4 +119,56 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got2 == rows.toSet)
   }
+
+  test("compaction survives null and special-char partition values") {
+    import spark.implicits._
+    // partition-value shapes that silently vanished under directory-string
+    // joins: NULL (__HIVE_DEFAULT_PARTITION__ dir) and Hive-escaped
+    // special characters (a space); mixing in "01" keeps the column a
+    // string here — the all-numeric re-inference case has its own test
+    val dir = java.nio.file.Files.createTempDirectory("compactnull").toString + "/t"
+    val rows = (0 until 90).map { i =>
+      val p = (i % 3) match {
+        case 0 => null
+        case 1 => "01"          // re-infers as int 1 under inference
+        case 2 => "a b"         // Hive-escaped in the directory name
+      }
+      (i.toLong, p, s"v-$i")
+    }
+    rows.toDF("id", "p", "v").repartition(9).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    assert(before == 90)
+    val stats = Layout.compact(spark, dir, targetBytes = 1L << 30,
+      partitionCols = Seq("p"))
+    assert(stats.partitions == 3)
+    // EVERY row survives the rewrite — this is the ADVICE data-loss case
+    // (read-back column order: data cols first, partition col last)
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == rows.map(t => (t._1, t._3)).toSet)
+    // and the three partition groups kept their values
+    val byP = spark.read.parquet(dir).groupBy("p").count()
+      .collect().map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    assert(byP.values.sum == 90 && byP.size == 3)
+    assert(byP(None) == 30, s"null partition lost rows: $byP")
+  }
+
+  test("compaction survives partition values that re-infer as a different type") {
+    import spark.implicits._
+    // all-numeric zero-padded dirs (p=01, p=02) re-infer as INT partition
+    // values on read — the stringified-dir join matched "1" against "01"
+    // and dropped every row; the typed-value sizing join must not
+    val dir = java.nio.file.Files.createTempDirectory("compactint").toString + "/t"
+    val rows = (0 until 60).map(i => (i.toLong, if (i % 2 == 0) "01" else "02", s"v-$i"))
+    rows.toDF("id", "p", "v").repartition(6).write.partitionBy("p").parquet(dir)
+    assert(spark.read.parquet(dir).schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType, "fixture no longer re-infers")
+    val stats = Layout.compact(spark, dir, targetBytes = 1L << 30,
+      partitionCols = Seq("p"))
+    assert(stats.partitions == 2)
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == rows.map(t => (t._1, t._3)).toSet,
+      "rows vanished under partition-type inference")
+  }
 }
