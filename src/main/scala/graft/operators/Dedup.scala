@@ -814,9 +814,11 @@ object Dedup {
   }
 
   def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
-    // lazy localCheckpoint: the trailing orderBy's range-partitioner
-    // sampling pass would otherwise re-execute the whole three-exchange
-    // pipeline (order discipline — sample cached blocks, not the plan)
+    // lazy localCheckpoint of the RESULT (one row per doc, not the r5
+    // exploded stream): the trailing orderBy's range-partitioner sampling
+    // pass would otherwise re-run the reassembly projection (order
+    // discipline — sample cached blocks, not the plan); measured ~0.25 s
+    // cheaper than recompute at sf1
     segmentDedup(Tables.documents(s, dir))
       .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
