@@ -283,7 +283,7 @@ final class Hdf5File(bytes: Array[Byte]) {
     // offset-sized fields interleaved; walk them positionally
     private var f = h + 10 + 4
     f += lengthSize          // next huge object id
-    f += offsetSize          // huge object btree addr
+    private val hugeBtreeAddr = offAt(f); f += offsetSize
     f += lengthSize          // free space
     f += offsetSize          // free-space manager addr
     f += lengthSize * 6      // managed space, allocated, iterator, nmanaged, huge size, nhuge
@@ -296,10 +296,12 @@ final class Hdf5File(bytes: Array[Byte]) {
     private val rootBlockAddr = offAt(f); f += offsetSize
     private val curRows = u16(f); f += 2
     // filtered heap + direct root: the root block's stored size + mask
-    // precede the filter info
+    // precede the filter info (absent when the root is undefined — an
+    // all-tiny/all-huge heap has no direct blocks at all)
     private val rootFilteredSize: Long =
-      if (filtered && curRows == 0) { val s = lenAt(f); f += lengthSize + 4; s }
-      else 0L
+      if (filtered && curRows == 0 && !undef(rootBlockAddr)) {
+        val s = lenAt(f); f += lengthSize + 4; s
+      } else 0L
     val heapOffSize: Int = (maxHeapSizeBits + 7) / 8
     require(heapIdLen - 1 - heapOffSize >= 1,
       s"implausible heap id layout $heapIdLen/$heapOffSize")
@@ -328,7 +330,8 @@ final class Hdf5File(bytes: Array[Byte]) {
       */
     private val blocks: Seq[(Long, Long, Long)] =
       if (curRows == 0) {
-        if (filtered)
+        if (undef(rootBlockAddr)) Seq.empty // all-tiny/all-huge heap
+        else if (filtered)
           Seq((0L, maxDirectSize,
             directBlockPos(rootBlockAddr, maxDirectSize, rootFilteredSize)))
         else
@@ -369,17 +372,59 @@ final class Hdf5File(bytes: Array[Byte]) {
         out.result()
       }
 
-    /** File position of the object whose managed heap ID starts at idPos. */
+    /** Indirectly-accessed huge objects: (huge id -> (address, length))
+      * from the heap's type-1 v2 B-tree (address + length + id, all
+      * recorded at heap-insert time). Built lazily — most heaps have no
+      * huge objects and an undefined btree address.
+      */
+    private lazy val hugeObjects: Map[Long, (Long, Long)] = {
+      if (undef(hugeBtreeAddr)) Map.empty
+      else btreeV2Walk(hugeBtreeAddr, 1).recs.map { r =>
+        val addr = offAt(r)
+        val len = lenAt(r + offsetSize)
+        val id = lenAt(r + offsetSize + lengthSize)
+        id -> ((addr, len))
+      }.toMap
+    }
+
+    /** Readable position of the object whose heap ID starts at idPos.
+      * Handles all three ID types: managed (resolved through the
+      * direct-block geometry), TINY (payload inline in the ID — copied to
+      * the extension space so callers parse it like any other position),
+      * and HUGE (indirectly accessed via the heap's type-1 v2 B-tree;
+      * the directly-embedded variant only exists for IDs wide enough to
+      * hold address+length, which standard 7-byte group/attribute heaps
+      * never are). Filtered huge objects fail fast.
+      */
     def objPos(idPos: Int): Int = {
       val idFlags = u8(idPos)
-      require(((idFlags >> 4) & 0x3) == 0, "only managed heap objects supported")
-      var off = 0L
-      var b = 0
-      while (b < heapOffSize) { off |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
-      val blk = blocks.find(bk => off >= bk._1 && off < bk._1 + bk._2)
-        .getOrElse(sys.error(s"heap offset $off outside known direct blocks"))
-      // heap offsets count from each block's start (header included)
-      (blk._3 + (off - blk._1)).toInt
+      ((idFlags >> 4) & 0x3) match {
+        case 0 => // managed
+          var off = 0L
+          var b = 0
+          while (b < heapOffSize) { off |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
+          val blk = blocks.find(bk => off >= bk._1 && off < bk._1 + bk._2)
+            .getOrElse(sys.error(s"heap offset $off outside known direct blocks"))
+          // heap offsets count from each block's start (header included)
+          (blk._3 + (off - blk._1)).toInt
+        case 2 => // tiny, normal sub-format: length in the low flag bits
+          require(heapIdLen <= 18, "extended tiny heap ids unsupported")
+          val len = (idFlags & 0x0f) + 1
+          val payload = new Array[Byte](len)
+          var i = 0
+          while (i < len) { payload(i) = u8(idPos + 1 + i).toByte; i += 1 }
+          addScratch(payload)
+        case 1 => // huge, indirectly accessed (btree-tracked)
+          require(!filtered, "filtered huge heap objects unsupported")
+          var id = 0L
+          var b = 0
+          // the id occupies the remaining heapIdLen - 1 bytes
+          while (b < heapIdLen - 1) { id |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
+          val (addr, _) = hugeObjects.getOrElse(id,
+            sys.error(s"huge heap object $id not in the huge btree"))
+          addr.toInt
+        case t => sys.error(s"unsupported heap id type $t")
+      }
     }
   }
 

@@ -176,6 +176,53 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(f.dataset(f.resolve(nm).get).values.toSeq == Seq(98.5))
   }
 
+  test("TINY heap objects: short link bodies stored inline in wide heap IDs") {
+    // heapIdLen = 18 -> payloads <= 17 bytes go tiny (libhdf5's default
+    // insert rule); link bodies are 11 + nameLen, so 1-6-char names fit.
+    // Mix tiny and managed links so both ID types coexist in one heap.
+    val children =
+      (0 until 6).map(i => s"t$i" ->
+        (WDataset(Nil, Array(1L), Array(i * 2.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node)) ++
+      (0 until 6).map(i => f"managed_link_with_a_long_name_$i%02d" ->
+        (WDataset(Nil, Array(1L), Array(i + 100.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node))
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapIdLen = 18)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 12)
+    assert(f.dataset(f.resolve("t3").get).values.toSeq == Seq(6.0))
+    assert(f.dataset(f.resolve("managed_link_with_a_long_name_05").get)
+      .values.toSeq == Seq(105.0))
+  }
+
+  test("TINY-only heap: no direct blocks at all (undef root, curRows 0)") {
+    val children = (0 until 9).map(i => s"x$i" ->
+      (WDataset(Nil, Array(1L), Array(i - 4.0), isInt = false,
+        elemSize = 8): MiniHdf5Writer.Node))
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapIdLen = 18)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 9)
+    assert(f.dataset(f.resolve("x8").get).values.toSeq == Seq(4.0))
+  }
+
+  test("HUGE heap objects: oversized link bodies via the type-1 huge btree") {
+    // heapMaxManaged = 64 -> bodies over 64 bytes (names > 53 chars) are
+    // huge: raw bytes at their own address, (addr, len, id) in the heap's
+    // type-1 v2 B-tree, the heap ID carrying the huge id
+    val children =
+      (0 until 5).map(i => f"huge_$i%d_" + "n" * 70 ->
+        (WDataset(Nil, Array(1L), Array(i * 7.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node)) ++
+      (0 until 5).map(i => s"small_$i" ->
+        (WDataset(Nil, Array(1L), Array(i + 50.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node))
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapMaxManaged = 64)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 10)
+    assert(f.dataset(f.resolve("huge_2_" + "n" * 70).get).values.toSeq == Seq(14.0))
+    assert(f.dataset(f.resolve("small_4").get).values.toSeq == Seq(54.0))
+  }
+
   test("2-D chunk grids with multiple columns reassemble correctly") {
     // 6x8 dataset cut into 3x4 chunks -> 2x2 chunk grid: a max()-based
     // linear offset would collapse the (0,4) and (3,0) chunks onto the same

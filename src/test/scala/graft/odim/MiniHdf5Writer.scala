@@ -27,9 +27,13 @@ object MiniHdf5Writer {
       denseDepth: Int = 0,
       // dense-link fractal-heap knobs: shrink heapMaxDirect to force
       // NESTED indirect blocks with small fixtures; heapFiltered deflates
-      // every direct block whole
+      // every direct block whole; widen heapIdLen so short link bodies go
+      // TINY (inline in the ID); shrink heapMaxManaged so long link
+      // bodies go HUGE (btree-tracked)
       heapMaxDirect: Long = 65536L,
-      heapFiltered: Boolean = false) extends Node
+      heapFiltered: Boolean = false,
+      heapIdLen: Int = 7,
+      heapMaxManaged: Int = 4096) extends Node
   /** layoutV4: None = v3 (contiguous, or v1-btree chunked when chunkDims
     * set); Some(1..5) = v4 chunked with that chunk-index type (single
     * chunk / implicit / fixed array / extensible array / v2 btree) —
@@ -196,8 +200,19 @@ object MiniHdf5Writer {
   private val DbHeaderLen = 4 + 1 + 8 + 4 // sig + ver + hdr addr + 4-byte block offset
 
   private def writeFractalHeap(o: Out, bodies: Seq[Array[Byte]],
-      maxDirect: Long = 65536L, filtered: Boolean = false): (Long, Seq[Int]) = {
+      maxDirect: Long = 65536L, filtered: Boolean = false,
+      idLen: Int = 7, maxManaged: Int = 4096): (Long, Seq[Array[Byte]]) = {
     def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    // body classification, mirroring libhdf5's insert rules: payloads that
+    // fit inside the heap ID go TINY (normal sub-format, idLen <= 18);
+    // payloads over the max managed size go HUGE (indirectly accessed —
+    // raw bytes anywhere + a type-1 v2 B-tree of (addr, len, id) records);
+    // the rest are managed (packed into direct blocks)
+    val Tiny = 0; val Huge = 1; val Managed = 2
+    val bodyKind = bodies.map(b =>
+      if (b.length <= idLen - 1) Tiny
+      else if (b.length > maxManaged) Huge
+      else Managed)
     val maxDirectRows = log2(maxDirect) - log2(HeapStartBlock) + 2
     val firstRowBits = log2(HeapStartBlock) + log2(HeapWidth.toLong)
     def slotSize(row: Int): Long =
@@ -234,15 +249,32 @@ object MiniHdf5Writer {
     inodes += INode(0, 0L, RootRowCap, -1, 0)
     buildIndirect(0, 0L, RootRowCap): Unit
 
-    // first-fit packing over the leaves in heap-offset order
+    // first-fit packing of MANAGED bodies over the leaves in heap-offset
+    // order; tiny/huge bodies never touch the direct blocks
     var li = 0
     var cursor = DbHeaderLen
     val heapOffsets = new Array[Int](bodies.length)
     bodies.zipWithIndex.foreach { case (b, i) =>
-      while (cursor + b.length > leaves(li).size.toInt) { li += 1; cursor = DbHeaderLen }
-      leaves(li).items += ((i, cursor))
-      heapOffsets(i) = (leaves(li).startOff + cursor).toInt
-      cursor += b.length
+      if (bodyKind(i) == Managed) {
+        while (cursor + b.length > leaves(li).size.toInt) { li += 1; cursor = DbHeaderLen }
+        leaves(li).items += ((i, cursor))
+        heapOffsets(i) = (leaves(li).startOff + cursor).toInt
+        cursor += b.length
+      }
+    }
+    // huge bodies: raw bytes at their own addresses + btree records
+    val hugeIds = scala.collection.mutable.Map.empty[Int, Long]
+    val hugeRecords = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      if (bodyKind(i) == Huge) {
+        val addr = o.pos.toLong
+        o.bytes(b)
+        val id = hugeIds.size + 1L
+        hugeIds(i) = id
+        val rec = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        rec.putLong(addr); rec.putLong(b.length.toLong); rec.putLong(id)
+        hugeRecords += rec.array()
+      }
     }
     val used = leaves.filter(_.items.nonEmpty)
     val single = used.length == 1 && used.head.startOff == 0L &&
@@ -326,14 +358,22 @@ object MiniHdf5Writer {
       leaves.exists(l => l.owner == id && l.items.nonEmpty) ||
         inodes.exists(n => n.owner == id && subtreeUsed(n.id))
 
+    // all-tiny/all-huge heaps have NO direct blocks at all: undef root
+    // with curRows 0, like libhdf5
+    val noManaged = used.isEmpty
     val curRows =
-      if (single) 0
+      if (single || noManaged) 0
       else nodeRowsUsed.getOrElse(0, 0)
         .max(inodes.filter(n => n.owner == 0 && subtreeUsed(n.id))
           .map(_.entry / HeapWidth + 1).maxOption.getOrElse(0)).max(1)
     val rootAddr: Long =
-      if (single) writtenLeaves((0, 0)).addr
+      if (noManaged) Undef
+      else if (single) writtenLeaves((0, 0)).addr
       else writeNode(0)
+    // huge btree (after the objects, before the header)
+    val hugeBtreeAddr: Long =
+      if (hugeRecords.isEmpty) Undef
+      else writeBtreeV2(o, 1, hugeRecords.toSeq)
     val managed = leaves.map(l => l.startOff + l.size).maxOption.getOrElse(0L)
     // deflate filter pipeline description (version 2, one filter: id 1
     // deflate, no flags, one client value) — the reader records its length
@@ -347,22 +387,27 @@ object MiniHdf5Writer {
         b.putInt(6)                            // aggression
         b.array()
       }
+    val nTiny = bodyKind.count(_ == Tiny)
+    val tinyBytes = bodies.zipWithIndex.collect {
+      case (b, i) if bodyKind(i) == Tiny => b.length.toLong }.sum
+    val hugeBytes = bodies.zipWithIndex.collect {
+      case (b, i) if bodyKind(i) == Huge => b.length.toLong }.sum
     val frhpAddr = o.pos.toLong
     o.ascii("FRHP"); o.u8(0)
-    o.u16(7)      // heap ID length: 1 flag + 4 offset + 2 length
+    o.u16(idLen)  // heap ID length (7 default: 1 flag + 4 offset + 2 length)
     o.u16(filterInfo.length) // I/O filter encoded length
     o.u8(0)       // flags (no checksummed blocks)
-    o.u32(4096)   // max managed object size
-    o.u64(0)      // next huge id
-    o.u64(Undef)  // huge btree addr
+    o.u32(maxManaged.toLong) // max managed object size
+    o.u64(hugeIds.size + 1L) // next huge id
+    o.u64(hugeBtreeAddr)
     o.u64(0)      // free space
     o.u64(Undef)  // free-space manager addr
     o.u64(managed)             // managed space
     o.u64(managed)             // allocated managed space
     o.u64(managed)             // direct block iterator offset
-    o.u64(bodies.length.toLong) // managed object count
-    o.u64(0); o.u64(0)         // huge size / count
-    o.u64(0); o.u64(0)         // tiny size / count
+    o.u64(bodyKind.count(_ == Managed).toLong) // managed object count
+    o.u64(hugeBytes); o.u64(hugeIds.size.toLong) // huge size / count
+    o.u64(tinyBytes); o.u64(nTiny.toLong)        // tiny size / count
     o.u16(HeapWidth)
     o.u64(HeapStartBlock)
     o.u64(maxDirect) // max direct block size
@@ -370,11 +415,32 @@ object MiniHdf5Writer {
     o.u16(1)      // starting rows
     o.u64(rootAddr)
     o.u16(curRows)
-    if (filtered && curRows == 0) { o.u64(rootDirectStored.toLong); o.u32(0) }
+    if (filtered && curRows == 0 && !noManaged) {
+      o.u64(rootDirectStored.toLong); o.u32(0)
+    }
     o.bytes(filterInfo)
     o.u32(0)      // checksum
     hdrPatches.foreach(o.patch64(_, frhpAddr))
-    (frhpAddr, heapOffsets.toSeq)
+
+    // assemble the heap IDs (idLen bytes each) per body kind
+    val ids: Seq[Array[Byte]] = bodies.zipWithIndex.map { case (b, i) =>
+      val id = new Array[Byte](idLen)
+      bodyKind(i) match {
+        case Tiny =>
+          id(0) = (0x20 | (b.length - 1)).toByte
+          System.arraycopy(b, 0, id, 1, b.length)
+        case Huge =>
+          id(0) = 0x10.toByte
+          var v = hugeIds(i)
+          var k = 0
+          while (k < idLen - 1) { id(k + 1) = (v & 0xff).toByte; v >>= 8; k += 1 }
+        case Managed =>
+          val bb = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(0.toByte); bb.putInt(heapOffsets(i)); bb.putShort(b.length.toShort)
+      }
+      id
+    }
+    (frhpAddr, ids)
   }
 
   /** v2 B-tree over fixed-size records; returns the BTHD address.
@@ -500,13 +566,6 @@ object MiniHdf5Writer {
     bthdAddr
   }
 
-  /** 7-byte managed heap ID (flag + 4-byte offset + 2-byte length). */
-  private def heapId7(off: Int, len: Int): Array[Byte] = {
-    val b = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
-    b.put(0.toByte); b.putInt(off); b.putShort(len.toShort)
-    b.array()
-  }
-
   /** Attribute messages for a header: compact 0x000C messages for up to 8
     * attributes; above that, DENSE storage (libhdf5's max_compact default):
     * serialized v3 attribute bodies in a fractal heap + a type-8 v2 B-tree
@@ -517,10 +576,10 @@ object MiniHdf5Writer {
     if (attrs.length <= 8) attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
     else {
       val bodies = attrs.map(a => attrMsg(a._1, a._2))
-      val (frhpAddr, heapOffsets) = writeFractalHeap(o, bodies)
+      val (frhpAddr, heapIds) = writeFractalHeap(o, bodies)
       val records = bodies.indices.map { i =>
         val b = ByteBuffer.allocate(8 + 1 + 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
-        b.put(heapId7(heapOffsets(i), bodies(i).length)); b.put(0.toByte) // pad to 8
+        b.put(heapIds(i)); b.put(0.toByte) // 7-byte ID padded to 8
         b.put(0.toByte)   // message flags
         b.putInt(i)       // creation order
         b.putInt(0)       // name hash (reader enumerates, ignores)
@@ -546,14 +605,14 @@ object MiniHdf5Writer {
       writeHeader(o, msgs)
     } else {
       // dense links: serialized link bodies in a fractal heap + a type-5
-      // v2 B-tree (record: hash + 7-byte heap ID)
+      // v2 B-tree (record: hash + heap ID of the group's id length)
       val bodies = links.map(l => linkBody(l._1, l._2))
-      val (frhpAddr, heapOffsets) =
-        writeFractalHeap(o, bodies, g.heapMaxDirect, g.heapFiltered)
+      val (frhpAddr, heapIds) = writeFractalHeap(o, bodies,
+        g.heapMaxDirect, g.heapFiltered, g.heapIdLen, g.heapMaxManaged)
       val records = bodies.indices.map { i =>
-        val b = ByteBuffer.allocate(4 + 7).order(ByteOrder.LITTLE_ENDIAN)
+        val b = ByteBuffer.allocate(4 + g.heapIdLen).order(ByteOrder.LITTLE_ENDIAN)
         b.putInt(0) // name hash (reader enumerates, ignores)
-        b.put(heapId7(heapOffsets(i), bodies(i).length))
+        b.put(heapIds(i))
         b.array()
       }
       val bthdAddr = writeBtreeV2(o, 5, records, depth = g.denseDepth)
