@@ -90,6 +90,51 @@ object Dedup {
     bucketPairs(bandRowsGeneric(df, idCol, textCol, shingleK),
       "__id", "ak", "id_a", "id_b", 4, mhBandMatch, maxBucket)
 
+  /** Incremental near-dup ingestion: the subset of `incoming` documents
+    * that do NOT LSH-collide with the `existing` corpus or with a
+    * smaller-id incoming document. This is the operator a continuously-fed
+    * training pipeline runs per batch — dedup the delta against the
+    * corpus, never the corpus against itself.
+    *
+    * Semantics: existing documents ALWAYS win (they are already in the
+    * corpus); an incoming document drops iff it shares a capped LSH band
+    * bucket (same first-matching-band + [[MaxBucket]] rules as
+    * [[lshCandidatePairs]]) with any existing document or any smaller-id
+    * incoming document. Implemented by tagging incoming ids with a high
+    * bit (2^62) so the shared [[bucketPairs]] bucket sort ranks every
+    * existing doc before every incoming doc — a pair's `b` side is
+    * incoming exactly when a drop is required, with zero changes to the
+    * pair machinery.
+    *
+    * Scale design (the 100 TB batch-ingest shape): the existing corpus
+    * contributes band rows in index form — at scale these are a PERSISTED
+    * (band, key, id, ak) parquet index, not a re-scan (derive once with
+    * [[lshCandidatePairs]]'s banding and append each accepted batch) —
+    * and the batch's distinct (band, key) set LEFT-SEMI-prunes that index
+    * before any bucket work, so a batch of B docs touches O(B x bands)
+    * buckets of the index regardless of corpus size. Pruning cannot
+    * change results: every bucket containing an incoming doc is by
+    * definition touched, untouched buckets can only produce
+    * existing-existing pairs, and a touched bucket keeps ALL its members
+    * (so cap decisions match the unpruned computation the oracle runs).
+    */
+  def incrementalKept(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
+    val NewTag = 1L << 62
+    val ex = existing.select(col(idCol).cast("long").as(idCol), col(textCol))
+    val in = incoming.select((col(idCol).cast("long") + NewTag).as(idCol), col(textCol))
+    val exRows = bandRowsGeneric(ex, idCol, textCol, shingleK)
+    val inRows = bandRowsGeneric(in, idCol, textCol, shingleK)
+    val touched = inRows.select(col("band"), col("key")).distinct()
+    val exPruned = exRows.join(touched, Seq("band", "key"), "left_semi")
+    val pairs = bucketPairs(exPruned.unionByName(inRows),
+      "__id", "ak", "id_a", "id_b", 4, mhBandMatch, maxBucket)
+    val drops = pairs.filter(col("id_b") >= NewTag)
+      .select((col("id_b") - NewTag).as(idCol)).distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** One row per (id, band, key) over the 4 MinHash bands of any corpus
     * frame, with the full key-concat carried as `ak`. Sub-k-word docs have
     * NULL signatures and must produce no band rows. The null drop is a
@@ -260,6 +305,38 @@ object Dedup {
        |${candCteSql("bands", "doc_id", "doc_a", "doc_b")}
        |SELECT doc_a, doc_b FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Incremental ingest demo split: every 5th doc is the incoming batch,
+    * the rest are the existing corpus; output = accepted incoming ids.
+    */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    incrementalKept(existing, incoming, "doc_id", "text")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val qDedupIncrementalSql: String = {
+    val NewTag = 1L << 62
+    // same signature/band/candidate CTEs over a TAGGED id space: incoming
+    // ids carry the 2^62 bit, so pair side b is incoming iff tagged
+    val taggedMinhash = minhashCte.replace("FROM documents", "FROM tagged")
+    s"""WITH tagged AS (
+       |  SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id + $NewTag ELSE doc_id END AS doc_id,
+       |         text
+       |  FROM documents),
+       |$taggedMinhash,
+       |$minhashBandsCteSql,
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")}
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 5 = 0
+       |  AND doc_id NOT IN (
+       |    SELECT DISTINCT doc_b - $NewTag FROM cand WHERE doc_b >= $NewTag)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-document 16-bit SimHash (majority vote over word-hash bits).
     * Sort-before-project: see qMinhashSignature.
@@ -847,6 +924,7 @@ object Dedup {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
+    QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("q_dedup_simhash", qSimhash, Some(qSimhashSql)),
     QueryDef("q_dedup_simhash64", qSimhash64, Some(qSimhash64Sql)),
     QueryDef("q_dedup_simhash_pairs", qSimhashPairs, Some(qSimhashPairsSql), bench = true),

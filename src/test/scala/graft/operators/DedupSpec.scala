@@ -97,6 +97,36 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == joined, "tiny broadcast cap must fall back, never truncate")
   }
 
+  test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val unique = "unique words that match nothing else in this corpus here"
+    val existing = Seq((10L, text), (11L, other)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, text),    // dups an EXISTING doc (larger id!) -> dropped
+      (2L, unique),  // novel -> kept
+      (3L, unique),  // dups incoming id 2 -> dropped (smaller new id wins)
+      (4L, "tiny")   // sub-k words, no signature -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalKept(existing, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L), s"got $kept")
+    // an empty batch keeps nothing and never touches the corpus
+    val none = Dedup.incrementalKept(existing,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(none.count() == 0)
+    // idempotence: re-ingesting the accepted batch against existing+accepted drops all
+    val accepted = incoming.filter(col("doc_id").isin(2L, 4L))
+    val again = Dedup.incrementalKept(
+      existing.unionByName(accepted), accepted.select(
+        (col("doc_id") + 100).as("doc_id"), col("text")), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 102 (copy of 2) collides with accepted 2 -> dropped; 104 is
+    // sub-k words (no signature) so it is kept again by design
+    assert(again == Set(104L), s"got $again")
+  }
+
   test("semantic dedup: drops only same-cluster near-dups, keepers are smaller ids") {
     import org.apache.spark.sql.functions.{col, min}
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
