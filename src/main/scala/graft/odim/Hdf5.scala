@@ -407,12 +407,16 @@ final class Hdf5File(bytes: Array[Byte]) {
             .getOrElse(sys.error(s"heap offset $off outside known direct blocks"))
           // heap offsets count from each block's start (header included)
           (blk._3 + (off - blk._1)).toInt
-        case 2 => // tiny, normal sub-format: length in the low flag bits
-          require(heapIdLen <= 18, "extended tiny heap ids unsupported")
-          val len = (idFlags & 0x0f) + 1
+        case 2 => // tiny: length rides the ID. Normal sub-format (heap id
+          // len <= 17): 4-bit length in the flag byte, payload at +1.
+          // Extended (len >= 18): 12-bit length — high nibble in the flag
+          // byte, low byte next — payload at +2 (libhdf5's exact split).
+          val (len, at) =
+            if (heapIdLen <= 17) ((idFlags & 0x0f) + 1, idPos + 1)
+            else ((((idFlags & 0x0f) << 8) | u8(idPos + 1)) + 1, idPos + 2)
           val payload = new Array[Byte](len)
           var i = 0
-          while (i < len) { payload(i) = u8(idPos + 1 + i).toByte; i += 1 }
+          while (i < len) { payload(i) = u8(at + i).toByte; i += 1 }
           addScratch(payload)
         case 1 => // huge, indirectly accessed (btree-tracked)
           require(!filtered, "filtered huge heap objects unsupported")

@@ -23,19 +23,22 @@ class Hdf5PropertySpec extends AnyFunSuite {
     rank <- Gen.choose(1, 3)
     dims <- Gen.listOfN(rank, Gen.choose(1L, 13L))
     // per-dim grid of at most 4 => at most 64 chunks: inside the writer's
-    // EA capacity (244 at its cparams) and single-page fixed array
+    // EA capacity (244 at its default cparams) and single-page fixed array
     chunk <- Gen.sequence[List[Long], Long](
       dims.map(d => Gen.choose((d + 3) / 4, d)))
     idxType <- Gen.oneOf(0, 1, 2, 3, 4, 5) // 0 = v3 v1-btree; 1..5 = layout v4
     isInt <- Gen.oneOf(true, false)
     gzip <- Gen.oneOf(true, false)
     depth <- Gen.oneOf(0, 1, 2)
+    // shrunken EA cparams reach secondary blocks and PAGED data blocks
+    // with the same tiny chunk counts
+    eaShrunk <- Gen.oneOf(true, false)
     seed <- Gen.choose(0, 1000)
-  } yield (dims.toArray, chunk.toArray, idxType, isInt, gzip, depth, seed)
+  } yield (dims.toArray, chunk.toArray, idxType, isInt, gzip, depth, eaShrunk, seed)
 
   test("random dataset shapes round-trip across every chunk-index type") {
     run(Prop.forAllNoShrink(genCase) {
-      case (dims, chunk0, idxType, isInt, gzip0, depth, seed) =>
+      case (dims, chunk0, idxType, isInt, gzip0, depth, eaShrunk, seed) =>
         val n = dims.product.toInt
         val values = Array.tabulate(n)(i => ((i * 31 + seed * 7) % 251).toDouble)
         // constraints of the format/writer, applied rather than discarded:
@@ -51,7 +54,8 @@ class Hdf5PropertySpec extends AnyFunSuite {
           layoutV4 = if (idxType == 0) None else Some(idxType),
           gzip = gzip,
           btreeDepth = if (idxType != 5) 0
-            else math.min(depth, if (nChunks >= 7) 2 else if (nChunks >= 3) 1 else 0))
+            else math.min(depth, if (nChunks >= 7) 2 else if (nChunks >= 3) 1 else 0),
+          eaCparams = if (eaShrunk) (2, 4, 2, 2) else (4, 16, 4, 10))
         val f = Hdf5File(MiniHdf5Writer.write(WGroup(Nil, Seq("d" -> ds))))
         val back = f.dataset(f.resolve("d").get)
         back.dims.toSeq == dims.toSeq &&
@@ -82,5 +86,41 @@ class Hdf5PropertySpec extends AnyFunSuite {
             Seq(i.toDouble, i + 0.5)
         }
     }, 60)
+  }
+
+  test("random dense groups round-trip across every fractal-heap shape") {
+    // the round-6 heap matrix: nested indirect roots (small maxDirect),
+    // filtered (whole-block deflate), wide IDs (short names go TINY),
+    // small max-managed (long names go HUGE), and name-length mixes that
+    // put several object kinds in ONE heap
+    run(Prop.forAllNoShrink(for {
+      nLinks <- Gen.choose(9, 60) // always dense
+      maxDirect <- Gen.oneOf(65536L, 1024L)
+      filtered <- Gen.oneOf(true, false)
+      idLen <- Gen.oneOf(7, 18)
+      // huge objects in a FILTERED heap are individually filtered
+      // (type-2/3 records) — neither side implements that; keep huge
+      // bodies out of filtered heaps
+      maxManaged <- if (filtered) Gen.const(4096) else Gen.oneOf(4096, 64)
+      pad <- Gen.choose(0, 120) // name padding drives body size / kind
+      seed <- Gen.choose(0, 1000)
+    } yield (nLinks, maxDirect, filtered, idLen, maxManaged, pad, seed)) {
+      case (nLinks, maxDirect, filtered, idLen, maxManaged, pad, seed) =>
+        val children = (0 until nLinks).map { i =>
+          // vary padding per link so one heap mixes tiny/managed/huge
+          val p = (pad + i * 17 + seed) % 121
+          val name = f"l$i%02d" + "x" * p
+          name -> (WDataset(Nil, Array(1L), Array(i + 0.25),
+            isInt = false, elemSize = 8): MiniHdf5Writer.Node)
+        }
+        val f = Hdf5File(MiniHdf5Writer.write(
+          WGroup(Nil, children, heapMaxDirect = maxDirect,
+            heapFiltered = filtered, heapIdLen = idLen,
+            heapMaxManaged = maxManaged)))
+        f.groupChildren(f.rootHeaderAddr).size == nLinks &&
+          children.indices.forall { i =>
+            f.dataset(f.resolve(children(i)._1).get).values.toSeq == Seq(i + 0.25)
+          }
+    }, 80)
   }
 }

@@ -209,10 +209,20 @@ object MiniHdf5Writer {
     // raw bytes anywhere + a type-1 v2 B-tree of (addr, len, id) records);
     // the rest are managed (packed into direct blocks)
     val Tiny = 0; val Huge = 1; val Managed = 2
+    // libhdf5's tiny sub-format split: idLen <= 17 -> normal (4-bit
+    // length, max idLen-1); idLen >= 18 -> extended (12-bit length across
+    // two bytes, max idLen-2)
+    val tinyExtended = idLen >= 18
+    val tinyMax = if (tinyExtended) idLen - 2 else idLen - 1
     val bodyKind = bodies.map(b =>
-      if (b.length <= idLen - 1) Tiny
+      if (b.length <= tinyMax) Tiny
       else if (b.length > maxManaged) Huge
       else Managed)
+    // huge objects in a filtered heap are individually filtered (btree
+    // type-2/3 records) — not implemented on either side; refuse rather
+    // than write raw bytes a real reader would try to inflate
+    require(!(filtered && bodyKind.contains(Huge)),
+      "filtered huge heap objects unsupported by this writer")
     val maxDirectRows = log2(maxDirect) - log2(HeapStartBlock) + 2
     val firstRowBits = log2(HeapStartBlock) + log2(HeapWidth.toLong)
     def slotSize(row: Int): Long =
@@ -427,8 +437,14 @@ object MiniHdf5Writer {
       val id = new Array[Byte](idLen)
       bodyKind(i) match {
         case Tiny =>
-          id(0) = (0x20 | (b.length - 1)).toByte
-          System.arraycopy(b, 0, id, 1, b.length)
+          if (!tinyExtended) {
+            id(0) = (0x20 | (b.length - 1)).toByte
+            System.arraycopy(b, 0, id, 1, b.length)
+          } else {
+            id(0) = (0x20 | ((b.length - 1) >> 8)).toByte
+            id(1) = ((b.length - 1) & 0xff).toByte
+            System.arraycopy(b, 0, id, 2, b.length)
+          }
         case Huge =>
           id(0) = 0x10.toByte
           var v = hugeIds(i)
