@@ -920,6 +920,84 @@ object Dedup {
        |FROM base b LEFT JOIN re r USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Repeated exact-substring spans — the ExactSubstr stage of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), at k-token window granularity: a token position belongs
+    * to a repeated span iff some k-token window covering it occurs
+    * verbatim more than `maxOcc` times corpus-wide; the operator emits
+    * each document's MAXIMAL merged spans. Unlike [[segmentDedup]]'s
+    * fixed non-overlapping segments, windows overlap at every alignment,
+    * so a copied passage is caught wherever it starts.
+    *
+    * Scale design: window occurrence counting is ONE partial-agg'd
+    * exchange on the 60-bit window hash ([[graft.plans.ShingleHashesExpr]]
+    * — `(doc_id, pos, hash60)` longs, window strings never shuffle); the
+    * repeated-hash set marks flagged positions via a left-semi probe
+    * (small build side — AQE broadcasts it at demo scale); and interval
+    * merging is a per-document gaps-and-islands window (partitioned by
+    * doc_id, so it parallelizes across documents and no partition ever
+    * sees more than one document's flagged windows).
+    */
+  private val SpanK = 5
+  private val SpanMaxOcc = 1
+
+  def repeatedSpans(docs: DataFrame, k: Int = SpanK,
+      maxOcc: Int = SpanMaxOcc): DataFrame = {
+    require(k >= 1 && maxOcc >= 1, s"bad span params k=$k maxOcc=$maxOcc")
+    val wins = docs.select(col("doc_id"),
+      posexplode(graft.plans.SegmentsExpr.shingleHashes(col("text"), k))
+        .as(Seq("pos", "h")))
+    val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc).select(col("h"))
+    val flagged = wins.join(rep, Seq("h"), "left_semi")
+    // gaps-and-islands: a window starts a new span iff it begins past the
+    // running max end of all earlier windows in the doc
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + k - 1).over(
+      byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("new_span",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("span_id")
+  }
+
+  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    repeatedSpans(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  val qRepeatedSpansSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(w[(pos + 1):(pos + $SpanK)], ' ') AS win
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(0, len(w) - $SpanK)) AS pos
+       |        FROM ws WHERE len(w) >= $SpanK)),
+       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > $SpanMaxOcc),
+       |flagged AS (SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM rep)),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(max(pos + $SpanK - 1) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |         THEN 1 ELSE 0 END AS new_span
+       |  FROM flagged),
+       |spans AS (
+       |  SELECT doc_id, pos,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM marked)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + $SpanK - 1 AS span_end, count(*) AS n_windows
+       |FROM spans
+       |GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
@@ -933,6 +1011,7 @@ object Dedup {
     QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql), bench = true),
     QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql), bench = true),
     QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql), bench = true),
+    QueryDef("q_dedup_spans", qRepeatedSpans, Some(qRepeatedSpansSql)),
     QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),
   )
 }

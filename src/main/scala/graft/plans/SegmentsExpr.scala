@@ -111,6 +111,44 @@ case class SegmentHashesExpr(child: Expression, w: Int = 3)
     copy(child = newChild)
 }
 
+/** 60-bit [[Hash60]] of every OVERLAPPING k-word shingle, in order, with
+  * repeats — element i is the window starting at word i (contrast
+  * [[ShingleSetExpr]], which emits the sorted DISTINCT set for Jaccard).
+  * Feeds the repeated-substring-span operator: window occurrence counting
+  * shuffles `(doc_id, pos, hash60)` longs, never the window strings. Same
+  * [[Tokenize]] + assembly as every other text expression, so window
+  * boundaries can never diverge across operators.
+  */
+case class ShingleHashesExpr(child: Expression, k: Int = 5)
+    extends UnaryExpression {
+  require(k >= 1, s"bad shingle width $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = Tokenize.words(input.toString)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - k + 1)
+    var i = 0
+    Tokenize.eachShingle(words, k) { s =>
+      out(i) = Hash60.of(s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single-pass segment-dedup reassembly against a broadcast boilerplate
   * set: tokenize, segment (same [[Tokenize]] + assembly loop as
   * [[SegmentsExpr]]/[[SegmentHashesExpr]] so boundaries can never diverge),
@@ -186,6 +224,10 @@ object SegmentsExpr {
   /** Column API: 60-bit hashes of the consecutive w-word segments. */
   def segmentHashes(text: Column, w: Int = 3): Column =
     GraftSqlBridge.column(SegmentHashesExpr(GraftSqlBridge.expression(text), w))
+
+  /** Column API: 60-bit hashes of every overlapping k-word shingle. */
+  def shingleHashes(text: Column, k: Int = 5): Column =
+    GraftSqlBridge.column(ShingleHashesExpr(GraftSqlBridge.expression(text), k))
 
   /** Column API: one-pass reassembly against a broadcast boilerplate set. */
   def segmentClean(text: Column,

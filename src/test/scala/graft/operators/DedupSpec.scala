@@ -97,6 +97,28 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == joined, "tiny broadcast cap must fall back, never truncate")
   }
 
+  test("repeated spans: overlapping windows merge into maximal spans at any alignment") {
+    import spark.implicits._
+    // docs 1 and 2 share a 7-word passage at DIFFERENT word offsets (1 vs
+    // 3) — exactly the case fixed segment boundaries miss; doc 3 is clean
+    val passage = "lorem ipsum dolor sit amet consectetur adipiscing"
+    val docs = Seq(
+      (1L, s"intro $passage tail one"),
+      (2L, s"a b c $passage"),
+      (3L, "completely different words that never repeat anywhere else")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 5, maxOcc = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // passage = 7 words -> 3 overlapping 5-windows; doc1 words 1..7,
+    // doc2 words 3..9; each doc gets ONE merged span with 3 windows
+    assert(spans == Set((1L, 1L, 7L, 3L), (2L, 3L, 9L, 3L)), s"got $spans")
+    // within-doc repetition counts toward the occurrence threshold
+    val selfRep = Seq((9L, "x y z q r extra words x y z q r")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(selfRep, k = 5, maxOcc = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 4L), (7L, 11L)), s"got $got")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
