@@ -121,10 +121,37 @@ object Dedup {
   def incrementalKept(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
-    val NewTag = 1L << 62
-    val ex = existing.select(col(idCol).cast("long").as(idCol), col(textCol))
-    val in = incoming.select((col(idCol).cast("long") + NewTag).as(idCol), col(textCol))
-    val exRows = bandRowsGeneric(ex, idCol, textCol, shingleK)
+    val ex = existing.select(guardId(col(idCol).cast("long")).as(idCol), col(textCol))
+    probeIncremental(bandRowsGeneric(ex, idCol, textCol, shingleK),
+      incoming, idCol, textCol, shingleK, maxBucket)
+  }
+
+  /** The id-tag bit separating incoming from existing ids in the shared
+    * bucket machinery: existing ids sort before `id + NewTag` for every
+    * valid id, so a pair's `b` side is incoming iff `>= NewTag`.
+    */
+  private val NewTag = 1L << 62
+
+  /** Ids MUST be in [0, 2^62): a negative or >= 2^62 id would land in (or
+    * collide with) the other side's tagged range and silently mis-rank the
+    * existing-wins ordering. Fail fast instead — a codegen'd range check
+    * that raises on the first offending row.
+    */
+  private def guardId(c: Column): Column =
+    when(c.isNull || c < 0 || c >= NewTag,
+      raise_error(concat(lit("incremental dedup: id must be in [0, 2^62), got "),
+        c.cast("string")))).otherwise(c)
+
+  /** Shared incremental-dedup probe: given the EXISTING corpus in band-row
+    * form (a live [[bandRowsGeneric]] scan, or rows read back from a
+    * persisted band index) and the incoming batch, return the accepted
+    * subset of `incoming`. Pruning to the batch's touched (band, key)
+    * buckets cannot change results — see [[incrementalKept]]'s scale note.
+    */
+  private def probeIncremental(exRows: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, maxBucket: Int): DataFrame = {
+    val in = incoming.select((guardId(col(idCol).cast("long")) + NewTag).as(idCol),
+      col(textCol))
     val inRows = bandRowsGeneric(in, idCol, textCol, shingleK)
     val touched = inRows.select(col("band"), col("key")).distinct()
     val exPruned = exRows.join(touched, Seq("band", "key"), "left_semi")
@@ -133,6 +160,76 @@ object Dedup {
     val drops = pairs.filter(col("id_b") >= NewTag)
       .select((col("id_b") - NewTag).as(idCol)).distinct()
     incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Key-prefix partition value for the persisted band index: the first two
+    * hex chars of the 16-hex-char band key, letter-prefixed so parquet
+    * partition discovery never type-infers "00" as a number. 4 bands x 256
+    * prefixes = at most 1024 partition directories, each holding a uniform
+    * 1/1024 slice of the corpus band rows.
+    */
+  private def keyPrefix(key: Column): Column =
+    concat(lit("p"), substring(key, 1, 2))
+
+  /** Materialize the corpus band index ONCE: (\_\_id, ak, band, key) rows —
+    * no document text — written as parquet partitioned by (band, kp) so a
+    * batch probe prunes to its touched key-prefix partitions at planning
+    * time (the [[graft.operators.Similarity.writeSigPartitioned]] pattern).
+    * This is the 100 TB form of incremental ingestion: the full-corpus scan
+    * + MinHash signature runs once here, and every subsequent batch reads
+    * only index slices, never corpus text.
+    */
+  def writeBandIndex(corpus: DataFrame, indexDir: String,
+      idCol: String, textCol: String, shingleK: Int = ShingleK,
+      mode: String = "overwrite"): Unit = {
+    val ex = corpus.select(guardId(col(idCol).cast("long")).as(idCol), col(textCol))
+    bandRowsGeneric(ex, idCol, textCol, shingleK)
+      .withColumn("kp", keyPrefix(col("key")))
+      .repartition(col("band"), col("kp"))
+      .write.mode(mode).partitionBy("band", "kp").parquet(indexDir)
+  }
+
+  /** Append a batch's band rows to a persisted index — call with the
+    * ACCEPTED subset after [[incrementalKeptIndexed]] so the next batch
+    * sees this one as existing corpus.
+    */
+  def appendBandIndex(accepted: DataFrame, indexDir: String,
+      idCol: String, textCol: String, shingleK: Int = ShingleK): Unit =
+    writeBandIndex(accepted, indexDir, idCol, textCol, shingleK, mode = "append")
+
+  /** [[incrementalKept]] against a PERSISTED band index ([[writeBandIndex]])
+    * instead of a live corpus scan: identical output, but per-batch cost is
+    * O(batch) signature work + O(batch x bands) index buckets — the corpus
+    * TEXT is read zero times per batch, and the index read itself is
+    * partition-pruned to the batch's touched (band, key-prefix) set.
+    *
+    * The pruning happens twice, and neither step can change results:
+    * (1) a bounded driver-side collect of the batch's distinct (band, kp)
+    * pairs — at most 4 x 256 = 1024 rows REGARDLESS of batch size — becomes
+    * a literal partition filter (static pruning, planning-time); (2) the
+    * surviving index rows are left-semi joined on the full (band, key)
+    * against the batch's touched buckets, exactly as the unindexed form.
+    * Step 1 is a superset of step 2; untouched buckets could only produce
+    * existing-existing pairs; a touched bucket keeps ALL its members, so
+    * [[MaxBucket]] cap decisions match the unpruned computation. The batch
+    * is signatured twice (once for the prefix collect, once in the lazy
+    * probe plan) — O(2 x batch), the price of eliminating the O(corpus)
+    * scan the unindexed form pays.
+    */
+  def incrementalKeptIndexed(s: SparkSession, indexDir: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
+    val in = incoming.select((guardId(col(idCol).cast("long")) + NewTag).as(idCol),
+      col(textCol))
+    val probed = bandRowsGeneric(in, idCol, textCol, shingleK)
+      .select(col("band"), keyPrefix(col("key")).as("kp")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val partFilter = probed.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
+      (col("band") === b) && col("kp").isin(ps.map(_._2).toSeq: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val exRows = s.read.parquet(indexDir).filter(partFilter)
+      .select(col("__id"), col("ak"), col("band").cast("int").as("band"), col("key"))
+    probeIncremental(exRows, incoming, idCol, textCol, shingleK, maxBucket)
   }
 
   /** One row per (id, band, key) over the 4 MinHash bands of any corpus
@@ -336,6 +433,28 @@ object Dedup {
        |  AND doc_id NOT IN (
        |    SELECT DISTINCT doc_b - $NewTag FROM cand WHERE doc_b >= $NewTag)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The persisted-index variant of the same demo split: the existing
+    * corpus's band index is STAGED ONCE per machine+scale under /tmp
+    * (atomic-rename protocol, [[Staging.stagedDir]]) and every run probes
+    * it — same accepted set as [[qDedupIncremental]], zero corpus text
+    * reads per probe (IncrementalIndexSpec pins this on scan metrics).
+    */
+  def qDedupIncrementalIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // "ix_" prefix: a key starting with '_' would be invisible to Spark's
+    // file index (metadata-file convention)
+    val key = "ix_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val idx = Staging.stagedDir(
+        java.nio.file.Paths.get(s"/tmp/graft_band_index/$key")) { tmp =>
+      writeBandIndex(docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text")), tmp.toString, "doc_id", "text")
+    }
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    incrementalKeptIndexed(s, idx, incoming, "doc_id", "text")
+      .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
   /** Per-document 16-bit SimHash (majority vote over word-hash bits).
@@ -1003,6 +1122,8 @@ object Dedup {
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    QueryDef("q_dedup_incremental_indexed", qDedupIncrementalIndexed,
+      Some(qDedupIncrementalSql)),
     QueryDef("q_dedup_simhash", qSimhash, Some(qSimhashSql)),
     QueryDef("q_dedup_simhash64", qSimhash64, Some(qSimhash64Sql)),
     QueryDef("q_dedup_simhash_pairs", qSimhashPairs, Some(qSimhashPairsSql), bench = true),
