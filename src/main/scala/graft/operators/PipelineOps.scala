@@ -383,6 +383,93 @@ object PipelineOps {
     tokenBudget(Tables.documents(s, dir), "doc_id", "source")
       .orderBy(col("doc_id"))
 
+  /** Grid of pr-quantile levels computed in the single pass-1 aggregate of
+    * [[tokenBudgetSingleSource]]; the driver picks the smallest level
+    * covering the budget fraction. Ends at 1.0 so a binding level always
+    * exists.
+    */
+  private val PrQuantileGrid: Seq[Double] =
+    Seq(1e-6, 1e-5, 1e-4, 1e-3, 0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 1.0)
+
+  /** [[tokenBudget]] for ONE source at 100 TB — the case where the
+    * per-source window would otherwise be a single-partition sort of the
+    * whole corpus. Two passes:
+    *
+    * Pass 1 (one aggregate scan, no sort): corpus doc count, total tokens,
+    * and approximate pr-quantiles at [[PrQuantileGrid]]. The driver picks
+    * the smallest grid level >= slack x budget/totalTokens and uses its pr
+    * value as the cutoff — a value PRESENT in the data, so the pre-filter
+    * `pr <= cutoff` is non-empty by construction (an empty survivor set
+    * could silently miss rows; non-empty means the in-plan guard always
+    * evaluates).
+    *
+    * Pass 2: pre-filter to `pr <= cutoff` — a PREFIX of the (pr, id)
+    * selection order, so cumulative sums over it equal those over the full
+    * ordering — then the exact single-partition window over the ~slack x
+    * budget-token survivor set, never the corpus. Exactness guard (the
+    * [[Analytics.approxQuantiles]] pattern, loud): unless the whole corpus
+    * fits the budget, the survivor prefix must OVERRUN the budget —
+    * otherwise the true selection could extend past the pre-filter and the
+    * run fails with assert_true rather than returning a silently-short
+    * sample. The guard is conservative under doc-length skew; raise `slack`
+    * if it trips.
+    */
+  def tokenBudgetSingleSource(docs: DataFrame, idCol: String,
+      carryCols: Seq[String] = Seq("source"), budget: Long = TokenBudget,
+      seed: String = "", slack: Double = 2.0): DataFrame = {
+    val base = docs.select(col(idCol) +: carryCols.map(col) :+
+      size(words(col("text"))).as("n_tokens") :+
+      hashBucket(col(idCol), PrBuckets, seed).as("pr"): _*)
+    val st = base.agg(count(lit(1)), sum(col("n_tokens")),
+      percentile_approx(col("pr"),
+        array(PrQuantileGrid.map(lit): _*), lit(100000))).head()
+    val tot = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pr"), col(idCol))
+    val sel =
+      if (st.getLong(0) == 0L || tot <= budget) // whole corpus fits: no filter
+        base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      else {
+        val f = math.min(1.0, slack * budget.toDouble / tot)
+        val prCut = st.getSeq[Long](2)(PrQuantileGrid.indexWhere(_ >= f))
+        base.filter(col("pr") <= prCut)
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("__tot",
+            max(col("cum_tokens")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()))
+          .where(coalesce(assert_true(col("__tot") > budget,
+            concat(lit("tokenBudgetSingleSource pre-filter underran the " +
+              "budget (survivor tokens "), col("__tot"),
+              lit(s" <= $budget): raise slack ($slack)"))), lit(true)))
+          .drop("__tot")
+      }
+    sel.filter(col("cum_tokens") <= budget).drop("pr")
+  }
+
+  /** Oracle entry: the single-source form over the src0 slice — same
+    * selection as [[qTokenBudget]] restricted to src0 (per-source cumsums
+    * are independent), so the twin needs no pre-filter. At sf0.01 and below
+    * the budget covers most of src0 and the no-filter branch runs; at sf1
+    * the pre-filter is ACTIVE (budget 800 of ~140k tokens) and the entry
+    * stays hash-green — the cross-scale proof that the pre-filter does not
+    * change the selection.
+    */
+  def qTokenBudgetSingle(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetSingleSource(
+      Tables.documents(s, dir).filter(col("source") === "src0"), "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qTokenBudgetSingleSql: String = {
+    val pr = hashBucketSql("doc_id", PrBuckets)
+    s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY pr, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |          $pr AS pr
+       |        FROM documents WHERE source = 'src0'))
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qTokenBudgetSql: String = {
     val pr = hashBucketSql("doc_id", PrBuckets)
     s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
@@ -547,6 +634,7 @@ object PipelineOps {
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
+    QueryDef("q_token_budget_single", qTokenBudgetSingle, Some(qTokenBudgetSingleSql)),
     QueryDef("q_text_repetition", qTextRepetition, Some(qTextRepetitionSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
     QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql), bench = true),

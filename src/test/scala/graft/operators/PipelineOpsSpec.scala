@@ -203,4 +203,71 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(md5(col("text").cast("binary")).as("h"))
     assert(textsOfKept.count() == textsOfKept.distinct().count())
   }
+
+  /** hashBucket twin for fixture construction (same md5-prefix formula). */
+  private def prOf(id: Long, buckets: Int = 1000000): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets
+  }
+
+  test("single-source token budget: pre-filter shrinks the window input, selection unchanged") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    // 10k docs x ~10 tokens >> budget 800 -> the pre-filter regime. Parquet,
+    // not an in-memory relation: ConvertToLocalRelation would evaluate the
+    // pre-filter at plan time and hide it from the physical plan.
+    val pq = java.nio.file.Files.createTempDirectory("tb-single").toString
+    (0L until 10000L)
+      .map(i => (i, "s", ("tok " * (5 + (i % 11).toInt)).trim))
+      .toDF("doc_id", "source", "text").write.mode("overwrite").parquet(pq)
+    val docs = spark.read.parquet(pq)
+    val single = PipelineOps.tokenBudgetSingleSource(docs, "doc_id")
+    val got = single.select("doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = PipelineOps.tokenBudget(docs, "doc_id", "source")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.map(_._2).sum <= 800)
+    // plan pin: the single-partition window's exchange input is the
+    // pre-filtered survivor set, orders of magnitude below the corpus
+    def preFilters(p: SparkPlan): Seq[FilterExec] = p.collect {
+      // project-collapse inlines the pr alias: the pre-filter is the one
+      // Filter whose condition hashes (md5) the id
+      case f: FilterExec if f.condition.toString.contains("md5") => Seq(f)
+      case a: AdaptiveSparkPlanExec => preFilters(a.executedPlan)
+      case s: QueryStageExec => preFilters(s.plan)
+    }.flatten
+    val pf = preFilters(single.queryExecution.executedPlan)
+    assert(pf.nonEmpty, "pre-filter (pr <= cutoff) not found in the plan")
+    val survivors = pf.map(_.metrics("numOutputRows").value).max
+    assert(survivors < 2000,
+      s"window exchange input $survivors rows — expected << 10000-doc corpus")
+  }
+
+  test("single-source token budget: underrun fails loudly, never a short sample") {
+    import spark.implicits._
+    // one huge doc placed ABOVE the grid cutoff: survivors hold ~500 of
+    // 110k tokens <= budget 800 -> the exactness guard must trip
+    val hugeId = (20000L until 30000L).find(prOf(_) >= 200000L).get
+    val docs = ((0L until 10000L).map(i => (i, "s", "tok")) :+
+      ((hugeId, "s", ("tok " * 100000).trim))).toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      PipelineOps.tokenBudgetSingleSource(docs, "doc_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pre-filter underran the budget")),
+      s"unexpected error: ${messages(e).take(3).mkString(" | ")}")
+    // and a raised slack covering the whole corpus succeeds exactly
+    val ok = PipelineOps.tokenBudgetSingleSource(docs, "doc_id", slack = 300.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = PipelineOps.tokenBudget(docs, "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ok == want)
+  }
 }
