@@ -111,37 +111,72 @@ object VptsOps {
     * file-count-bound, not row-scale-bound; the rows-only correctness
     * check still pins row count and schema at every scale.
     */
-  private lazy val ingestCorpus: String = {
+  private lazy val ingestCorpus: String = stagedCorpus(400)
+
+  /** Stage `copies` x the 5 reference VP fixtures into /tmp (atomic-rename
+    * protocol, [[Staging.stagedDir]] — a half-staged corpus is never
+    * observable, concurrent first runs are safe, and the fixture listing
+    * stream is closed).
+    */
+  private def stagedCorpus(copies: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get("/tmp/graft_odim_ingest_corpus")
-    val done = root.resolve("_STAGED")
-    if (!Files.exists(done)) {
+    Staging.stagedDir(Paths.get(s"/tmp/graft_odim_ingest_corpus_$copies")) { tmp =>
       val src = Paths.get("/root/reference/tests/data/vp/bejab/2022/11/11")
-      val srcFiles = Files.list(src).sorted.toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-      (0 until 400).foreach { c =>
-        val day = root.resolve(f"bejab/2022/11/${11 + c % 20}%02d")
+      val listing = Files.list(src)
+      val srcFiles =
+        try listing.sorted.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        finally listing.close()
+      (0 until copies).foreach { c =>
+        val day = tmp.resolve(f"bejab/2022/11/${11 + c % 20}%02d")
         Files.createDirectories(day)
         srcFiles.foreach { f =>
           Files.copy(f, day.resolve(s"c${c}_${f.getFileName}"),
             StandardCopyOption.REPLACE_EXISTING): Unit
         }
       }
-      Files.createFile(done): Unit
     }
-    root.toString
   }
 
-  def qOdimIngest(s: SparkSession, dir: String): DataFrame =
-    s.read.format("odim").load(ingestCorpus)
-      .groupBy(col("source_file"))
+  /** The benched per-file aggregate, shared by both decode paths. */
+  private def ingestAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("source_file"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("height").cast("long")).as("height_sum"))
+
+  /** Self-consistency oracle for the ingest entry: DuckDB cannot read HDF5,
+    * so the "oracle" is the same aggregate computed through the INDEPENDENT
+    * binaryFile+mapPartitions decode path ([[graft.vpts.Vpts.vptsViaBinaryFile]])
+    * written to /tmp parquet, which the oracle SQL reads back — the driver's
+    * hash compare then checks the DSv2 listing / pruning / bin-packed decode
+    * end-to-end against the fallback path. Written once per JVM (never from
+    * a possibly-stale previous build): Verify stages it fresh each run;
+    * Bench stages it during the untimed warmup pass.
+    */
+  private val SelfCheckDir = "/tmp/graft_odim_selfcheck"
+  @volatile private var selfCheckStaged = false
+  private def stageSelfCheck(s: SparkSession, corpus: String): Unit =
+    if (!selfCheckStaged) synchronized {
+      if (!selfCheckStaged) {
+        ingestAgg(graft.vpts.Vpts.vptsViaBinaryFile(s, Seq(corpus)))
+          .coalesce(1).write.mode("overwrite").parquet(SelfCheckDir)
+        selfCheckStaged = true
+      }
+    }
+
+  val qOdimIngestSql: String =
+    s"SELECT source_file, n_rows, height_sum FROM '$SelfCheckDir/*.parquet' " +
+      "ORDER BY source_file"
+
+  def qOdimIngest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ingestCorpus
+    stageSelfCheck(s, corpus)
+    ingestAgg(s.read.format("odim").load(corpus))
       .orderBy(col("source_file"))
+  }
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_odim_path_parse", qOdimPathParse, Some(qOdimPathParseSql)),
     QueryDef("q_odim_coverage", qOdimCoverage, Some(qOdimCoverageSql)),
-    QueryDef("q_odim_ingest", qOdimIngest, None, bench = true),
+    QueryDef("q_odim_ingest", qOdimIngest, Some(qOdimIngestSql), bench = true),
   )
 }
