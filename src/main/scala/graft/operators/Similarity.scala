@@ -16,18 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
-  def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") === 0)
+  /** Brute-force cosine top-k against the `queryId` vector (library form —
+    * the exact ground truth every approximate searcher's recall is measured
+    * against in SimilarityRecallSpec).
+    */
+  def bruteForceTopK(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    e.filter(col("vec_id") =!= 0)
+    e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         cosine(col("embedding"), col("q_embedding")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)
 
   val qAnnBruteForceSql: String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -66,19 +72,22 @@ object Similarity {
     * makes the signature table an index — at 100 TB a signature-partitioned
     * layout turns this into a single-partition read).
     */
-  def qAnnLshSearch(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.embeddings(s, dir)
+  def lshSearch(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val sigs = e
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.plans.LshSigExpr.lshSigNative(col("embedding"), NPlanes, Dim).as("sig"))
-    val q = sigs.filter(col("vec_id") === 0)
+    val q = sigs.filter(col("vec_id") === queryId)
       .select(col("sig").as("q_sig"), col("embedding").as("qe"))
     sigs.join(broadcast(q), col("sig") === col("q_sig"))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"), col("sig"),
         cosine(col("embedding"), col("qe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
+
+  def qAnnLshSearch(s: SparkSession, dir: String): DataFrame =
+    lshSearch(Tables.embeddings(s, dir), 0L, 5)
 
   private def lshSigSqlExpr: String =
     (0 until NPlanes).map { j =>
@@ -104,23 +113,26 @@ object Similarity {
     * NPlanes+1 keys from one tiny broadcast row, so at scale this is a
     * 9-key equi-join against the signature-keyed layout, not a wider scan.
     */
-  def qAnnLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.embeddings(s, dir)
+  def lshMultiprobe(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val sigs = e
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.plans.LshSigExpr.lshSigNative(col("embedding"), NPlanes, Dim).as("sig"))
     val probeList = array(
       (col("q_sig") +: (0 until NPlanes).map(j =>
         col("q_sig").bitwiseXOR(lit(1L << j)))): _*)
-    val probes = sigs.filter(col("vec_id") === 0)
+    val probes = sigs.filter(col("vec_id") === queryId)
       .select(col("sig").as("q_sig"), col("embedding").as("qe"))
       .select(col("qe"), explode(probeList).as("probe"))
     sigs.join(broadcast(probes), col("sig") === col("probe"))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"), col("sig"),
         cosine(col("embedding"), col("qe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
+
+  def qAnnLshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    lshMultiprobe(Tables.embeddings(s, dir), 0L, 5)
 
   val qAnnLshMultiprobeSql: String = {
     val probeArr = ("q_sig" +: (0 until NPlanes).map(j => s"xor(q_sig, ${1L << j})"))
@@ -241,9 +253,8 @@ object Similarity {
     * pattern (coarse quantizer -> in-bucket scan). At 100 TB the bucket scan
     * reads one label partition instead of the full table.
     */
-  def qAnnIvfSearch(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+  def ivfSearch(e: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     // per-label centroid in scaled-int space (same construction as assign)
     val comp = e.withColumn("v", scaled(col("embedding")))
       .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
@@ -256,15 +267,18 @@ object Similarity {
       .withColumn("dist", dotScaled(zip_with(col("qv"), col("cv"), (a, b) => a - b),
         zip_with(col("qv"), col("cv"), (a, b) => a - b)))
       .orderBy(col("dist"), col("c_label"))
-      .limit(1)
+      .limit(nprobe)
       .select(col("c_label").as("probe_label"), col("qe"))
     e.join(broadcast(qs), col("label") === col("probe_label"))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
         cosine(col("embedding"), col("qe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
+
+  def qAnnIvfSearch(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(Tables.embeddings(s, dir), 0L, 5)
 
   val qAnnIvfSearchSql: String =
     s"""WITH e AS (
@@ -568,9 +582,9 @@ object Similarity {
     * participates in the comparison — and .distq reads the table lookup.
     * All distances are sums of squared scaled ints (exact in double).
     */
-  def qAnnPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", scaled(col("embedding")))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+  def pqSearch(e0: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = e0.withColumn("v", scaled(col("embedding")))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val adist = (0 until PqM).map { j =>
       array_min(transform(col("cents"), c =>
         struct(subDist(col("v"), c.getField("cv"), j).as("dist"),
@@ -579,11 +593,14 @@ object Similarity {
         .getField("distq")
     }.reduce(_ + _)
     e.crossJoin(broadcast(pqCentArr(e))).crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), adist.as("adist"))
       .orderBy(col("adist"), col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
+
+  def qAnnPqSearch(s: SparkSession, dir: String): DataFrame =
+    pqSearch(Tables.embeddings(s, dir), 0L, 5)
 
   val qAnnPqSearchSql: String =
     s"""WITH e AS (

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN recall@10 vs the brute-force ground truth (VERDICT r6 #6): the
+  * speed/accuracy trade each approximate searcher buys at 100 TB, pinned.
+  *
+  * Two regimes, both deterministic:
+  *
+  * 1. A PLANTED-cluster fixture (10 well-separated centroids, 50 members
+  *    each, seeded perturbations) — the realistic shape of trained
+  *    embeddings, where each searcher's recall floor is pinned per
+  *    operator. IVF probes the query's own cluster, LSH buckets collapse
+  *    within a cluster, PQ codebooks align with the planted structure.
+  *
+  * 2. The sf0.001 fixture corpus — UNIFORM-random vectors, the worst case
+  *    for any locality structure (cosine neighbors of random points are
+  *    barely closer than non-neighbors). Absolute recall is legitimately
+  *    low there; what is pinned is the invariant that paying more probes
+  *    buys recall: multiprobe >= single-bucket LSH, plus each operator's
+  *    measured value as a regression floor.
+  */
+class SimilarityRecallSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private def recallAt10(e: DataFrame, queries: Seq[Long],
+      op: (DataFrame, Long) => DataFrame): Double = {
+    val rs = queries.map { q =>
+      val gt = ids(Similarity.bruteForceTopK(e, q, 10))
+      ids(op(e, q)).intersect(gt).size / 10.0
+    }
+    rs.sum / rs.size
+  }
+
+  private lazy val planted: DataFrame = {
+    val rnd = new java.util.Random(42)
+    val dim = 64
+    val cents = Array.fill(10, dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = for (c <- 0 until 10; m <- 0 until 50) yield {
+      val v = cents(c).map(x => x + (rnd.nextFloat() * 0.1f - 0.05f))
+      (c * 50L + m, v, c)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("planted clusters: every searcher recovers the local structure") {
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val lsh = recallAt10(planted, queries, Similarity.lshSearch(_, _, 10))
+    val multi = recallAt10(planted, queries, Similarity.lshMultiprobe(_, _, 10))
+    val ivf = recallAt10(planted, queries, Similarity.ivfSearch(_, _, 10))
+    val pq = recallAt10(planted, queries, Similarity.pqSearch(_, _, 10))
+    info(f"planted recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f")
+    assert(ivf >= 0.99, s"ivf recall $ivf — the coarse quantizer should be exact on planted clusters")
+    assert(lsh >= 0.7, s"lsh recall $lsh (measured 0.72)")
+    assert(multi >= 0.99, s"multiprobe recall $multi (measured 1.00)")
+    // PQ with a 10-codeword codebook resolves CLUSTERS, not members: every
+    // same-cluster vector encodes identically, so within-cluster ranking is
+    // tie-broken by id and recall@10 ~ 10/50. The property PQ does promise
+    // at this codebook size is cluster-level precision: every returned id
+    // is from the query's planted cluster.
+    assert(pq >= 0.2, s"pq recall $pq (measured 0.24)")
+    val pqGot = ids(Similarity.pqSearch(planted, 150L, 10))
+    assert(pqGot.forall(id => id / 50L == 3L),
+      s"pq returned out-of-cluster ids: ${pqGot.filterNot(_ / 50L == 3L)}")
+  }
+
+  test("uniform-random corpus: probes buy recall; measured floors hold") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val queries = Seq(0L, 101L, 202L, 303L, 404L)
+    val lsh = recallAt10(e, queries, Similarity.lshSearch(_, _, 10))
+    val multi = recallAt10(e, queries, Similarity.lshMultiprobe(_, _, 10))
+    val ivf = recallAt10(e, queries, Similarity.ivfSearch(_, _, 10))
+    val pq = recallAt10(e, queries, Similarity.pqSearch(_, _, 10))
+    info(f"uniform recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f")
+    // measured on the fixed corpus: lsh 0.02, multiprobe 0.12, ivf 0.18,
+    // pq 0.14 — regression floors, not aspirations (random vectors carry
+    // no locality for any structure to exploit)
+    assert(multi >= lsh, s"multiprobe $multi below single-bucket lsh $lsh")
+    assert(multi >= 0.10, s"multiprobe recall $multi")
+    assert(ivf >= 0.15, s"ivf recall $ivf")
+    assert(pq >= 0.10, s"pq recall $pq")
+  }
+}
