@@ -377,26 +377,50 @@ final class Hdf5File(bytes: Array[Byte]) {
       * recorded at heap-insert time). Built lazily — most heaps have no
       * huge objects and an undefined btree address.
       */
-    private lazy val hugeObjects: Map[Long, (Long, Long)] = {
+    private lazy val hugeObjects: Map[Long, (Long, Long, Long)] = {
       if (undef(hugeBtreeAddr)) Map.empty
-      else btreeV2Walk(hugeBtreeAddr, 1).recs.map { r =>
-        val addr = offAt(r)
-        val len = lenAt(r + offsetSize)
-        val id = lenAt(r + offsetSize + lengthSize)
-        id -> ((addr, len))
-      }.toMap
+      else if (filtered)
+        // type-2 records (filtered huge, indirectly accessed): address +
+        // filtered length + filter mask (4) + memory size + id
+        btreeV2Walk(hugeBtreeAddr, 2).recs.map { r =>
+          val addr = offAt(r)
+          val flen = lenAt(r + offsetSize)
+          val memSize = lenAt(r + offsetSize + lengthSize + 4)
+          val id = lenAt(r + offsetSize + 2 * lengthSize + 4)
+          id -> ((addr, flen, memSize))
+        }.toMap
+      else
+        btreeV2Walk(hugeBtreeAddr, 1).recs.map { r =>
+          val addr = offAt(r)
+          val len = lenAt(r + offsetSize)
+          val id = lenAt(r + offsetSize + lengthSize)
+          id -> ((addr, len, len))
+        }.toMap
     }
 
     /** Readable position of the object whose heap ID starts at idPos.
       * Handles all three ID types: managed (resolved through the
       * direct-block geometry), TINY (payload inline in the ID — copied to
       * the extension space so callers parse it like any other position),
-      * and HUGE (indirectly accessed via the heap's type-1 v2 B-tree;
-      * the directly-embedded variant only exists for IDs wide enough to
-      * hold address+length, which standard 7-byte group/attribute heaps
-      * never are). Filtered huge objects fail fast.
+      * and HUGE (indirectly accessed via the heap's type-1/type-2 v2
+      * B-tree; the directly-embedded variant only exists for IDs wide
+      * enough to hold address+length, which standard 7-byte
+      * group/attribute heaps never are).
+      *
+      * Memoized per ID position: TINY (and filtered-huge) resolution
+      * appends to the extension scratch, so re-enumerating the same group
+      * would otherwise copy the scratch array per call (quadratic growth).
       */
+    private val objPosCache = new java.util.HashMap[Integer, Integer]()
     def objPos(idPos: Int): Int = {
+      val cached = objPosCache.get(idPos)
+      if (cached != null) return cached
+      val r = objPosUncached(idPos)
+      objPosCache.put(idPos, r)
+      r
+    }
+
+    private def objPosUncached(idPos: Int): Int = {
       val idFlags = u8(idPos)
       ((idFlags >> 4) & 0x3) match {
         case 0 => // managed
@@ -418,15 +442,33 @@ final class Hdf5File(bytes: Array[Byte]) {
           var i = 0
           while (i < len) { payload(i) = u8(at + i).toByte; i += 1 }
           addScratch(payload)
-        case 1 => // huge, indirectly accessed (btree-tracked)
-          require(!filtered, "filtered huge heap objects unsupported")
-          var id = 0L
-          var b = 0
-          // the id occupies the remaining heapIdLen - 1 bytes
-          while (b < heapIdLen - 1) { id |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
-          val (addr, _) = hugeObjects.getOrElse(id,
-            sys.error(s"huge heap object $id not in the huge btree"))
-          addr.toInt
+        case 1 => // huge. Sub-variant decided exactly as libhdf5 does: the
+          // id is DIRECT (location embedded in the id itself) when the
+          // id's payload width fits address + length (+ mask + memory size
+          // when filtered); otherwise it is a key into the heap's huge
+          // btree (type-1 records; type-2 with the filtered extras). A
+          // filtered huge object is individually deflated either way and
+          // inflates on first access.
+          val directWidth =
+            offsetSize + lengthSize + (if (filtered) 4 + lengthSize else 0)
+          if (heapIdLen - 1 >= directWidth) {
+            val addr = offAt(idPos + 1)
+            val len = lenAt(idPos + 1 + offsetSize)
+            if (filtered) {
+              val memSize = lenAt(idPos + 1 + offsetSize + lengthSize + 4)
+              addScratch(inflate(bytes, addr.toInt, len.toInt, maxOut = memSize.toInt))
+            } else addr.toInt
+          } else {
+            var id = 0L
+            var b = 0
+            // the id occupies the remaining heapIdLen - 1 bytes
+            while (b < heapIdLen - 1) { id |= (u8(idPos + 1 + b).toLong << (8 * b)); b += 1 }
+            val (addr, len, memSize) = hugeObjects.getOrElse(id,
+              sys.error(s"huge heap object $id not in the huge btree"))
+            if (filtered)
+              addScratch(inflate(bytes, addr.toInt, len.toInt, maxOut = memSize.toInt))
+            else addr.toInt
+          }
         case t => sys.error(s"unsupported heap id type $t")
       }
     }
@@ -612,27 +654,32 @@ final class Hdf5File(bytes: Array[Byte]) {
       val nameSize = u16(p + 2)
       val dtSize = u16(p + 4)
       val dsSize = u16(p + 6)
-      val (namePos, dtPos, dsPos, dataPos) = version match {
+      val (namePos, dtPos, dsPos, dataPos, dtShared, dsShared) = version match {
         case 1 =>
-          // v1: fields padded to 8-byte multiples
+          // v1: fields padded to 8-byte multiples; no flags byte (libhdf5
+          // bumps the attribute version when it shares a field)
           val np = p + 8
           val dt = np + pad8(nameSize)
           val ds = dt + pad8(dtSize)
-          (np, dt, ds, ds + pad8(dsSize))
+          (np, dt, ds, ds + pad8(dsSize), false, false)
         case 2 | 3 =>
           // v2/v3: unpadded; v2 has a flags byte at +1, v3 adds a name
-          // character-set byte before the name
+          // character-set byte before the name. Flag bits 0/1: the
+          // datatype/dataspace field holds a Shared Message record
+          // instead of the inline message (committed datatypes / SOHM).
           val flags = u8(p + 1)
-          require((flags & 0x03) == 0, "shared attribute datatype/dataspace unsupported")
+          require((flags & ~0x03) == 0, s"unsupported attribute flags $flags")
           val np = if (version == 3) p + 9 else p + 8
           val dt = np + nameSize
           val ds = dt + dtSize
-          (np, dt, ds, ds + dsSize)
+          (np, dt, ds, ds + dsSize, (flags & 0x01) != 0, (flags & 0x02) != 0)
         case v => sys.error(s"unsupported attribute message version $v")
       }
       val name = cstring(namePos)
-      val dt = parseDatatype(dtPos)
-      val dims = parseDataspace(dsPos)
+      val dt = parseDatatype(
+        if (dtShared) sharedMessagePos(dtPos, 0x0003) else dtPos)
+      val dims = parseDataspace(
+        if (dsShared) sharedMessagePos(dsPos, 0x0001) else dsPos)
       val nL = dims.product.max(1L)
       require(nL <= 65536, s"implausible attribute cardinality $nL")
       name -> readScalarOrArray(dt, dataPos, nL.toInt)
@@ -640,6 +687,30 @@ final class Hdf5File(bytes: Array[Byte]) {
   }
 
   private def pad8(n: Int): Int = (n + 7) & ~7
+
+  /** Resolve a Shared Message field (spec IV.A "Shared Message" storage,
+    * reached from attribute flag bits 0/1) to the position of the target
+    * message body. Version 1: version + type + 6 reserved + address;
+    * version 2: version + type + address; version 3: version + type, then
+    * for type 2 ("message in another object's header" — committed
+    * datatypes) the target header address. Type 1 (SOHM fractal heap)
+    * requires file-creation-time SOHM config no ODIM writer enables —
+    * fail fast by name.
+    */
+  private def sharedMessagePos(fieldPos: Int, wantType: Int): Int = {
+    val ver = u8(fieldPos)
+    val addr = ver match {
+      case 1 => offAt(fieldPos + 8)
+      case 2 => offAt(fieldPos + 2)
+      case 3 =>
+        val st = u8(fieldPos + 1)
+        require(st == 2, s"SOHM-heap shared message (sub-type $st) unsupported")
+        offAt(fieldPos + 2)
+      case v => sys.error(s"unsupported shared message version $v")
+    }
+    objectHeader(addr).find(_.typ == wantType).map(_.pos).getOrElse(
+      sys.error(f"shared message target @$addr has no message of type 0x$wantType%04x"))
+  }
 
   private def readScalarOrArray(dt: Dtype, p: Int, n: Int): Any = {
     def one(q: Int): Any = dt.clazz match {

@@ -223,6 +223,61 @@ class Hdf5ModernSpec extends AnyFunSuite {
     assert(f.dataset(f.resolve("small_4").get).values.toSeq == Seq(54.0))
   }
 
+  test("FILTERED huge heap objects: deflated bodies via type-2 btree records") {
+    // filtered heap + maxManaged 64 -> oversized link bodies are
+    // individually deflated; (addr, filtered len, mask, memory size, id)
+    // ride the type-2 v2 B-tree and the reader inflates on access
+    val children =
+      (0 until 5).map(i => f"huge_$i%d_" + "n" * 70 ->
+        (WDataset(Nil, Array(1L), Array(i * 7.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node)) ++
+      (0 until 5).map(i => s"small_$i" ->
+        (WDataset(Nil, Array(1L), Array(i + 50.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node))
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapMaxManaged = 64, heapFiltered = true)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 10)
+    assert(f.dataset(f.resolve("huge_2_" + "n" * 70).get).values.toSeq == Seq(14.0))
+    assert(f.dataset(f.resolve("huge_4_" + "n" * 70).get).values.toSeq == Seq(28.0))
+    assert(f.dataset(f.resolve("small_4").get).values.toSeq == Seq(54.0))
+  }
+
+  test("DIRECT huge heap ids embed the object location, no btree") {
+    // idLen 18 (payload 17 >= addr 8 + size 8): libhdf5 stores huge
+    // objects' locations in the id itself and writes no huge btree
+    val children =
+      (0 until 3).map(i => f"huge_$i%d_" + "n" * 70 ->
+        (WDataset(Nil, Array(1L), Array(i * 3.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node)) ++
+      (0 until 7).map(i => s"small_$i" ->
+        (WDataset(Nil, Array(1L), Array(i + 9.0), isInt = false,
+          elemSize = 8): MiniHdf5Writer.Node))
+    val f = Hdf5File(MiniHdf5Writer.write(
+      WGroup(Nil, children, heapMaxManaged = 64, heapIdLen = 18)))
+    assert(f.groupChildren(f.rootHeaderAddr).size == 10)
+    assert(f.dataset(f.resolve("huge_1_" + "n" * 70).get).values.toSeq == Seq(3.0))
+    assert(f.dataset(f.resolve("small_6").get).values.toSeq == Seq(15.0))
+  }
+
+  test("SHARED attribute datatype/dataspace resolve through committed headers") {
+    // v3 attributes with flag bits 0/1: the dt/ds fields hold 10-byte
+    // shared-message pointers at committed object headers instead of the
+    // inline messages
+    val g = WGroup(Seq(
+      "plain" -> 7L,
+      "shared_dt" -> MiniHdf5Writer.SharedAttr(3.5, shareDt = true),
+      "shared_both" -> MiniHdf5Writer.SharedAttr(Vector(1L, 2L, 3L),
+        shareDt = true, shareDs = true),
+      "shared_ds_str" -> MiniHdf5Writer.SharedAttr("hello", shareDt = false,
+        shareDs = true)), Nil)
+    val f = Hdf5File(MiniHdf5Writer.write(g))
+    val attrs = f.attributes(f.rootHeaderAddr)
+    assert(attrs("plain") == 7L)
+    assert(attrs("shared_dt") == 3.5)
+    assert(attrs("shared_both") == Vector(1L, 2L, 3L))
+    assert(attrs("shared_ds_str") == "hello")
+  }
+
   test("2-D chunk grids with multiple columns reassemble correctly") {
     // 6x8 dataset cut into 3x4 chunks -> 2x2 chunk grid: a max()-based
     // linear offset would collapse the (0,4) and (3,0) chunks onto the same

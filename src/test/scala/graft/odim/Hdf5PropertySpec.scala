@@ -98,10 +98,13 @@ class Hdf5PropertySpec extends AnyFunSuite {
       maxDirect <- Gen.oneOf(65536L, 1024L)
       filtered <- Gen.oneOf(true, false)
       idLen <- Gen.oneOf(7, 18)
-      // huge objects in a FILTERED heap are individually filtered
-      // (type-2/3 records) — neither side implements that; keep huge
-      // bodies out of filtered heaps
-      maxManaged <- if (filtered) Gen.const(4096) else Gen.oneOf(4096, 64)
+      // all four (idLen, filtered) x huge combos are real shapes now:
+      // idLen=7 -> btree-tracked huge (type-1; type-2 with filtered
+      // extras when the heap is filtered); idLen=18 unfiltered -> DIRECT
+      // huge ids (libhdf5's threshold: id payload 17 >= addr+size 16);
+      // idLen=18 filtered stays btree-tracked (filtered direct needs
+      // payload >= 28, i.e. idLen >= 29)
+      maxManaged <- Gen.oneOf(4096, 64)
       pad <- Gen.choose(0, 120) // name padding drives body size / kind
       seed <- Gen.choose(0, 1000)
     } yield (nLinks, maxDirect, filtered, idLen, maxManaged, pad, seed)) {

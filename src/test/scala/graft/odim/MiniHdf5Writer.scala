@@ -18,6 +18,16 @@ import java.nio.{ByteBuffer, ByteOrder}
 object MiniHdf5Writer {
 
   sealed trait Node
+
+  /** Attribute-value wrapper: store the datatype and/or dataspace as
+    * Shared Messages (v3, sub-type 2 = "message in another object's
+    * header") — each shared field becomes a 10-byte pointer at a committed
+    * object header written before the attribute, and the attribute's flag
+    * bits 0/1 are set. The shape libhdf5 emits for attributes of committed
+    * datatypes.
+    */
+  final case class SharedAttr(value: Any, shareDt: Boolean = true,
+      shareDs: Boolean = false)
   /** denseDepth: when the link set goes dense (> 8 links), index it with a
     * v2 B-tree of this depth (0 = single leaf; 1-2 = BTIN levels, the shape
     * libhdf5 produces for groups with hundreds/thousands of links).
@@ -124,10 +134,18 @@ object MiniHdf5Writer {
     b.array()
   }
 
-  /** v3 attribute message body (unpadded, with name-encoding byte). */
-  private def attrMsg(name: String, value: Any): Array[Byte] = {
+  /** v3 attribute message body (unpadded, with name-encoding byte).
+    * A [[SharedAttr]] value stores its datatype/dataspace as committed
+    * object headers written to `o` first, referenced by 10-byte v3
+    * sub-type-2 Shared Message records, with the attribute flag bits set.
+    */
+  private def attrMsg(o: Out, name: String, value0: Any): Array[Byte] = {
+    val (value, shareDt, shareDs) = value0 match {
+      case SharedAttr(v, sdt, sds) => (v, sdt, sds)
+      case v => (v, false, false)
+    }
     val nameB = name.getBytes("UTF-8") :+ 0.toByte
-    val (dt, ds, data) = value match {
+    val (dt0, ds0, data) = value match {
       case v: Long =>
         val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
         (dtInt(8), dataspace(Array.empty), d)
@@ -147,9 +165,18 @@ object MiniHdf5Writer {
         (dtFloat(8), dataspace(Array(v.length.toLong)), b.array())
       case v => sys.error(s"unsupported attribute value $v (${v.getClass})")
     }
+    def sharedPtr(msgType: Int, body: Array[Byte]): Array[Byte] = {
+      val addr = writeHeader(o, Seq(msgType -> body))
+      val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.putLong(addr) // v3, in-header
+      b.array()
+    }
+    val dt = if (shareDt) sharedPtr(0x0003, dt0) else dt0
+    val ds = if (shareDs) sharedPtr(0x0001, ds0) else ds0
+    val flags = (if (shareDt) 1 else 0) | (if (shareDs) 2 else 0)
     val b = ByteBuffer.allocate(9 + nameB.length + dt.length + ds.length + data.length)
       .order(ByteOrder.LITTLE_ENDIAN)
-    b.put(3.toByte); b.put(0.toByte)
+    b.put(3.toByte); b.put(flags.toByte)
     b.putShort(nameB.length.toShort); b.putShort(dt.length.toShort); b.putShort(ds.length.toShort)
     b.put(0.toByte) // name encoding: ASCII
     b.put(nameB); b.put(dt); b.put(ds); b.put(data)
@@ -218,11 +245,9 @@ object MiniHdf5Writer {
       if (b.length <= tinyMax) Tiny
       else if (b.length > maxManaged) Huge
       else Managed)
-    // huge objects in a filtered heap are individually filtered (btree
-    // type-2/3 records) — not implemented on either side; refuse rather
-    // than write raw bytes a real reader would try to inflate
-    require(!(filtered && bodyKind.contains(Huge)),
-      "filtered huge heap objects unsupported by this writer")
+    // huge objects in a filtered heap are individually deflated and
+    // tracked by type-2 btree records (addr + filtered len + mask +
+    // memory size + id) instead of type-1 (addr + len + id)
     val maxDirectRows = log2(maxDirect) - log2(HeapStartBlock) + 2
     val firstRowBits = log2(HeapStartBlock) + log2(HeapWidth.toLong)
     def slotSize(row: Int): Long =
@@ -272,18 +297,39 @@ object MiniHdf5Writer {
         cursor += b.length
       }
     }
-    // huge bodies: raw bytes at their own addresses + btree records
+    // huge bodies: bytes (deflated when the heap is filtered) at their own
+    // addresses. DIRECT regime (libhdf5's rule: id payload fits
+    // addr + size (+ mask + memsize when filtered)) embeds the location in
+    // the heap ID itself and writes no btree; otherwise (addr, len[, mask,
+    // memsize], id) records ride the type-1 (type-2 when filtered) btree.
+    val hugeDirect = idLen - 1 >= 8 + 8 + (if (filtered) 4 + 8 else 0)
     val hugeIds = scala.collection.mutable.Map.empty[Int, Long]
+    val hugeLoc = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
     val hugeRecords = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     bodies.zipWithIndex.foreach { case (b, i) =>
       if (bodyKind(i) == Huge) {
+        val stored = if (filtered) deflate(b) else b
         val addr = o.pos.toLong
-        o.bytes(b)
-        val id = hugeIds.size + 1L
-        hugeIds(i) = id
-        val rec = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-        rec.putLong(addr); rec.putLong(b.length.toLong); rec.putLong(id)
-        hugeRecords += rec.array()
+        o.bytes(stored)
+        hugeLoc(i) = (addr, stored.length.toLong, b.length.toLong)
+        if (!hugeDirect) {
+          val id = hugeIds.size + 1L
+          hugeIds(i) = id
+          val rec =
+            if (filtered) {
+              val r = ByteBuffer.allocate(36).order(ByteOrder.LITTLE_ENDIAN)
+              r.putLong(addr); r.putLong(stored.length.toLong)
+              r.putInt(0) // filter mask
+              r.putLong(b.length.toLong) // memory (inflated) size
+              r.putLong(id)
+              r
+            } else {
+              val r = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+              r.putLong(addr); r.putLong(b.length.toLong); r.putLong(id)
+              r
+            }
+          hugeRecords += rec.array()
+        }
       }
     }
     val used = leaves.filter(_.items.nonEmpty)
@@ -383,7 +429,7 @@ object MiniHdf5Writer {
     // huge btree (after the objects, before the header)
     val hugeBtreeAddr: Long =
       if (hugeRecords.isEmpty) Undef
-      else writeBtreeV2(o, 1, hugeRecords.toSeq)
+      else writeBtreeV2(o, if (filtered) 2 else 1, hugeRecords.toSeq)
     val managed = leaves.map(l => l.startOff + l.size).maxOption.getOrElse(0L)
     // deflate filter pipeline description (version 2, one filter: id 1
     // deflate, no flags, one client value) — the reader records its length
@@ -447,9 +493,17 @@ object MiniHdf5Writer {
           }
         case Huge =>
           id(0) = 0x10.toByte
-          var v = hugeIds(i)
-          var k = 0
-          while (k < idLen - 1) { id(k + 1) = (v & 0xff).toByte; v >>= 8; k += 1 }
+          if (hugeDirect) {
+            val (addr, storedLen, memLen) = hugeLoc(i)
+            val bb = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+            bb.position(1)
+            bb.putLong(addr); bb.putLong(storedLen)
+            if (filtered) { bb.putInt(0); bb.putLong(memLen) }
+          } else {
+            var v = hugeIds(i)
+            var k = 0
+            while (k < idLen - 1) { id(k + 1) = (v & 0xff).toByte; v >>= 8; k += 1 }
+          }
         case Managed =>
           val bb = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
           bb.put(0.toByte); bb.putInt(heapOffsets(i)); bb.putShort(b.length.toShort)
@@ -589,9 +643,9 @@ object MiniHdf5Writer {
     * referenced by one attribute-info (0x0015) message.
     */
   private def attrMessages(o: Out, attrs: Seq[(String, Any)]): Seq[(Int, Array[Byte])] =
-    if (attrs.length <= 8) attrs.map(a => 0x000C -> attrMsg(a._1, a._2))
+    if (attrs.length <= 8) attrs.map(a => 0x000C -> attrMsg(o, a._1, a._2))
     else {
-      val bodies = attrs.map(a => attrMsg(a._1, a._2))
+      val bodies = attrs.map(a => attrMsg(o, a._1, a._2))
       val (frhpAddr, heapIds) = writeFractalHeap(o, bodies)
       val records = bodies.indices.map { i =>
         val b = ByteBuffer.allocate(8 + 1 + 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
