@@ -1069,15 +1069,17 @@ object Dedup {
     val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc).select(col("h"))
     val flagged = wins.join(rep, Seq("h"), "left_semi")
-    // gaps-and-islands: a window starts a new span iff it begins past the
-    // running max end of all earlier windows in the doc
+    // gaps-and-islands: a window starts a new span iff its coverage leaves
+    // a GAP after the running max end of all earlier windows in the doc —
+    // pos > prevEnd + 1, so exactly-abutting coverage ([..e] then [e+1..])
+    // merges into one maximal span
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + k - 1).over(
       byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
     flagged
       .withColumn("new_span",
-        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+        when(col("pos") > coalesce(prevEnd, lit(-2L)) + 1L, 1L).otherwise(0L))
       .withColumn("span_id", sum(col("new_span")).over(byDoc))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("pos")).cast("long").as("span_start"),
@@ -1104,7 +1106,7 @@ object Dedup {
        |  SELECT doc_id, pos,
        |    CASE WHEN pos > COALESCE(max(pos + $SpanK - 1) OVER (
        |           PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
        |         THEN 1 ELSE 0 END AS new_span
        |  FROM flagged),
        |spans AS (

@@ -117,6 +117,16 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.repeatedSpans(selfRep, k = 5, maxOcc = 1)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((0L, 4L), (7L, 11L)), s"got $got")
+    // EXACTLY-abutting coverage merges: doc 20's flagged windows cover
+    // [0,4] and [5,9] with no overlap and no gap -> ONE maximal span
+    val abut = Seq(
+      (20L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (21L, "a1 a2 a3 a4 a5 z1 z2 z3 z4"),
+      (22L, "q1 q2 q3 q4 b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val merged = Dedup.repeatedSpans(abut, k = 5, maxOcc = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == Set((20L, 0L, 9L, 2L), (21L, 0L, 4L, 1L), (22L, 4L, 8L, 1L)),
+      s"got $merged")
   }
 
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
