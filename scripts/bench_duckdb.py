@@ -17,7 +17,10 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-# keep in sync with QueryDef(bench = true) entries in the Scala registry
+# keep in sync with QueryDef(bench = true) entries in the Scala registry.
+# q_odim_ingest is bench=true but deliberately ABSENT: its oracle SQL reads
+# the Spark-staged self-consistency parquet back (DuckDB cannot decode
+# HDF5), which would be a no-op read, not a baseline.
 BENCH = """q1_pricing_summary q2_filter_pushdown q3_shipping_priority
 q5_local_supplier_volume q_anti_join q_agg_coverage q_window_lag
 q_stream_tumbling q_asof_join q_dedup_exact q_dedup_minhash_sig
