@@ -24,15 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy flag) and floor-divide to micros —
-    * exact integer arithmetic, matching DuckDB's ns->us truncation.
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across testdata generations; adapt to whichever is on disk. NANOS is
+    * read as raw longs (vectorized reader rejects it otherwise) and
+    * floor-divided to micros — exact integer arithmetic, matching DuckDB's
+    * ns->us truncation. MICROS arrives as TIMESTAMP_NTZ (inferTimestampNTZ)
+    * and is cast to session-time TIMESTAMP — value-preserving under the
+    * UTC session timezone every entry point sets.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -13,25 +13,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema with ts as raw nanos (see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming source over the events table (file stream; new files = new
-    * micro-batches).
+    * micro-batches). A file stream needs its schema declared up front, and
+    * events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across testdata generations — so peek at the on-disk footer via the
+    * batch reader (driver-side, one footer) and declare the stream schema
+    * to match, normalizing ts to session-time TIMESTAMP either way.
     */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val onDisk = graft.Tables(spark, dir, "events").schema
+    val reader = spark.readStream
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk("ts").dataType match {
+      case LongType => reader.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => reader
+      case _ => reader.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 5-minute aggregation with a 10-minute watermark — the
