@@ -238,6 +238,112 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Fixed retrieval query for the TF-IDF / BM25 entries. Mid-frequency
+    * terms of the synthetic vocabulary so tf and df both vary.
+    */
+  val QueryTerms = Seq("vector", "stream", "spark")
+
+  /** Per-document term-frequency + doc-length scan joined to the one-row
+    * corpus statistics (N, sum dl, per-term df) — ONE corpus scan for the
+    * stats (partial-agg'd to a single row), one for the scoring projection,
+    * stitched by a one-row broadcast crossJoin. At 100 TB the stats side is
+    * a map-side-combined full reduce (bytes of state) and the scoring side
+    * stays a narrow codegen'd projection — no per-key shuffle anywhere.
+    */
+  private def termStatsJoined(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id") +: size(w).as("dl") +:
+        QueryTerms.map(t => size(filter(w, x => x === t)).as(s"tf_$t")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        QueryTerms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+    base.crossJoin(broadcast(stats))
+  }
+
+  private val termStatsSql: String = {
+    val tfs = QueryTerms.map(t =>
+      s"len(list_filter(ws, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+    val dfs = QueryTerms.map(t =>
+      s"sum(CAST(tf_$t > 0 AS BIGINT)) AS df_$t").mkString(", ")
+    s"""(SELECT doc_id, len(ws) AS dl,
+       |    $tfs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)) base
+       |CROSS JOIN (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs
+       |  FROM (SELECT len(string_split(text, ' ')) AS dl,
+       |    ${QueryTerms.map(t => s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t").mkString(",\n    ")}
+       |  FROM documents)) stats""".stripMargin
+  }
+
+  /** TF-IDF scoring vector per document with the linear idf N/df — every
+    * score is a SINGLE division of exact integers (tf*N over df), so the
+    * double is correctly rounded identically in both engines (the repo's
+    * no-transcendentals determinism rule; ln-idf would risk last-ulp
+    * divergence between libm implementations).
+    */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val scores = QueryTerms.map { t =>
+      (col(s"tf_$t") * col("n_docs")).cast("double")
+        ./(col(s"df_$t").cast("double")).as(s"tfidf_$t")
+    }
+    termStatsJoined(s, dir)
+      .select(col("doc_id") +: col("dl") +:
+        QueryTerms.map(t => col(s"tf_$t")) ++: scores: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextTfidfSql: String = {
+    val scores = QueryTerms.map(t =>
+      s"CAST(tf_$t * n_docs AS DOUBLE) / CAST(df_$t AS DOUBLE) AS tfidf_$t").mkString(",\n  ")
+    s"""SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
+       |  $scores
+       |FROM $termStatsSql
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** BM25 top-k retrieval (k1=1.2, b=0.75) in EXACT-RATIONAL form: with
+    * k1=6/5 and b=3/4 the tf-part collapses to
+    * 22*tf*sumdl / (10*tf*sumdl + 3*sumdl + 9*dl*N) and the (linear,
+    * Robertson-numerator) idf-part to (2N-2df+1)/(2df+1) — each a single
+    * correctly-rounded division of exact int64s, their product and the
+    * fixed-order sum over query terms bit-identical across engines. The
+    * int64 numerators stay < 2^63 up to ~10^12 corpus tokens; beyond that
+    * split the division per factor (still exact) or go DECIMAL.
+    */
+  def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+    val scores = QueryTerms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val idf = (col("n_docs") * 2 - df * 2 + 1).cast("double")
+        ./((df * 2 + 1).cast("double"))
+      val tp = (tf * col("sum_dl") * 22).cast("double")
+        ./((tf * col("sum_dl") * 10 + col("sum_dl") * 3 + col("dl") * col("n_docs") * 9).cast("double"))
+      (idf * tp).as(s"bm25_$t")
+    }
+    termStatsJoined(s, dir)
+      .select(col("doc_id") +: col("dl") +: scores: _*)
+      .withColumn("bm25",
+        QueryTerms.map(t => col(s"bm25_${t}")).reduceLeft(_ + _))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qTextBm25Sql: String = {
+    val scores = QueryTerms.map { t =>
+      s"""(CAST(n_docs * 2 - df_$t * 2 + 1 AS DOUBLE) / CAST(df_$t * 2 + 1 AS DOUBLE))
+         | * (CAST(tf_$t * sum_dl * 22 AS DOUBLE) / CAST(tf_$t * sum_dl * 10 + sum_dl * 3 + dl * n_docs * 9 AS DOUBLE)) AS bm25_$t""".stripMargin
+    }
+    s"""SELECT doc_id, dl, ${QueryTerms.map(t => s"bm25_$t").mkString(", ")},
+       |  ${QueryTerms.map(t => s"bm25_$t").mkString(" + ")} AS bm25
+       |FROM (
+       |  SELECT doc_id, dl,
+       |  ${scores.mkString(",\n  ")}
+       |  FROM $termStatsSql)
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_topk_words", qTopkWords, Some(qTopkWordsSql)),
     QueryDef("q_quality_filter_pipeline", qQualityFilterPipeline, Some(qQualityFilterPipelineSql)),
@@ -247,5 +353,7 @@ object TextOps {
     QueryDef("q_text_lang_ngram", qTextLangNgram, Some(qTextLangNgramSql)),
     QueryDef("q_text_tokens", qTextTokens, Some(qTextTokensSql), bench = true),
     QueryDef("q_text_fingerprint", qTextFingerprint, Some(qTextFingerprintSql)),
+    QueryDef("q_text_tfidf", qTextTfidf, Some(qTextTfidfSql)),
+    QueryDef("q_text_bm25", qTextBm25, Some(qTextBm25Sql), bench = true),
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.vpts.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TF-IDF / BM25 retrieval: scores re-derived independently from the raw
+  * table with the same exact-rational arithmetic (single correctly-rounded
+  * divisions of exact int64s), so equality is bitwise `==`, not approx.
+  */
+class TextRetrievalSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** (doc_id -> (dl, tf per term)), N, sumdl, df per term — driver-side
+    * recompute from the raw parquet, independent of the operator code.
+    */
+  private lazy val corpus: (Map[Long, (Long, Seq[Long])], Long, Long, Seq[Long]) = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val per = docs.map { case (id, ws) =>
+      id -> (ws.length.toLong, TextOps.QueryTerms.map(t => ws.count(_ == t).toLong))
+    }.toMap
+    val n = docs.length.toLong
+    val sumdl = per.valuesIterator.map(_._1).sum
+    val dfs = TextOps.QueryTerms.indices.map(i =>
+      per.valuesIterator.count(_._2(i) > 0).toLong)
+    (per, n, sumdl, dfs)
+  }
+
+  test("tfidf scores are exactly tf*N/df, zero iff the term is absent") {
+    val (per, n, _, dfs) = corpus
+    val rows = TextOps.qTextTfidf(spark, sfDir).collect()
+    assert(rows.length == per.size)
+    rows.foreach { r =>
+      val (dl, tfs) = per(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("dl").toLong == dl)
+      TextOps.QueryTerms.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getAs[Int](s"tf_$t").toLong == tfs(i))
+        val expect = (tfs(i) * n).toDouble / dfs(i).toDouble
+        assert(r.getAs[Double](s"tfidf_$t") == expect, s"tfidf_$t of doc ${r.get(0)}")
+        assert((expect == 0.0) == (tfs(i) == 0L))
+      }
+    }
+  }
+
+  private def bm25Score(dl: Long, tfs: Seq[Long], n: Long, sumdl: Long, dfs: Seq[Long]): Double =
+    TextOps.QueryTerms.indices.map { i =>
+      val idf = (n * 2 - dfs(i) * 2 + 1).toDouble / (dfs(i) * 2 + 1).toDouble
+      val tp = (tfs(i) * sumdl * 22).toDouble /
+        (tfs(i) * sumdl * 10 + sumdl * 3 + dl * n * 9).toDouble
+      idf * tp
+    }.reduceLeft(_ + _)
+
+  test("bm25 top-10 equals the independently-computed rational scores") {
+    val (per, n, sumdl, dfs) = corpus
+    val expect = per.toSeq
+      .map { case (id, (dl, tfs)) => (id, bm25Score(dl, tfs, n, sumdl, dfs)) }
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(10)
+    val got = TextOps.qTextBm25(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    assert(got.toSeq == expect)
+  }
+
+  test("bm25 plan: one-row broadcast stats join, top-k without a global sort") {
+    val p = TextOps.qTextBm25(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin"), "stats must arrive as a one-row broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no keyed shuffle join belongs in this plan")
+  }
+}
