@@ -635,6 +635,128 @@ object Similarity {
        |ORDER BY adist, vec_id
        |LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- SQ8 --
+
+  /** Scalar quantization (SQ8): per-dimension [lo,hi] trained over the
+    * corpus, each component encoded to an 8-bit level, searched with the
+    * asymmetric (ADC) reconstruction distance — the third classic ANN
+    * compression next to IVF and PQ, and the cheapest: 64 bytes/vector,
+    * encode and search both narrow codegen'd projections.
+    *
+    * Determinism: components are lifted at 2^12 (not the usual 2^20) so the
+    * 255-multiplied ADC arithmetic stays inside double-exact range: recon255
+    * = 255*lo + code*(hi-lo) <= ~2^22, squared diffs <= 2^44, summed over 64
+    * dims <= 2^50 < 2^53 — every distance an exact integer, no division
+    * anywhere in the ranking key. The 2^-12 lift error is far below the
+    * 8-bit quantization error SQ8 itself accepts.
+    *
+    * Scale: training is one posexplode + partial-agg'd min/max (shuffle
+    * collapses to partitions*Dim rows); bounds broadcast as one row; encode
+    * and search never exchange the n-row side (same plan family as
+    * qAnnIvfAssign).
+    */
+  private val SqScale = 4096 // 2^12
+
+  private def scaled12(e: Column): Column =
+    transform(e, x => round(x.cast("double") * SqScale))
+
+  private def scaled12ElemSql(e: String, i: String): String =
+    s"round(CAST(($e)[$i] AS DOUBLE) * $SqScale)"
+
+  /** Per-dim (dim, lo, hi) bounds over the scaled corpus (0-based dim). */
+  private def sqBoundsRows(e: DataFrame): DataFrame =
+    e.select(posexplode(scaled12(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** One-row (los, his) broadcast form of [[sqBoundsRows]]. */
+  private def sqBoundsArr(e: DataFrame): DataFrame =
+    sqBoundsRows(e)
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi")))).as("dlh"))
+      .select(expr("transform(dlh, p -> p.lo)").as("los"),
+        expr("transform(dlh, p -> p.hi)").as("his"))
+
+  private val sqBoundsSqlCtes: String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, $Dim+1), i -> ${scaled12ElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |comp AS (SELECT unnest(range(0, $Dim)) AS dim, unnest(v) AS x FROM e),
+       |b AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM comp GROUP BY dim),
+       |bl AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM b)""".stripMargin
+
+  def qAnnSqTrain(s: SparkSession, dir: String): DataFrame =
+    sqBoundsRows(Tables.embeddings(s, dir))
+      .select(col("dim"), col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"))
+      .orderBy(col("dim"))
+
+  val qAnnSqTrainSql: String =
+    s"""WITH $sqBoundsSqlCtes
+       |SELECT dim, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi FROM b
+       |ORDER BY dim""".stripMargin
+
+  /** The 8-bit level of component i (1-based), given los/his columns. */
+  private def sqCodeAt(v: Column, i: Column): Column = {
+    val x = element_at(v, i); val lo = element_at(col("los"), i); val hi = element_at(col("his"), i)
+    when(hi === lo, lit(0.0)).otherwise(round((x - lo) * 255 / (hi - lo)))
+  }
+
+  private def sqCodeAtSql(v: String): String =
+    s"CASE WHEN his[i] = los[i] THEN 0 ELSE round(($v[i] - los[i]) * 255 / (his[i] - los[i])) END"
+
+  def qAnnSqEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", scaled12(col("embedding")))
+    e.crossJoin(broadcast(sqBoundsArr(e)))
+      .select(col("vec_id"),
+        concat_ws(",", transform(sequence(lit(1), lit(Dim)),
+          i => sqCodeAt(col("v"), i).cast("long").cast("string"))).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qAnnSqEncodeSql: String =
+    s"""WITH $sqBoundsSqlCtes
+       |SELECT vec_id,
+       |  array_to_string(list_transform(range(1, $Dim+1),
+       |    i -> CAST(CAST(${sqCodeAtSql("v")} AS BIGINT) AS VARCHAR)), ',') AS codes
+       |FROM e, bl
+       |ORDER BY vec_id""".stripMargin
+
+  /** ADC search: data vectors quantized on the fly, the query kept exact;
+    * rank by the exact-integer sum of squared 255-multiplied diffs.
+    */
+  def sqSearch(e0: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = e0.withColumn("v", scaled12(col("embedding")))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val adist = aggregate(
+      transform(sequence(lit(1), lit(Dim)), { i =>
+        val lo = element_at(col("los"), i); val hi = element_at(col("his"), i)
+        val recon = lit(255) * lo + sqCodeAt(col("v"), i) * (hi - lo)
+        val d = recon - lit(255) * element_at(col("qv"), i)
+        d * d
+      }),
+      lit(0.0d), (acc, x) => acc + x)
+    e.crossJoin(broadcast(sqBoundsArr(e))).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adist.cast("long").as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  def qAnnSqSearch(s: SparkSession, dir: String): DataFrame =
+    sqSearch(Tables.embeddings(s, dir), 0L, 10)
+
+  val qAnnSqSearchSql: String =
+    s"""WITH $sqBoundsSqlCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT vec_id, CAST(list_sum(list_transform(
+       |    list_transform(range(1, $Dim+1),
+       |      i -> 255 * los[i] + (${sqCodeAtSql("v")}) * (his[i] - los[i]) - 255 * qv[i]),
+       |    d -> d * d)) AS BIGINT) AS adist
+       |FROM e, bl, q
+       |WHERE vec_id <> 0
+       |ORDER BY adist, vec_id
+       |LIMIT 10""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -646,5 +768,8 @@ object Similarity {
     QueryDef("q_ann_pq_encode", qAnnPqEncode, Some(qAnnPqEncodeSql)),
     QueryDef("q_ann_pq_search", qAnnPqSearch, Some(qAnnPqSearchSql)),
     QueryDef("q_ann_pq_train", qAnnPqTrain, Some(qAnnPqTrainSql)),
+    QueryDef("q_ann_sq_train", qAnnSqTrain, Some(qAnnSqTrainSql)),
+    QueryDef("q_ann_sq_encode", qAnnSqEncode, Some(qAnnSqEncodeSql)),
+    QueryDef("q_ann_sq_search", qAnnSqSearch, Some(qAnnSqSearchSql)),
   )
 }

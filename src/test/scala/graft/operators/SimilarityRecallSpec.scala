@@ -57,7 +57,8 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val multi = recallAt10(planted, queries, Similarity.lshMultiprobe(_, _, 10))
     val ivf = recallAt10(planted, queries, Similarity.ivfSearch(_, _, 10))
     val pq = recallAt10(planted, queries, Similarity.pqSearch(_, _, 10))
-    info(f"planted recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f")
+    val sq = recallAt10(planted, queries, Similarity.sqSearch(_, _, 10))
+    info(f"planted recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f sq=$sq%.2f")
     assert(ivf >= 0.99, s"ivf recall $ivf — the coarse quantizer should be exact on planted clusters")
     assert(lsh >= 0.7, s"lsh recall $lsh (measured 0.72)")
     assert(multi >= 0.99, s"multiprobe recall $multi (measured 1.00)")
@@ -67,6 +68,9 @@ class SimilarityRecallSpec extends AnyFunSuite {
     // at this codebook size is cluster-level precision: every returned id
     // is from the query's planted cluster.
     assert(pq >= 0.2, s"pq recall $pq (measured 0.24)")
+    // SQ8 keeps 255 levels per dim — quantization is far below the planted
+    // cluster separation, so ADC ranking matches the ground truth
+    assert(sq >= 0.9, s"sq recall $sq (measured 0.92)")
     val pqGot = ids(Similarity.pqSearch(planted, 150L, 10))
     assert(pqGot.forall(id => id / 50L == 3L),
       s"pq returned out-of-cluster ids: ${pqGot.filterNot(_ / 50L == 3L)}")
@@ -79,7 +83,8 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val multi = recallAt10(e, queries, Similarity.lshMultiprobe(_, _, 10))
     val ivf = recallAt10(e, queries, Similarity.ivfSearch(_, _, 10))
     val pq = recallAt10(e, queries, Similarity.pqSearch(_, _, 10))
-    info(f"uniform recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f")
+    val sq = recallAt10(e, queries, Similarity.sqSearch(_, _, 10))
+    info(f"uniform recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f sq=$sq%.2f")
     // measured on the fixed corpus: lsh 0.02, multiprobe 0.12, ivf 0.18,
     // pq 0.14 — regression floors, not aspirations (random vectors carry
     // no locality for any structure to exploit)
@@ -87,5 +92,9 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(multi >= 0.10, s"multiprobe recall $multi")
     assert(ivf >= 0.15, s"ivf recall $ivf")
     assert(pq >= 0.10, s"pq recall $pq")
+    // SQ8's quantization error is negligible, so unlike the bucketing
+    // searchers it tracks the exact ranking even on random vectors
+    // (measured 0.96; the gap to 1.0 is L2-vs-cosine ranking disagreement)
+    assert(sq >= 0.85, s"sq recall $sq")
   }
 }
