@@ -67,6 +67,49 @@ object ScalePatterns {
     * (~1.2 MB per million keys at fpp 0.01) — size it from dim stats in
     * production.
     */
+  /** One-pass heavy-hitter detection over `key`: a SpaceSaving sketch
+    * (partial-agg'd counter maps, `partitions x capacity` counters shuffled
+    * — never a per-key exchange) plus the row count in the SAME job, then a
+    * driver-side threshold at `minFrac` of the total. Like
+    * [[bloomPrejoin]]'s sketch build, this is an ACTION at plan-build time.
+    *
+    * SpaceSaving only overcounts, so no truly-hot key (count >= n/capacity)
+    * is missed; a cold key pushed over the threshold by overcounting just
+    * gets harmlessly salted. Keys are returned in the column's own type
+    * (long/int/string) so `isin` stays cast-free on the fact side.
+    */
+  def detectHotKeys(df: DataFrame, key: String, minFrac: Double = 0.05,
+      capacity: Int = 256): Seq[Any] = {
+    require(minFrac * capacity >= 1.0,
+      s"minFrac=$minFrac below the sketch floor 1/capacity=1.0/$capacity: " +
+        "keys that hot can evict from the sketch undetected")
+    val agg = udaf(new graft.plans.HeavyKeysAggregator(capacity))
+    val row = df.agg(agg(col(key).cast("string")).as("hh"),
+      count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val cast: String => Any = df.schema(key).dataType match {
+      case org.apache.spark.sql.types.LongType => _.toLong
+      case org.apache.spark.sql.types.IntegerType => _.toInt
+      case _ => identity
+    }
+    row.getString(0).split(",").filter(_.nonEmpty).toSeq
+      .map { kv => val i = kv.lastIndexOf(':'); (kv.substring(0, i), kv.substring(i + 1).toLong) }
+      .filter { case (_, c) => c.toDouble >= minFrac * n }
+      .map { case (k, _) => cast(k) }
+  }
+
+  /** [[saltedJoinHot]] with the hot-key list DETECTED, not supplied: the
+    * production "stats pass" packaged as one sketch job. Output is
+    * identical to the plain join for any detection outcome — detection
+    * quality only moves the partitioning.
+    */
+  def saltedJoinAuto(skewed: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int, minFrac: Double = 0.05): DataFrame = {
+    val hot = detectHotKeys(skewed, key, minFrac)
+    if (hot.isEmpty) skewed.join(dim, Seq(key))
+    else saltedJoinHot(skewed, dim, key, hot, saltFactor)
+  }
+
   def bloomPrejoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {

@@ -549,6 +549,16 @@ object Analytics {
       skewFact(s, dir).hint("merge"), skewDim(s, dir), "skew_key",
       hotKeys = Seq(0L), saltFactor = 16))
 
+  /** The salted variant with the hot set DETECTED by the SpaceSaving
+    * sketch pass instead of supplied — same oracle, same output; the
+    * detection job finds key 0 (~50% of the fact) and the join partitions
+    * exactly like qSkewJoinSalted.
+    */
+  def qSkewJoinAuto(s: SparkSession, dir: String): DataFrame =
+    skewAgg(graft.functions.ScalePatterns.saltedJoinAuto(
+      skewFact(s, dir).hint("merge"), skewDim(s, dir), "skew_key",
+      saltFactor = 16))
+
   /** Bloom pre-join demo: lineitem (fact) x a selective orders subset
     * (dim). The bloom probe on l_orderkey runs inside the fact scan's
     * codegen stage, so ~95% of fact rows never enter the sort-merge
@@ -605,6 +615,7 @@ object Analytics {
     QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),
     QueryDef("q_skew_join_unsalted", qSkewJoinUnsalted, Some(qSkewJoinSql), bench = true),
     QueryDef("q_skew_join_salted", qSkewJoinSalted, Some(qSkewJoinSql), bench = true),
+    QueryDef("q_skew_join_auto", qSkewJoinAuto, Some(qSkewJoinSql)),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),

@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF: SpaceSaving heavy-hitter sketch over a join/group KEY column
+  * (the word-level twin is [[TopKWordsAggregator]]). One partial-agg'd pass
+  * — per-partition counter maps of at most `capacity` entries merge
+  * map-side, so hot-key detection over a 100 TB fact table shuffles
+  * `partitions * capacity` counters, never a per-key exchange.
+  *
+  * SpaceSaving guarantees: every key with true count >= n/capacity is
+  * present, and estimates only OVERcount (by at most the inherited minimum).
+  * For skew detection both error directions are benign: a missed key below
+  * n/capacity was never hot, and a false positive merely salts a cold key
+  * (a few wasted dim replicas, no correctness impact).
+  *
+  * finish renders `key:count` pairs sorted by (-count, key) — a stable
+  * driver-parseable string, matching the repo's render-as-string contract.
+  */
+final class HeavyKeysAggregator(capacity: Int)
+    extends Aggregator[String, Map[String, Long], String] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+    if (key == null) buf else bump(buf, key, 1L)
+
+  private def bump(m: Map[String, Long], w: String, n: Long): Map[String, Long] =
+    if (m.contains(w) || m.size < capacity) m.updated(w, m.getOrElse(w, 0L) + n)
+    else {
+      val (minW, minC) = m.minBy { case (word, c) => (c, word) }
+      (m - minW).updated(w, minC + n)
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (m, (w, c)) => bump(m, w, c) }
+
+  override def finish(m: Map[String, Long]): String =
+    m.toSeq.sortBy { case (w, c) => (-c, w) }
+      .map { case (w, c) => s"$w:$c" }.mkString(",")
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}

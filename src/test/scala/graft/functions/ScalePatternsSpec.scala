@@ -53,6 +53,40 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(hotSalts >= 8, s"hot key spread over only $hotSalts salt values")
   }
 
+  test("auto-salting detects the hot key and matches the hand-salted result") {
+    import graft.operators.Analytics
+    val fact = graft.Tables.lineitem(spark, sfDir).select(
+      when(col("l_orderkey") % 2 === 0, 0L).otherwise(col("l_orderkey")).as("skew_key"))
+
+    // detection: key 0 carries ~50% of the fact — found, typed as Long,
+    // and no cold key crosses the 5% threshold on this fixture
+    val hot = ScalePatterns.detectHotKeys(fact, "skew_key")
+    assert(hot == Seq(0L), s"detected $hot")
+
+    // a uniform key space yields NO hot keys and saltedJoinAuto degrades
+    // to the plain join (no __salt machinery in the plan)
+    val uni = graft.Tables.orders(spark, sfDir).select(col("o_orderkey"))
+    assert(ScalePatterns.detectHotKeys(uni, "o_orderkey").isEmpty)
+    val dimU = uni.distinct().withColumn("payload", lit("x"))
+    val autoU = ScalePatterns.saltedJoinAuto(uni, dimU, "o_orderkey", 16)
+    assert(!autoU.queryExecution.executedPlan.toString.contains("__salt"))
+
+    // end to end: auto equals unsalted row-for-row, and the auto plan
+    // salts exactly like the hand-listed variant
+    val un = Analytics.qSkewJoinUnsalted(spark, sfDir).collect().map(_.toSeq)
+    val au = Analytics.qSkewJoinAuto(spark, sfDir).collect().map(_.toSeq)
+    assert(un.toSeq == au.toSeq)
+    val auPlan = Analytics.qSkewJoinAuto(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(auPlan.contains("SortMergeJoin") && auPlan.contains("__salt"))
+
+    // sketch guard: a threshold below the sketch's detection floor must be
+    // rejected, not silently miss keys
+    intercept[IllegalArgumentException] {
+      ScalePatterns.detectHotKeys(fact, "skew_key", minFrac = 0.001, capacity = 256)
+    }
+  }
+
   test("bloom pre-join equals plain join and prunes fact rows before the shuffle") {
     val fact = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"))
