@@ -114,6 +114,35 @@ object StreamingDedup {
       }
   }
 
+  /** Streaming ingest dedup against the PERSISTED band index
+    * ([[graft.operators.Dedup.writeBandIndex]]): every micro-batch is
+    * probed with [[graft.operators.Dedup.incrementalKeptIndexed]] — corpus
+    * TEXT read zero times, index read pruned to the batch's touched
+    * (band, key-prefix) partitions — then the accepted rows land in
+    * `acceptedDir` and their band rows APPEND to the index, so batch N+1
+    * sees batch N as existing corpus. This is the streaming form of the
+    * accept-then-append protocol IncrementalIndexSpec pins for batch.
+    *
+    * The kept set is pinned with an eager localCheckpoint BEFORE either
+    * write: the index append must not re-run the probe plan against the
+    * index directory it is itself mutating.
+    *
+    * Returns the configured writer — caller picks trigger/checkpoint and
+    * starts (AvailableNow for drain-style runs; a checkpointLocation makes
+    * the accepted sink exactly-once across restarts).
+    */
+  def indexedIngestStream(docs: DataFrame, indexDir: String,
+      acceptedDir: String, idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val kept = Dedup.incrementalKeptIndexed(
+            batch.sparkSession, indexDir, batch, idCol, textCol)
+          .localCheckpoint()
+        kept.write.mode("append").parquet(acceptedDir)
+        Dedup.appendBandIndex(kept, indexDir, idCol, textCol)
+    }
+
   /** Unbounded-ingest variant: bucket state expires after `stateTtl` of
     * inactivity (event-time timeout against the `tsCol` watermark, the
     * [[Sessionize]] pattern), so a continuously-running dedup stream holds
