@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: quality scoring, language-ID heuristic, token
@@ -312,14 +312,23 @@ object TextOps {
     * int64 numerators stay < 2^63 up to ~10^12 corpus tokens; beyond that
     * split the division per factor (still exact) or go DECIMAL.
     */
+  /** One term's BM25 contribution in the exact-rational form (see
+    * [[qTextBm25]]); shared by the full-scan and index-probe paths so the
+    * two can never diverge in formula shape.
+    */
+  private[operators] def bm25Term(tf: Column, dl: Column, nDocs: Column,
+      sumDl: Column, df: Column): Column = {
+    val idf = (nDocs * 2 - df * 2 + 1).cast("double")
+      ./((df * 2 + 1).cast("double"))
+    val tp = (tf * sumDl * 22).cast("double")
+      ./((tf * sumDl * 10 + sumDl * 3 + dl * nDocs * 9).cast("double"))
+    idf * tp
+  }
+
   def qTextBm25(s: SparkSession, dir: String): DataFrame = {
     val scores = QueryTerms.map { t =>
-      val tf = col(s"tf_$t"); val df = col(s"df_$t")
-      val idf = (col("n_docs") * 2 - df * 2 + 1).cast("double")
-        ./((df * 2 + 1).cast("double"))
-      val tp = (tf * col("sum_dl") * 22).cast("double")
-        ./((tf * col("sum_dl") * 10 + col("sum_dl") * 3 + col("dl") * col("n_docs") * 9).cast("double"))
-      (idf * tp).as(s"bm25_$t")
+      bm25Term(col(s"tf_$t"), col("dl"), col("n_docs"),
+        col("sum_dl"), col(s"df_$t")).as(s"bm25_$t")
     }
     termStatsJoined(s, dir)
       .select(col("doc_id") +: col("dl") +: scores: _*)
@@ -344,6 +353,76 @@ object TextOps {
        |LIMIT 10""".stripMargin
   }
 
+  /** Posting-list term index — the 100 TB shape of BM25 retrieval, the
+    * [[Similarity.writeSigPartitioned]] pattern applied to text. Layout:
+    * `dir/postings/tb=XX/` holds (term, doc_id, tf, dl) rows partitioned by
+    * a 256-way md5 bucket of the term; `dir/stats/` holds the one-row
+    * (n_docs, sum_dl). Per-term df is NOT stored — it is the posting-list
+    * length, recomputed exactly from the probed slices, so appends never
+    * leave a stale df behind. Build cost is one token explode +
+    * partial-agg'd (term, doc) count — the classic inverted-index shuffle.
+    */
+  def writeTermIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val w = words(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(w).as("dl"), explode(w).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k by probing the term index: only the query terms' md5
+    * buckets are scanned (static partition pruning — at 100 TB the probe
+    * reads |terms| slices of the corpus, never the corpus). A doc with no
+    * query term scores 0 in the full scan and is absent here, so the top-k
+    * is identical whenever at least k docs match any term. Formula shape
+    * is [[bm25Term]] — shared with [[qTextBm25]], so index-vs-scan can
+    * only diverge in the data path, which is exactly what the shared
+    * oracle checks.
+    */
+  def bm25Indexed(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buckets = terms.map { t =>
+      md.reset()
+      md.digest(t.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+    }.distinct
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(s"$indexDir/stats")
+    val byDoc = posts.join(broadcast(dfs), "term")
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        terms.flatMap(t => Seq(
+          sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$t"),
+          sum(when(col("term") === t, col("df")).otherwise(lit(0L))).as(s"df_$t"))): _*)
+    // df_t is 0 for a doc without term t, but then tf_t = 0 zeroes the
+    // term's contribution regardless (and the idf denominator 2*0+1 = 1
+    // cannot divide by zero), so the per-doc df gaps are harmless
+    byDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => bm25Term(col(s"tf_$t"), col("dl"), col("n_docs"),
+          col("sum_dl"), col(s"df_$t")).as(s"bm25_$t")): _*)
+      .withColumn("bm25", terms.map(t => col(s"bm25_$t")).reduceLeft(_ + _))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Index-probe BM25 entry: builds the term index fresh in a temp dir and
+    * probes it; the oracle is the SAME full-scan SQL as q_text_bm25, so a
+    * pass proves index path == scan path == DuckDB.
+    */
+  def qTextBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("term-index").toString
+    writeTermIndex(Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp)
+    bm25Indexed(s, tmp, QueryTerms, 10)
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_topk_words", qTopkWords, Some(qTopkWordsSql)),
     QueryDef("q_quality_filter_pipeline", qQualityFilterPipeline, Some(qQualityFilterPipelineSql)),
@@ -355,5 +434,6 @@ object TextOps {
     QueryDef("q_text_fingerprint", qTextFingerprint, Some(qTextFingerprintSql)),
     QueryDef("q_text_tfidf", qTextTfidf, Some(qTextTfidfSql)),
     QueryDef("q_text_bm25", qTextBm25, Some(qTextBm25Sql), bench = true),
+    QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25Sql)),
   )
 }

@@ -64,6 +64,47 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("term-index probe equals the full scan and reads only the probed buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("term-index-spec").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    TextOps.writeTermIndex(docs, dir)
+    val nBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("tb="))
+    assert(nBuckets > TextOps.QueryTerms.size,
+      s"fixture vocabulary too small for a pruning test: $nBuckets buckets")
+
+    val probe = TextOps.bm25Indexed(spark, dir, TextOps.QueryTerms, 10)
+    val full = TextOps.qTextBm25(spark, sfDir)
+    assert(probe.collect().map(_.toSeq).toSeq == full.collect().map(_.toSeq).toSeq)
+
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec => allScans(s.plan)
+    }.flatten
+    val scans = allScans(probe.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    // no text column anywhere near the probe; posting scans are pruned to
+    // at most one file per probed term bucket (plus the one-row stats scan)
+    scans.foreach { f =>
+      val fields = f.schema.fieldNames.toSet ++ f.relation.partitionSchema.fieldNames
+      assert(!fields.contains("text"), s"probe reads text: ${f.schema.catalogString}")
+    }
+    // the probe reads the pruned slices twice — once for the exact df
+    // aggregate, once for the per-doc grouping (two parallel pruned scans
+    // beat a count-over-term window, which would put a hot term's whole
+    // posting list on one reducer) — so the bound is 2 files per term
+    val postingFiles = scans.filter(_.relation.partitionSchema.fieldNames.contains("tb"))
+      .map(_.metrics("numFiles").value).sum
+    assert(postingFiles >= 1 && postingFiles <= 2L * TextOps.QueryTerms.size,
+      s"scanned $postingFiles posting files for ${TextOps.QueryTerms.size} terms over $nBuckets buckets")
+  }
+
   test("bm25 plan: one-row broadcast stats join, top-k without a global sort") {
     val p = TextOps.qTextBm25(spark, sfDir).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
