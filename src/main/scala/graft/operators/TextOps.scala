@@ -363,17 +363,30 @@ object TextOps {
     * partial-agg'd (term, doc) count — the classic inverted-index shuffle.
     */
   def writeTermIndex(docs: DataFrame, dir: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: String = "overwrite"): Unit = {
     val w = words(col(textCol))
     docs.select(col(idCol).as("doc_id"), size(w).as("dl"), explode(w).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
       .repartition(col("tb"))
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+      .write.partitionBy("tb").mode(mode).parquet(s"$dir/postings")
     docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode(mode).parquet(s"$dir/stats")
   }
+
+  /** Append NEW documents to a term index: posting rows land in their
+    * buckets and a fresh additive stats row joins the pile (the probe SUMS
+    * stats rows, and df is always the live posting-list length), so the
+    * index stays correct without a rebuild — the
+    * [[Dedup.appendBandIndex]] protocol for text. Caller owns id
+    * disjointness (appending an already-indexed doc would double its
+    * postings, like any inverted index).
+    */
+  def appendTermIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeTermIndex(docs, dir, idCol, textCol, mode = "append")
 
   /** BM25 top-k by probing the term index: only the query terms' md5
     * buckets are scanned (static partition pruning — at 100 TB the probe
@@ -394,7 +407,9 @@ object TextOps {
     val posts = s.read.parquet(s"$indexDir/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
     val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // stats rows are ADDITIVE (one per write/append) — sum them
     val stats = s.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val byDoc = posts.join(broadcast(dfs), "term")
       .groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"),

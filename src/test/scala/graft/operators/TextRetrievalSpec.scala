@@ -105,6 +105,23 @@ class TextRetrievalSpec extends AnyFunSuite {
       s"scanned $postingFiles posting files for ${TextOps.QueryTerms.size} terms over $nBuckets buckets")
   }
 
+  test("appending to the term index equals a fresh build over the union") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(c("doc_id"), c("text"))
+    val dir = java.nio.file.Files.createTempDirectory("term-index-append").toString
+    TextOps.writeTermIndex(docs.filter(c("doc_id") % 2 === 0), dir)
+    TextOps.appendTermIndex(docs.filter(c("doc_id") % 2 =!= 0), dir)
+    val whole = java.nio.file.Files.createTempDirectory("term-index-whole").toString
+    TextOps.writeTermIndex(docs, whole)
+    val got = TextOps.bm25Indexed(spark, dir, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    val want = TextOps.bm25Indexed(spark, whole, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("bm25 plan: one-row broadcast stats join, top-k without a global sort") {
     val p = TextOps.qTextBm25(spark, sfDir).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
