@@ -317,6 +317,35 @@ object PipelineOps {
        |WHERE ${hashBucketSql("doc_id", 100)} < 10
        |ORDER BY doc_id""".stripMargin
 
+  /** Weighted deterministic sampling: keep each row with probability
+    * `weight` (clamped to [0,1] by the caller) — the RNG-free analog of
+    * Bernoulli sampling, at 2^20 resolution on the md5 unit interval.
+    * 16^15 ≡ 0 mod 2^20, so the bucket is exactly uniform; with DYADIC
+    * weights (n/2^k, k <= 20) the threshold weight*2^20 is an exact
+    * integer in double space and both engines agree on every boundary —
+    * the [[mixWeights]] rule, applied per row. Zero shuffle.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String,
+      weight: org.apache.spark.sql.Column, seed: String = ""): DataFrame =
+    df.filter(hashBucket(col(idCol), 1 << 20, seed) < weight * (1 << 20))
+
+  /** Length-weighted sample: w = min(1, n_chars/1024) — longer documents
+    * kept proportionally more often, the usual quality-weighted thinning.
+    */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    sampleWeighted(Tables.documents(s, dir), "doc_id",
+        least(lit(1.0), col("n_chars") / 1024))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("lang"))
+
+  val qSampleWeightedSql: String =
+    s"""SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents
+       |WHERE ${hashBucketSql("doc_id", 1 << 20)} < least(1.0, n_chars / 1024.0) * ${1 << 20}
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
     sampleStratified(Tables.documents(s, dir), "doc_id", "source",
         Map("src0" -> 5, "src1" -> 50), defaultPct = 20)
@@ -650,6 +679,7 @@ object PipelineOps {
     QueryDef("q_pipeline_full", qPipelineFull, Some(qPipelineFullSql), bench = true),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+    QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
