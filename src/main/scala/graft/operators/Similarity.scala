@@ -757,6 +757,36 @@ object Similarity {
        |ORDER BY adist, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Unit-normalization of the embedding column — the preprocessing step
+    * every cosine-based ANN/near-dup pipeline runs first (after it, dot
+    * product IS cosine and L2 ranking == cosine ranking). Normalized
+    * components are rendered in round(x*2^20) int space: sum-of-squares is
+    * an exact int, sqrt and the division are single correctly-rounded IEEE
+    * ops, so the rendering is bit-stable across engines. A narrow
+    * codegen'd projection — zero shuffle beyond the presentation sort.
+    */
+  def qEmbNormalize(s: SparkSession, dir: String): DataFrame = {
+    val v = scaled(col("embedding"))
+    val ss = dotScaled(v, v)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), v.as("__v"), ss.cast("long").as("norm_sq"))
+      .select(col("vec_id"), col("norm_sq"),
+        concat_ws(",", transform(col("__v"),
+          x => round(x / sqrt(col("norm_sq")) * Scale).cast("long").cast("string")))
+          .as("unit_scaled"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbNormalizeSql: String = {
+    val v = s"list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")})"
+    s"""SELECT vec_id, CAST(ss AS BIGINT) AS norm_sq,
+       |  array_to_string(list_transform(v,
+       |    x -> CAST(CAST(round(x / sqrt(ss) * ${graft.functions.EmbeddingFunctions.Scale}) AS BIGINT) AS VARCHAR)), ',') AS unit_scaled
+       |FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS ss
+       |      FROM (SELECT vec_id, $v AS v FROM embeddings))
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -768,6 +798,7 @@ object Similarity {
     QueryDef("q_ann_pq_encode", qAnnPqEncode, Some(qAnnPqEncodeSql)),
     QueryDef("q_ann_pq_search", qAnnPqSearch, Some(qAnnPqSearchSql)),
     QueryDef("q_ann_pq_train", qAnnPqTrain, Some(qAnnPqTrainSql)),
+    QueryDef("q_emb_normalize", qEmbNormalize, Some(qEmbNormalizeSql)),
     QueryDef("q_ann_sq_train", qAnnSqTrain, Some(qAnnSqTrainSql)),
     QueryDef("q_ann_sq_encode", qAnnSqEncode, Some(qAnnSqEncodeSql)),
     QueryDef("q_ann_sq_search", qAnnSqSearch, Some(qAnnSqSearchSql)),

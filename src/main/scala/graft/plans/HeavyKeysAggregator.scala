@@ -18,27 +18,34 @@ import org.apache.spark.sql.expressions.Aggregator
   * finish renders `key:count` pairs sorted by (-count, key) — a stable
   * driver-parseable string, matching the repo's render-as-string contract.
   */
-final class HeavyKeysAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], String] {
-
-  override def zero: Map[String, Long] = Map.empty
-
-  override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
-    if (key == null) buf else bump(buf, key, 1L)
-
-  private def bump(m: Map[String, Long], w: String, n: Long): Map[String, Long] =
+/** The SpaceSaving update + render, shared by the batch aggregator and the
+  * streaming shard state ([[graft.streaming.StreamingHeavyHitters]]).
+  */
+object HeavyKeys {
+  def bump(m: Map[String, Long], w: String, n: Long, capacity: Int): Map[String, Long] =
     if (m.contains(w) || m.size < capacity) m.updated(w, m.getOrElse(w, 0L) + n)
     else {
       val (minW, minC) = m.minBy { case (word, c) => (c, word) }
       (m - minW).updated(w, minC + n)
     }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    b.foldLeft(a) { case (m, (w, c)) => bump(m, w, c) }
-
-  override def finish(m: Map[String, Long]): String =
+  def render(m: Map[String, Long]): String =
     m.toSeq.sortBy { case (w, c) => (-c, w) }
       .map { case (w, c) => s"$w:$c" }.mkString(",")
+}
+
+final class HeavyKeysAggregator(capacity: Int)
+    extends Aggregator[String, Map[String, Long], String] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+    if (key == null) buf else HeavyKeys.bump(buf, key, 1L, capacity)
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (m, (w, c)) => HeavyKeys.bump(m, w, c, capacity) }
+
+  override def finish(m: Map[String, Long]): String = HeavyKeys.render(m)
 
   override def bufferEncoder: Encoder[Map[String, Long]] =
     Encoders.kryo[Map[String, Long]]
