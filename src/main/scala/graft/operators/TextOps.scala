@@ -325,7 +325,8 @@ object TextOps {
     idf * tp
   }
 
-  def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+  /** Full-scan BM25 top-k (library form; `qTextBm25` = k of 10). */
+  def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val scores = QueryTerms.map { t =>
       bm25Term(col(s"tf_$t"), col("dl"), col("n_docs"),
         col("sum_dl"), col(s"df_$t")).as(s"bm25_$t")
@@ -335,10 +336,12 @@ object TextOps {
       .withColumn("bm25",
         QueryTerms.map(t => col(s"bm25_${t}")).reduceLeft(_ + _))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(10)
+      .limit(k)
   }
 
-  val qTextBm25Sql: String = {
+  def qTextBm25(s: SparkSession, dir: String): DataFrame = bm25TopK(s, dir, 10)
+
+  private def bm25TopKSql(k: Int): String = {
     val scores = QueryTerms.map { t =>
       s"""(CAST(n_docs * 2 - df_$t * 2 + 1 AS DOUBLE) / CAST(df_$t * 2 + 1 AS DOUBLE))
          | * (CAST(tf_$t * sum_dl * 22 AS DOUBLE) / CAST(tf_$t * sum_dl * 10 + sum_dl * 3 + dl * n_docs * 9 AS DOUBLE)) AS bm25_$t""".stripMargin
@@ -350,7 +353,42 @@ object TextOps {
        |  ${scores.mkString(",\n  ")}
        |  FROM $termStatsSql)
        |ORDER BY bm25 DESC, doc_id
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
+  }
+
+  val qTextBm25Sql: String = bm25TopKSql(10)
+
+  /** Hybrid retrieval: BM25 recall stage (top-20 full scan) reranked by
+    * exact embedding cosine against the query vector — the standard
+    * sparse-then-dense two-stage search. The 20-row candidate set
+    * BROADCASTS into the embeddings join (at 100 TB the dense side is
+    * only ever probed for k rows, never scanned into a shuffle), the
+    * query vector rides a one-row broadcast, and the rerank is a k-row
+    * TakeOrdered. Docs without an embedding drop out (inner join) — the
+    * usual contract when the dense index covers a subset.
+    */
+  def qHybridRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EmbeddingFunctions.cosine
+    val cand = bm25TopK(s, dir, 20).select(col("doc_id"), col("bm25"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    e.join(broadcast(cand), e("vec_id") === cand("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("bm25"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(5)
+  }
+
+  val qHybridRerankSql: String = {
+    import graft.functions.EmbeddingFunctions.cosineSql
+    s"""WITH bm AS (${bm25TopKSql(20)}),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT doc_id, bm25, ${cosineSql("embedding", "qe")} AS cos
+       |FROM bm JOIN embeddings ON doc_id = vec_id, q
+       |ORDER BY cos DESC, doc_id
+       |LIMIT 5""".stripMargin
   }
 
   /** Posting-list term index — the 100 TB shape of BM25 retrieval, the
@@ -450,5 +488,6 @@ object TextOps {
     QueryDef("q_text_tfidf", qTextTfidf, Some(qTextTfidfSql)),
     QueryDef("q_text_bm25", qTextBm25, Some(qTextBm25Sql), bench = true),
     QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25Sql)),
+    QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
   )
 }
