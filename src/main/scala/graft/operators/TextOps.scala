@@ -251,10 +251,15 @@ object TextOps {
     * stays a narrow codegen'd projection — no per-key shuffle anywhere.
     */
   private def termStatsJoined(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
+    // native one-pass [dl, tf...] (filter() HOFs are CodegenFallback — the
+    // declarative form paid 3 interpreted passes per row per scan); the
+    // element_at projections share the child via codegen common-subexpr
+    // elimination, so the text is walked once per scan
+    val ts = graft.plans.TermStatsExpr.termStats(col("text"), QueryTerms)
     val base = Tables.documents(s, dir).select(
-      col("doc_id") +: size(w).as("dl") +:
-        QueryTerms.map(t => size(filter(w, x => x === t)).as(s"tf_$t")): _*)
+      col("doc_id") +: element_at(ts, 1).as("dl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          element_at(ts, i + 2).as(s"tf_$t") }: _*)
     val stats = base.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl") +:

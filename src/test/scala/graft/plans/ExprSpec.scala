@@ -163,6 +163,32 @@ class ExprSpec extends AnyFunSuite {
     assert(n2.toSeq == Seq("a b|c d", "a b|c d|e", "x", "a b| c|"))
   }
 
+  test("term_stats matches size(split)/size(filter) under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val terms = Seq("vector", "stream", "spark")
+    val d = s2.read.parquet(s"$sfDir/documents.parquet").limit(80)
+    val ts = TermStatsExpr.termStats(col("text"), terms)
+    val native = d.select(col("doc_id") +: element_at(ts, 1).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => element_at(ts, i + 2).as(s"tf_$t") }: _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val w = split(col("text"), " ")
+    val declarative = d.select(col("doc_id") +: size(w).as("dl") +:
+        terms.map(t => size(filter(w, x => x === t)).as(s"tf_$t")): _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(native.toSeq == declarative.toSeq)
+    // edges: empty text (one empty token), adjacent repeats, trailing space
+    import s2.implicits._
+    val edge = Seq("", "spark spark spark", "vector ", " ").toDF("text")
+    val ts2 = TermStatsExpr.termStats(col("text"), terms)
+    val got = edge.select((1 to 4).map(i => element_at(ts2, i)): _*)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == Seq(Seq(1, 0, 0, 0), Seq(3, 0, 0, 3),
+      Seq(2, 1, 0, 0), Seq(2, 0, 0, 0)))
+  }
+
   test("hashed shingle set matches hash-of-declarative-set under forced codegen") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
