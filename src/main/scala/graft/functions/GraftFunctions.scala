@@ -31,6 +31,11 @@ object GraftFunctions {
       exprs => graft.plans.ShingleSetExpr(exprs.head, hashed = true), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_scaled",
       exprs => graft.plans.CosineExpr(exprs(0), exprs(1)), "scala_udf")
+    // term_stats(text, 'term1', 'term2', ...) -> [dl, tf1, tf2, ...];
+    // the term arguments must be string literals (folded at plan time)
+    reg.createOrReplaceTempFunction("term_stats",
+      exprs => graft.plans.TermStatsExpr(exprs.head,
+        exprs.tail.map(e => e.eval().toString)), "scala_udf")
 
     // sketch aggregators (fixed, documented parameterizations — SQL temp
     // functions can't take constructor args; use the Column API to tune)
@@ -51,6 +56,9 @@ object GraftFunctions {
         org.apache.spark.sql.Encoders.STRING))
     spark.udf.register("cms_total",
       udaf(new graft.plans.CmsFreqAggregator(4, 1024, Seq.empty),
+        org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("heavy_keys",
+      udaf(new graft.plans.HeavyKeysAggregator(256),
         org.apache.spark.sql.Encoders.STRING))
   }
 }

@@ -61,5 +61,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(tk.split("\\|").length == 3)
     val tw = spark.sql("SELECT topk_words(text) AS w FROM gf_docs").head().getString(0)
     assert(tw.split(",").length == 5)
+
+    // term_stats from SQL (literal terms fold at plan time) == Column API
+    val tsSql = spark.sql(
+      """SELECT doc_id, term_stats(text, 'vector', 'spark') AS ts
+        |FROM gf_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val tsCol = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.plans.TermStatsExpr.termStats(col("text"), Seq("vector", "spark")).as("ts"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(tsSql.toSeq == tsCol.toSeq)
+
+    // heavy_keys: exact in the under-capacity regime
+    val hh = spark.sql(
+      "SELECT heavy_keys(event_type) AS h FROM gf_events").head().getString(0)
+    val counts = hh.split(",").map { kv =>
+      val i = kv.lastIndexOf(':'); (kv.take(i), kv.drop(i + 1).toLong) }.toMap
+    val truth = spark.sql(
+      "SELECT event_type, count(*) AS n FROM gf_events GROUP BY event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == truth)
   }
 }
