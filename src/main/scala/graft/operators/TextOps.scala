@@ -481,6 +481,37 @@ object TextOps {
     bm25Indexed(s, tmp, QueryTerms, 10)
   }
 
+  /** CCNet-style text normalization — the canonical pre-dedup transform
+    * (lowercase, strip non-alphanumerics, collapse runs of spaces, trim)
+    * plus the hash of the normalized form, which is what normalized exact
+    * dedup groups on. Pure codegen'd projection, zero shuffle; the
+    * normalized TEXT itself stays out of the output (hash only), so at
+    * 100 TB nothing string-heavy crosses the presentation exchange.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normalizedSql(text: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val n = normalized(col("text"))
+    Tables.documents(s, dir).orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(n).as("len_norm"),
+        (n =!= col("text")).cast("int").as("changed"),
+        substring(md5(n.cast("binary")), 1, 16).as("norm_hash"))
+  }
+
+  val qTextNormalizeSql: String =
+    s"""SELECT doc_id, length(text) AS len_raw,
+       |  length(${normalizedSql("text")}) AS len_norm,
+       |  CAST(${normalizedSql("text")} <> text AS INTEGER) AS changed,
+       |  substring(md5(${normalizedSql("text")}), 1, 16) AS norm_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_topk_words", qTopkWords, Some(qTopkWordsSql)),
     QueryDef("q_quality_filter_pipeline", qQualityFilterPipeline, Some(qQualityFilterPipelineSql)),
@@ -494,5 +525,6 @@ object TextOps {
     QueryDef("q_text_bm25", qTextBm25, Some(qTextBm25Sql), bench = true),
     QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25Sql)),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
+    QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),
   )
 }

@@ -122,6 +122,15 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("normalization handles case, punctuation, and whitespace runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("Hello, World!!  FOO  bar", "already clean", "??!", "A-B_c")
+      .toDF("text").select(TextOps.normalized(col("text")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("hello world foo bar", "already clean", "", "abc"))
+  }
+
   test("bm25 plan: one-row broadcast stats join, top-k without a global sort") {
     val p = TextOps.qTextBm25(spark, sfDir).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
