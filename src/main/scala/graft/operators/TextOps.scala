@@ -512,6 +512,59 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Normalized exact dedup — [[qTextNormalize]]'s hash as the dedup key
+    * (CCNet's actual grouping: case/punctuation/whitespace variants of the
+    * same text collapse), keeper = smallest doc_id, with the copy count
+    * carried. Same one-shuffle shape as plain exact dedup.
+    */
+  def qDedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val n = normalized(col("text"))
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(md5(n.cast("binary")), 1, 16).as("norm_hash"))
+    hashed
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("norm_hash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupNormalizedSql: String =
+    s"""SELECT min(doc_id) AS doc_id, norm_hash, count(*) AS n_copies
+       |FROM (SELECT doc_id,
+       |        substring(md5(${normalizedSql("text")}), 1, 16) AS norm_hash
+       |      FROM documents)
+       |GROUP BY norm_hash
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source quality deciles — the curriculum-ordering primitive (train
+    * easy→hard, or drop the bottom bins). The score is an exact int
+    * (document length) and the ntile ordering is TOTAL (score, doc_id), so
+    * bin boundaries are deterministic cross-engine. One window partitioned
+    * by source — parallel across sources; a single 100 TB source takes the
+    * same two-pass pre-filter treatment as the token budget
+    * (PipelineOps.tokenBudgetSingleSource).
+    */
+  def qQualityBins(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo_chars"), max(col("n_chars")).as("hi_chars"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val qQualityBinsSql: String =
+    """SELECT source, bin, count(*) AS n,
+      |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+      |FROM (SELECT source, n_chars,
+      |        ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bin
+      |      FROM documents)
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_topk_words", qTopkWords, Some(qTopkWordsSql)),
     QueryDef("q_quality_filter_pipeline", qQualityFilterPipeline, Some(qQualityFilterPipelineSql)),
@@ -526,5 +579,7 @@ object TextOps {
     QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25Sql)),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
     QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),
+    QueryDef("q_dedup_normalized", qDedupNormalized, Some(qDedupNormalizedSql)),
+    QueryDef("q_quality_bins", qQualityBins, Some(qQualityBinsSql)),
   )
 }
