@@ -36,6 +36,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("term_stats",
       exprs => graft.plans.TermStatsExpr(exprs.head,
         exprs.tail.map(e => e.eval().toString)), "scala_udf")
+    reg.createOrReplaceTempFunction("token_counts",
+      exprs => graft.plans.TokenCountsExpr(exprs.head), "scala_udf")
 
     // sketch aggregators (fixed, documented parameterizations — SQL temp
     // functions can't take constructor args; use the Column API to tune)

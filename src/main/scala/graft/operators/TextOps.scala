@@ -124,13 +124,20 @@ object TextOps {
   }
 
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer. */
-  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer, via
+    * the native one-walk [[graft.plans.TokenCountsExpr]] (the regex
+    * alternation materialized every match per row just to count them —
+    * ExprSpec pins the equivalence).
+    */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    val tc = graft.plans.TokenCountsExpr.tokenCounts(col("text"))
     Tables.documents(s, dir).orderBy(col("doc_id"))
       .select(
         col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+        element_at(tc, 1).as("ws_tokens"),
+        element_at(tc, 2).as("re_tokens"),
         length(col("text")).as("n_chars_m"))
+  }
 
   val qTextTokensSql: String =
     """SELECT doc_id,

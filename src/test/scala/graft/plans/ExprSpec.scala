@@ -189,6 +189,30 @@ class ExprSpec extends AnyFunSuite {
       Seq(2, 1, 0, 0), Seq(2, 0, 0, 0)))
   }
 
+  test("token_counts matches split/regexp_extract_all under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val d = s2.read.parquet(s"$sfDir/documents.parquet").limit(80)
+    val tc = TokenCountsExpr.tokenCounts(col("text"))
+    val native = d.select(col("doc_id"), element_at(tc, 1), element_at(tc, 2))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val declarative = d.select(col("doc_id"),
+        size(split(col("text"), " ")),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(native.toSeq == declarative.toSeq)
+    // edges: empty text, runs split by case/digits/punct, multi-space
+    import s2.implicits._
+    val edge = Seq("", "abc123def", "a  b", "A!b", "x9 9x").toDF("text")
+    val tc2 = TokenCountsExpr.tokenCounts(col("text"))
+    val got = edge.select(element_at(tc2, 1), element_at(tc2, 2))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // "abc123def" -> abc|123|def = 3; "A!b" -> A,!,b = 3; "x9 9x" -> x,9 + 9,x = 4
+    assert(got.toSeq == Seq((1, 0), (1, 3), (3, 2), (1, 3), (2, 4)))
+  }
+
   test("hashed shingle set matches hash-of-declarative-set under forced codegen") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
