@@ -137,5 +137,10 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), "stats must arrive as a one-row broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "no keyed shuffle join belongs in this plan")
+    // the scoring scans must stay on the native one-pass expressions — an
+    // edit back to filter()/regexp HOFs would be silent but 4x slower
+    assert(p.contains("term_stats"), "tf computation regressed off TermStatsExpr")
+    val pt = TextOps.qTextTokens(spark, sfDir).queryExecution.executedPlan.toString
+    assert(pt.contains("token_counts"), "token counting regressed off TokenCountsExpr")
   }
 }
