@@ -547,9 +547,13 @@ object TextOps {
     * easy→hard, or drop the bottom bins). The score is an exact int
     * (document length) and the ntile ordering is TOTAL (score, doc_id), so
     * bin boundaries are deterministic cross-engine. One window partitioned
-    * by source — parallel across sources; a single 100 TB source takes the
-    * same two-pass pre-filter treatment as the token budget
-    * (PipelineOps.tokenBudgetSingleSource).
+    * by source — parallel across sources. For a single 100 TB source,
+    * exact equal-size ntile is inherently a global sort; the scale form is
+    * boundary-binning — one `approx_percentile` pass for 9 cutoffs, then a
+    * pure projection compares each score against them (zero window, zero
+    * shuffle) — trading exactly-equal bin sizes for scan-speed binning.
+    * This entry keeps the exact ntile because its oracle demands bitwise
+    * bin assignment.
     */
   def qQualityBins(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
