@@ -566,15 +566,22 @@ object Dedup {
     // full shingle TEXT arrays (~20 bytes/shingle + offsets) through both
     // joins; 60-bit md5-prefix longs carry the same set identity at 8
     // bytes/element and make every intersection probe a long equality
+    // sets are emitted ASCENDING so the per-pair probe is a native merge
+    // walk (IntersectSizeExpr) — array_intersect builds and probes a hash
+    // set per candidate pair, which dominated the verification stage at sf1.
+    // d is consumed TWICE below (sha and shb sides); without its own lazy
+    // checkpoint each join re-runs the corpus text scan + semi-join +
+    // shingling — measured ~1.4 s of the 4.3 s sf1 total
     val d = docs
       .join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        graft.plans.ShingleSetExpr.shingleHashSet(col("text"), ShingleK).as("sh"))
+        graft.plans.ShingleSetExpr.shingleHashSetSorted(col("text"), ShingleK).as("sh"))
+      .localCheckpoint(eager = false)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        graft.plans.IntersectSizeExpr.intersectSize(col("sha"), col("shb")).as("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))

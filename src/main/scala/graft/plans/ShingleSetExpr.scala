@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback row materialization), same pattern as
   * [[MinhashSigExpr]].
   */
-case class ShingleSetExpr(child: Expression, k: Int = 3, hashed: Boolean = false)
+case class ShingleSetExpr(child: Expression, k: Int = 3, hashed: Boolean = false,
+    sorted: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType =
@@ -52,7 +53,16 @@ case class ShingleSetExpr(child: Expression, k: Int = 3, hashed: Boolean = false
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0
-    if (hashed) {
+    if (hashed && sorted) {
+      // ascending-long emission: the set is distinct, so order is free to
+      // choose, and sorted arrays let IntersectSizeExpr merge-walk the
+      // exact-Jaccard probe in O(na+nb) with no per-pair hash table
+      val longs = new Array[Long](seen.size)
+      while (it.hasNext) { longs(j) = hash60(it.next()); j += 1 }
+      java.util.Arrays.sort(longs)
+      j = 0
+      while (j < longs.length) { out(j) = longs(j); j += 1 }
+    } else if (hashed) {
       while (it.hasNext) { out(j) = hash60(it.next()); j += 1 }
     } else {
       while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
@@ -82,6 +92,14 @@ object ShingleSetExpr {
   def shingleHashSet(text: Column, k: Int = 3): Column =
     GraftSqlBridge.column(
       ShingleSetExpr(GraftSqlBridge.expression(text), k, hashed = true))
+
+  /** [[shingleHashSet]] emitted in ascending order, for merge-walk
+    * intersection via [[IntersectSizeExpr]]. Same SET (size/membership
+    * consumers see no difference); only element order changes.
+    */
+  def shingleHashSetSorted(text: Column, k: Int = 3): Column =
+    GraftSqlBridge.column(
+      ShingleSetExpr(GraftSqlBridge.expression(text), k, hashed = true, sorted = true))
 
   /** DuckDB twin of [[shingleHashSet]]'s per-shingle hash. */
   def hash60Sql(s: String): String =

@@ -89,7 +89,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // shingle arrays; a shingle self-join would show a join keyed on the
     // exploded gram column
     assert(!p.contains("SortMergeJoin") || !p.contains(" g#"), p)
-    assert(p.contains("array_intersect"), p)
+    assert(p.contains("intersect_size_sorted"), p)
   }
 
   test("decontamination broadcasts the benchmark gram set") {

@@ -234,6 +234,38 @@ class ExprSpec extends AnyFunSuite {
     assert(native.exists(_.nonEmpty) && native.flatten.forall(_ >= 0L))
   }
 
+  test("sorted hash set + intersect_size match array_intersect under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val d = s2.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    // sorted variant emits the SAME SET as the pinned unsorted form
+    val sortedSets = d.select(col("doc_id"),
+        ShingleSetExpr.shingleHashSetSorted(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val unsortedSets = d.select(col("doc_id"),
+        ShingleSetExpr.shingleHashSet(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    sortedSets.zip(unsortedSets).foreach { case (s, u) =>
+      assert(s == s.sorted && s.toSet == u.toSet && s.length == u.length)
+    }
+    // merge-walk intersection == size(array_intersect) on every pair of a
+    // 30x30 grid (includes self-pairs = full overlap and empty sets)
+    val sets = d.limit(30)
+      .select(col("doc_id"), ShingleSetExpr.shingleHashSetSorted(col("text"), 3).as("sh"))
+    val pairs = sets.select(col("doc_id").as("ida"), col("sh").as("sha"))
+      .crossJoin(sets.select(col("doc_id").as("idb"), col("sh").as("shb")))
+      .select(col("ida"), col("idb"),
+        IntersectSizeExpr.intersectSize(col("sha"), col("shb")).as("native"),
+        size(array_intersect(col("sha"), col("shb"))).as("declarative"))
+      .collect()
+    assert(pairs.length == 900)
+    pairs.foreach(r => assert(r.getInt(2) == r.getInt(3),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)})"))
+    assert(pairs.exists(r => r.getInt(2) > 0), "grid must exercise non-empty overlap")
+  }
+
   test("null array elements propagate to null results (native == declarative)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
