@@ -92,8 +92,7 @@ object ScalePatterns {
       case org.apache.spark.sql.types.IntegerType => _.toInt
       case _ => identity
     }
-    row.getString(0).split(",").filter(_.nonEmpty).toSeq
-      .map { kv => val i = kv.lastIndexOf(':'); (kv.substring(0, i), kv.substring(i + 1).toLong) }
+    graft.plans.HeavyKeys.parse(row.getString(0))
       .filter { case (_, c) => c.toDouble >= minFrac * n }
       .map { case (k, _) => cast(k) }
   }

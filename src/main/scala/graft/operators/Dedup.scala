@@ -172,30 +172,79 @@ object Dedup {
     concat(lit("p"), substring(key, 1, 2))
 
   /** Materialize the corpus band index ONCE: (\_\_id, ak, band, key) rows —
-    * no document text — written as parquet partitioned by (band, kp) so a
-    * batch probe prunes to its touched key-prefix partitions at planning
+    * no document text — written as parquet partitioned by (band, kp, seg) so
+    * a batch probe prunes to its touched key-prefix partitions at planning
     * time (the [[graft.operators.Similarity.writeSigPartitioned]] pattern).
     * This is the 100 TB form of incremental ingestion: the full-corpus scan
     * + MinHash signature runs once here, and every subsequent batch reads
     * only index slices, never corpus text.
+    *
+    * `seg` is the ingest-segment partition level: the base build writes one
+    * segment, every append lands in its own (see [[appendBandIndex]]), and
+    * [[compactBandIndex]] collapses them back to one. A batch-keyed seg is
+    * also what makes a streaming append IDEMPOTENT — rewriting a segment
+    * replaces exactly that batch's rows (`overwriteSeg = true` = dynamic
+    * partition overwrite scoped to the segments present in the data).
     */
   def writeBandIndex(corpus: DataFrame, indexDir: String,
       idCol: String, textCol: String, shingleK: Int = ShingleK,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", seg: String = "base",
+      overwriteSeg: Boolean = false): Unit = {
     val ex = corpus.select(guardId(col(idCol).cast("long")).as(idCol), col(textCol))
-    bandRowsGeneric(ex, idCol, textCol, shingleK)
+    val rows = bandRowsGeneric(ex, idCol, textCol, shingleK)
       .withColumn("kp", keyPrefix(col("key")))
+      .withColumn("seg", lit(seg))
       .repartition(col("band"), col("kp"))
-      .write.mode(mode).partitionBy("band", "kp").parquet(indexDir)
+      .write.partitionBy("band", "kp", "seg")
+    val w = if (overwriteSeg)
+      rows.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else rows.mode(mode)
+    w.parquet(indexDir)
   }
 
   /** Append a batch's band rows to a persisted index — call with the
     * ACCEPTED subset after [[incrementalKeptIndexed]] so the next batch
-    * sees this one as existing corpus.
+    * sees this one as existing corpus. With a per-batch `seg` and
+    * `overwriteSeg = true` the append is a dynamic overwrite of that
+    * segment alone: re-running the same batch (streaming retry) replaces
+    * its own rows instead of duplicating them.
     */
   def appendBandIndex(accepted: DataFrame, indexDir: String,
-      idCol: String, textCol: String, shingleK: Int = ShingleK): Unit =
-    writeBandIndex(accepted, indexDir, idCol, textCol, shingleK, mode = "append")
+      idCol: String, textCol: String, shingleK: Int = ShingleK,
+      seg: String = "append", overwriteSeg: Boolean = false): Unit =
+    writeBandIndex(accepted, indexDir, idCol, textCol, shingleK,
+      mode = "append", seg = seg, overwriteSeg = overwriteSeg)
+
+  /** Collapse a band index's accumulated ingest segments into ONE segment
+    * with one file per (band, kp) partition. N streamed/appended batches
+    * leave N file-sets per touched partition — the small-file problem —
+    * and nothing else composes them ([[graft.operators.Layout.compact]]
+    * pattern: tmp rewrite, count-verified, atomic swap). Probe results are
+    * unchanged: the probe unions all segments and prunes only on
+    * (band, kp).
+    */
+  def compactBandIndex(s: SparkSession, indexDir: String,
+      seg: String = "base"): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val df = s.read.parquet(indexDir)
+    val originalCount = df.count()
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    fs.delete(tmp, true)
+    df.select(col("__id"), col("ak"), col("key"), col("band"), col("kp"))
+      .withColumn("seg", lit(seg))
+      .repartition(col("band"), col("kp"))
+      .write.mode("overwrite").partitionBy("band", "kp", "seg")
+      .parquet(tmp.toString)
+    val rewritten = s.read.parquet(tmp.toString).count()
+    require(rewritten == originalCount,
+      s"compacted band index holds $rewritten of $originalCount rows — swap refused")
+    val bak = new org.apache.hadoop.fs.Path(indexDir + ".compact-bak")
+    fs.delete(bak, true)
+    require(fs.rename(hPath, bak), s"could not move $indexDir aside")
+    require(fs.rename(tmp, hPath), s"could not move compacted index into place")
+    fs.delete(bak, true): Unit
+  }
 
   /** [[incrementalKept]] against a PERSISTED band index ([[writeBandIndex]])
     * instead of a live corpus scan: identical output, but per-batch cost is
@@ -218,7 +267,8 @@ object Dedup {
     */
   def incrementalKeptIndexed(s: SparkSession, indexDir: String,
       incoming: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket): DataFrame = {
+      shingleK: Int = ShingleK, maxBucket: Int = MaxBucket,
+      excludeSeg: Option[String] = None): DataFrame = {
     val in = incoming.select((guardId(col(idCol).cast("long")) + NewTag).as(idCol),
       col(textCol))
     val probed = bandRowsGeneric(in, idCol, textCol, shingleK)
@@ -227,7 +277,10 @@ object Dedup {
     val partFilter = probed.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
       (col("band") === b) && col("kp").isin(ps.map(_._2).toSeq: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val exRows = s.read.parquet(indexDir).filter(partFilter)
+    // excludeSeg: a replaying stream batch must not see its OWN partial
+    // rows from a crashed earlier attempt — it would collide with itself
+    val segGuard = excludeSeg.map(col("seg") =!= _).getOrElse(lit(true))
+    val exRows = s.read.parquet(indexDir).filter(partFilter && segGuard)
       .select(col("__id"), col("ak"), col("band").cast("int").as("band"), col("key"))
     probeIncremental(exRows, incoming, idCol, textCol, shingleK, maxBucket)
   }

@@ -765,14 +765,22 @@ object Similarity {
     * ops, so the rendering is bit-stable across engines. A narrow
     * codegen'd projection — zero shuffle beyond the presentation sort.
     */
-  def qEmbNormalize(s: SparkSession, dir: String): DataFrame = {
+  def qEmbNormalize(s: SparkSession, dir: String): DataFrame =
+    unitNormalized(Tables.embeddings(s, dir))
+
+  /** Library form of [[qEmbNormalize]] over any (vec_id, embedding) frame. */
+  def unitNormalized(e: DataFrame): DataFrame = {
     val v = scaled(col("embedding"))
     val ss = dotScaled(v, v)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), v.as("__v"), ss.cast("long").as("norm_sq"))
+    e.select(col("vec_id"), v.as("__v"), ss.cast("long").as("norm_sq"))
       .select(col("vec_id"), col("norm_sq"),
+        // zero-vector guard: 0/sqrt(0) is NaN, and Spark's non-ANSI cast
+        // folds NaN to 0L while DuckDB diverges casting NaN to BIGINT —
+        // make the zero-norm case an explicit 0 on BOTH sides (ADVICE pin)
         concat_ws(",", transform(col("__v"),
-          x => round(x / sqrt(col("norm_sq")) * Scale).cast("long").cast("string")))
+          x => when(col("norm_sq") === 0, lit(0L))
+            .otherwise(round(x / sqrt(col("norm_sq")) * Scale).cast("long"))
+            .cast("string")))
           .as("unit_scaled"))
       .orderBy(col("vec_id"))
   }
@@ -781,7 +789,7 @@ object Similarity {
     val v = s"list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")})"
     s"""SELECT vec_id, CAST(ss AS BIGINT) AS norm_sq,
        |  array_to_string(list_transform(v,
-       |    x -> CAST(CAST(round(x / sqrt(ss) * ${graft.functions.EmbeddingFunctions.Scale}) AS BIGINT) AS VARCHAR)), ',') AS unit_scaled
+       |    x -> CAST(CASE WHEN ss = 0 THEN 0 ELSE CAST(round(x / sqrt(ss) * ${graft.functions.EmbeddingFunctions.Scale}) AS BIGINT) END AS VARCHAR)), ',') AS unit_scaled
        |FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS ss
        |      FROM (SELECT vec_id, $v AS v FROM embeddings))
        |ORDER BY vec_id""".stripMargin

@@ -370,6 +370,18 @@ object TextOps {
 
   val qTextBm25Sql: String = bm25TopKSql(10)
 
+  /** Oracle for the INDEX-PROBE path: the full scan pads its top-k with
+    * zero-score (unmatched) docs when fewer than k match, while the index
+    * by construction returns matched docs only — and matched ⇔ bm25 > 0
+    * (tf > 0 makes the tf-part positive and the idf-part is positive for
+    * any df ≤ N). Filtering the scan's top-k to positive scores therefore
+    * equals the probe for ALL corpora, not just when ≥ k docs match
+    * (ADVICE pin; positives always outrank the zero padding, so the
+    * filter-after-limit is exact).
+    */
+  val qTextBm25IndexedSql: String =
+    s"SELECT * FROM (${bm25TopKSql(10)}) WHERE bm25 > 0"
+
   /** Hybrid retrieval: BM25 recall stage (top-20 full scan) reranked by
     * exact embedding cosine against the query vector — the standard
     * sparse-then-dense two-stage search. The 20-row candidate set
@@ -437,6 +449,21 @@ object TextOps {
   def appendTermIndex(docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     writeTermIndex(docs, dir, idCol, textCol, mode = "append")
+
+  /** Compact a term index after N appends: each append leaves one file-set
+    * per touched `tb` bucket plus one stats row-file, so a long-running
+    * ingest accumulates thousands of tiny parquet files — the small-file
+    * problem [[Layout.compact]] exists to fix. Postings are re-merged
+    * within their `tb` partitions and stats files are coalesced
+    * (count-verified tmp + atomic swap both times). Probe results are
+    * unchanged: df is always the live posting length and stats rows are
+    * additive, so file layout is invisible to [[bm25Indexed]].
+    */
+  def compactTermIndex(s: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : (Layout.CompactStats, Layout.CompactStats) =
+    (Layout.compact(s, s"$dir/postings", targetBytes, Seq("tb")),
+      Layout.compact(s, s"$dir/stats", targetBytes))
 
   /** BM25 top-k by probing the term index: only the query terms' md5
     * buckets are scanned (static partition pruning — at 100 TB the probe
@@ -587,7 +614,7 @@ object TextOps {
     QueryDef("q_text_fingerprint", qTextFingerprint, Some(qTextFingerprintSql)),
     QueryDef("q_text_tfidf", qTextTfidf, Some(qTextTfidfSql)),
     QueryDef("q_text_bm25", qTextBm25, Some(qTextBm25Sql), bench = true),
-    QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25Sql)),
+    QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25IndexedSql)),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
     QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),
     QueryDef("q_dedup_normalized", qDedupNormalized, Some(qDedupNormalizedSql)),

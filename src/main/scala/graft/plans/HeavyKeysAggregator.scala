@@ -29,9 +29,25 @@ object HeavyKeys {
       (m - minW).updated(w, minC + n)
     }
 
+  // keys are ARBITRARY column values cast to string — a raw ',' or ':' in a
+  // key would corrupt the split-based parse (ADVICE pin), so the separators
+  // are %-escaped in render and the only raw ',' / ':' in the output are
+  // structural. parse is the exact inverse; use it instead of hand-splitting.
+  private def esc(w: String): String =
+    w.replace("%", "%25").replace(",", "%2C").replace(":", "%3A")
+  private def unesc(w: String): String =
+    w.replace("%3A", ":").replace("%2C", ",").replace("%25", "%")
+
   def render(m: Map[String, Long]): String =
     m.toSeq.sortBy { case (w, c) => (-c, w) }
-      .map { case (w, c) => s"$w:$c" }.mkString(",")
+      .map { case (w, c) => s"${esc(w)}:$c" }.mkString(",")
+
+  /** Inverse of [[render]]: (key, count) pairs in rendered order. */
+  def parse(s: String): Seq[(String, Long)] =
+    s.split(",").filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.lastIndexOf(':')
+      (unesc(kv.substring(0, i)), kv.substring(i + 1).toLong)
+    }
 }
 
 final class HeavyKeysAggregator(capacity: Int)

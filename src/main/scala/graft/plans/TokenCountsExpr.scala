@@ -38,7 +38,15 @@ case class TokenCountsExpr(child: Expression) extends UnaryExpression {
       if (c == ' ') { ws += 1; run = 0 }
       else if (c >= 'a' && c <= 'z') { if (run != 1) { re += 1; run = 1 } }
       else if (c >= '0' && c <= '9') { if (run != 2) { re += 1; run = 2 } }
-      else { re += 1; run = 0 }
+      else {
+        re += 1; run = 0
+        // count per CODE POINT, not UTF-16 unit: both regex engines (Java
+        // in the pinned declarative twin, RE2 in the DuckDB oracle) match
+        // [^a-z0-9 ] against one code point, so a surrogate pair is ONE
+        // token — consuming only the high half would count it as two
+        if (Character.isHighSurrogate(c) && i + 1 < n &&
+            Character.isLowSurrogate(text.charAt(i + 1))) i += 1
+      }
       i += 1
     }
     new GenericArrayData(Array(ws, re))

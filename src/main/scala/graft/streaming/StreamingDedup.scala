@@ -127,20 +127,32 @@ object StreamingDedup {
     * write: the index append must not re-run the probe plan against the
     * index directory it is itself mutating.
     *
+    * Crash/replay semantics: both writes are batchId-keyed and IDEMPOTENT,
+    * so with a checkpointLocation the accepted sink is exactly-once across
+    * restarts. Accepted rows land under `acceptedDir/ingest_batch=b<id>/`
+    * (overwrite — read `acceptedDir` as one partitioned table); band rows
+    * land in index segment `b<id>` via a dynamic partition overwrite of
+    * that segment alone. A replayed batch recomputes the SAME kept set
+    * because the probe excludes its own segment (a crashed attempt's
+    * partial band rows would otherwise make the batch collide with
+    * itself), then overwrites both outputs in place.
+    *
     * Returns the configured writer — caller picks trigger/checkpoint and
-    * starts (AvailableNow for drain-style runs; a checkpointLocation makes
-    * the accepted sink exactly-once across restarts).
+    * starts (AvailableNow for drain-style runs).
     */
   def indexedIngestStream(docs: DataFrame, indexDir: String,
       acceptedDir: String, idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
+        val seg = s"b$batchId"
         val kept = Dedup.incrementalKeptIndexed(
-            batch.sparkSession, indexDir, batch, idCol, textCol)
+            batch.sparkSession, indexDir, batch, idCol, textCol,
+            excludeSeg = Some(seg))
           .localCheckpoint()
-        kept.write.mode("append").parquet(acceptedDir)
-        Dedup.appendBandIndex(kept, indexDir, idCol, textCol)
+        kept.write.mode("overwrite").parquet(s"$acceptedDir/ingest_batch=$seg")
+        Dedup.appendBandIndex(kept, indexDir, idCol, textCol,
+          seg = seg, overwriteSeg = true)
     }
 
   /** Unbounded-ingest variant: bucket state expires after `stateTtl` of

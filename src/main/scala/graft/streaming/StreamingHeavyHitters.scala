@@ -52,12 +52,8 @@ object StreamingHeavyHitters {
     */
   def parseHot(latestPerShard: Seq[(String, Long)], minFrac: Double): Seq[String] = {
     val total = latestPerShard.map(_._2).sum
-    latestPerShard.flatMap { case (hh, _) =>
-      hh.split(",").filter(_.nonEmpty).map { kv =>
-        val i = kv.lastIndexOf(':')
-        (kv.substring(0, i), kv.substring(i + 1).toLong)
-      }
-    }.filter { case (_, c) => c.toDouble >= minFrac * total }
+    latestPerShard.flatMap { case (hh, _) => HeavyKeys.parse(hh) }
+      .filter { case (_, c) => c.toDouble >= minFrac * total }
       .sortBy { case (k, c) => (-c, k) }
       .map(_._1)
   }

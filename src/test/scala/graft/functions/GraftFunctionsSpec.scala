@@ -83,4 +83,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == truth)
   }
+
+  test("heavy-keys render/parse round-trips keys containing separators") {
+    import graft.plans.HeavyKeys
+    // keys are arbitrary column values: commas, colons, percents, and
+    // compositions like "x:1,y" must survive the string rendering intact
+    val nasty = Map("a,b" -> 5L, "c:d" -> 4L, "x:1,y" -> 3L,
+      "100%," -> 2L, "plain" -> 1L, "%2C" -> 7L)
+    val parsed = HeavyKeys.parse(HeavyKeys.render(nasty)).toMap
+    assert(parsed == nasty)
+    // rendered order is (-count, key); parse preserves it
+    val ordered = HeavyKeys.parse(HeavyKeys.render(nasty)).map(_._2)
+    assert(ordered == ordered.sorted(Ordering[Long].reverse))
+    // detectHotKeys survives comma-bearing keys end-to-end
+    import spark.implicits._
+    val df = (Seq.fill(60)("hot,key") ++ Seq.fill(3)("cold:key") ++
+      (0 until 20).map(i => s"k$i")).toDF("k")
+    val hot = graft.functions.ScalePatterns.detectHotKeys(df, "k", minFrac = 0.3)
+    assert(hot == Seq("hot,key"), s"got $hot")
+  }
 }

@@ -70,7 +70,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
       val fields = f.schema.fieldNames.toSet ++ f.relation.partitionSchema.fieldNames
       assert(!fields.contains("text"),
         s"a file scan reads a text column: ${f.schema.catalogString}")
-      assert(fields.subsetOf(Set("__id", "ak", "band", "key", "kp")),
+      assert(fields.subsetOf(Set("__id", "ak", "band", "key", "kp", "seg")),
         s"unexpected scan columns: $fields")
     }
     // partition pruning: a 2-doc batch touches at most 8 (band, kp) buckets

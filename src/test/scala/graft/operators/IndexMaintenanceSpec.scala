@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.vpts.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index maintenance (VERDICT r7 #3): appends accumulate one small file-set
+  * per batch; compaction must bound the file count WITHOUT changing probe
+  * results. Also pins the segment-keyed append idempotence that backs the
+  * streaming ingest's exactly-once contract (ADVICE r7): re-running a
+  * batch's append replaces its segment instead of duplicating it, and a
+  * probe excluding its own segment does not self-collide with a crashed
+  * attempt's partial rows.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+  }
+
+  test("compactBandIndex bounds files after N appends and preserves probe results") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("band-index-compact").toString
+    Dedup.writeBandIndex(existing, dir, "doc_id", "text")
+    // 4 appended batches, each its own segment
+    (0 until 4).foreach { i =>
+      val b = incoming.filter(col("doc_id") % 4 === i)
+      Dedup.appendBandIndex(b, dir, "doc_id", "text", seg = s"b$i", overwriteSeg = true)
+    }
+    // half duplicates (must drop), half fresh synthetic docs (must keep)
+    import spark.implicits._
+    val fresh = (0 until 30).map(i => (4000000L + i,
+      s"completely fresh document number $i about topic${i % 7} with unique tail ${i * 31}"))
+      .toDF("doc_id", "text")
+    val probe = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      .unionByName(fresh)
+    val before = Dedup.incrementalKeptIndexed(spark, dir, probe, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val filesBefore = parquetFiles(dir).size
+    val segsBefore = parquetFiles(dir).map(_.getParentFile.getName).distinct.sorted
+    assert(segsBefore.size == 5, s"expected 5 segments, saw $segsBefore")
+
+    Dedup.compactBandIndex(spark, dir)
+
+    val files = parquetFiles(dir)
+    assert(files.map(_.getParentFile.getName).distinct == Seq("seg=base"),
+      "compaction must collapse all segments into one")
+    // one file per surviving (band, kp) partition — strictly fewer than the
+    // appended sprawl and bounded by the partition count regardless of N
+    val partDirs = files.map(_.getParentFile.getPath).distinct.size
+    assert(files.size == partDirs, s"expected 1 file per partition, " +
+      s"${files.size} files in $partDirs partitions")
+    assert(files.size < filesBefore,
+      s"compaction did not shrink: $filesBefore -> ${files.size}")
+    val after = Dedup.incrementalKeptIndexed(spark, dir, probe, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "probe results changed across compaction")
+    assert(before.nonEmpty, "fixture probe accepted nothing")
+  }
+
+  test("segment-keyed append is idempotent and probes exclude their own segment") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0).limit(20)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("band-index-idem").toString
+    Dedup.writeBandIndex(existing, dir, "doc_id", "text")
+
+    val keptClean = Dedup.incrementalKeptIndexed(spark, dir, batch, "doc_id", "text",
+        excludeSeg = Some("b7")).localCheckpoint()
+    val cleanIds = keptClean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cleanIds.nonEmpty)
+
+    // crashed attempt: PARTIAL band rows of the batch land in segment b7
+    Dedup.appendBandIndex(keptClean.limit(5), dir, "doc_id", "text",
+      seg = "b7", overwriteSeg = true)
+    // without the exclusion the batch collides with its own partial rows
+    val polluted = Dedup.incrementalKeptIndexed(spark, dir, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(polluted != cleanIds, "pollution not observable — test fixture too weak")
+    // the replaying probe excludes its own segment: same kept set as clean
+    val replayed = Dedup.incrementalKeptIndexed(spark, dir, batch, "doc_id", "text",
+        excludeSeg = Some("b7")).localCheckpoint()
+    assert(replayed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == cleanIds)
+
+    // replay's append overwrites segment b7 — band-row count equals a
+    // single clean append's, not partial + full
+    Dedup.appendBandIndex(replayed, dir, "doc_id", "text", seg = "b7", overwriteSeg = true)
+    val segRows = spark.read.parquet(dir).filter(col("seg") === "b7").count()
+    val cleanDir = java.nio.file.Files.createTempDirectory("band-index-ref").toString
+    Dedup.writeBandIndex(keptClean, cleanDir, "doc_id", "text")
+    assert(segRows == spark.read.parquet(cleanDir).count(),
+      "segment overwrite left duplicate band rows behind")
+  }
+
+  test("compactTermIndex bounds files after N appends and preserves the probe") {
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("term-index-compact").toString
+    TextOps.writeTermIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    (0 until 4).foreach { i =>
+      TextOps.appendTermIndex(
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 4 === i), dir)
+    }
+    val terms = TextOps.QueryTerms
+    val before = TextOps.bm25Indexed(spark, dir, terms, 10)
+      .select("doc_id", "bm25").collect().map(r => (r.getLong(0), r.get(1).toString)).toSeq
+    val filesBefore = parquetFiles(dir).size
+    val (postStats, statStats) = TextOps.compactTermIndex(spark, dir)
+    assert(postStats.filesAfter < postStats.filesBefore)
+    assert(statStats.filesAfter == 1, "stats should coalesce to one file")
+    assert(parquetFiles(dir).size < filesBefore)
+    val after = TextOps.bm25Indexed(spark, dir, terms, 10)
+      .select("doc_id", "bm25").collect().map(r => (r.getLong(0), r.get(1).toString)).toSeq
+    assert(after == before, "probe results changed across term-index compaction")
+    assert(before.nonEmpty)
+  }
+}

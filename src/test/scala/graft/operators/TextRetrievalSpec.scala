@@ -122,6 +122,22 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sparse corpus: probe returns matched docs only, all positive-score") {
+    import spark.implicits._
+    // fewer docs contain a query term than k: the probe must return exactly
+    // the matched docs (no zero-score padding) — the contract the
+    // positive-score-filtered oracle pins for all corpora (ADVICE r7)
+    val docs = Seq(
+      (1L, "a vector of words"), (2L, "the stream flows"), (3L, "nothing relevant"),
+      (4L, "plain filler text"), (5L, "more filler here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("term-index-sparse").toString
+    TextOps.writeTermIndex(docs, dir)
+    val got = TextOps.bm25Indexed(spark, dir, TextOps.QueryTerms, 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L),
+      s"expected exactly the matched docs, got ${got.map(_.toSeq).toSeq}")
+    assert(got.forall(_.getAs[Double]("bm25") > 0))
+  }
+
   test("normalization handles case, punctuation, and whitespace runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

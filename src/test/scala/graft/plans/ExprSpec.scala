@@ -211,6 +211,16 @@ class ExprSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     // "abc123def" -> abc|123|def = 3; "A!b" -> A,!,b = 3; "x9 9x" -> x,9 + 9,x = 4
     assert(got.toSeq == Seq((1, 0), (1, 3), (3, 2), (1, 3), (2, 4)))
+    // non-BMP: a surrogate pair is ONE [^a-z0-9 ] match in both regex
+    // engines; the native walk must count per code point (ADVICE pin).
+    // Also a lone (unpaired) high surrogate still counts as one.
+    val nonBmp = Seq("a😀b", "😀😀", "a\uD83Db").toDF("text")
+    val tc3 = TokenCountsExpr.tokenCounts(col("text"))
+    val cmp = nonBmp.select(element_at(tc3, 2).as("native"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    cmp.foreach { case (n, re) => assert(n == re, s"native $n != regex $re") }
+    assert(cmp.map(_._1).toSeq == Seq(3, 2, 3))
   }
 
   test("hashed shingle set matches hash-of-declarative-set under forced codegen") {
