@@ -29,7 +29,7 @@ q_dedup_components q_dedup_keeper_by_quality q_decontaminate q_ann_kmeans
 q_skew_join_unsalted q_skew_join_salted q_ann_bruteforce_topk
 q_ann_lsh_signature q_text_quality q_text_tokens q_bloom_prejoin
 q_dedup_segments q_dedup_semantic q_pipeline_prep q_pipeline_full
-q_text_bm25""".split()
+q_text_bm25 q_text_bm25_probe""".split()
 
 
 def main():
@@ -43,8 +43,12 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
+    # optional subset (comma-separated names, 4th arg or BENCH_ONLY env) —
+    # the sf10 amortization run times only the compute-bound heavy set
+    only = sys.argv[4] if len(sys.argv) > 4 else os.environ.get("BENCH_ONLY")
+    bench = [n for n in BENCH if n in set(only.split(","))] if only else BENCH
     results = {}
-    for name in BENCH:
+    for name in bench:
         sql = oracles.get(name)
         if not sql:
             results[name] = None

@@ -695,14 +695,18 @@ object Similarity {
        |SELECT dim, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi FROM b
        |ORDER BY dim""".stripMargin
 
-  /** The 8-bit level of component i (1-based), given los/his columns. */
-  private def sqCodeAt(v: Column, i: Column): Column = {
+  /** The `levels`-ary code of component i (1-based), given los/his columns:
+    * 255 = SQ8 (8-bit), 15 = SQ4 (4-bit, half the bytes for ~2x the
+    * quantization error — the standard memory/recall trade both share the
+    * one bounds pass).
+    */
+  private def sqCodeAt(v: Column, i: Column, levels: Int = 255): Column = {
     val x = element_at(v, i); val lo = element_at(col("los"), i); val hi = element_at(col("his"), i)
-    when(hi === lo, lit(0.0)).otherwise(round((x - lo) * 255 / (hi - lo)))
+    when(hi === lo, lit(0.0)).otherwise(round((x - lo) * levels / (hi - lo)))
   }
 
-  private def sqCodeAtSql(v: String): String =
-    s"CASE WHEN his[i] = los[i] THEN 0 ELSE round(($v[i] - los[i]) * 255 / (his[i] - los[i])) END"
+  private def sqCodeAtSql(v: String, levels: Int = 255): String =
+    s"CASE WHEN his[i] = los[i] THEN 0 ELSE round(($v[i] - los[i]) * $levels / (his[i] - los[i])) END"
 
   def qAnnSqEncode(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("v", scaled12(col("embedding")))
@@ -722,16 +726,18 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   /** ADC search: data vectors quantized on the fly, the query kept exact;
-    * rank by the exact-integer sum of squared 255-multiplied diffs.
+    * rank by the exact-integer sum of squared `levels`-multiplied diffs
+    * (SQ8: |recon255| <= ~2^22, squared <= 2^44, x64 dims <= 2^50; SQ4's
+    * 15-multiplied values are 17x smaller still — both exact doubles).
     */
-  def sqSearch(e0: DataFrame, queryId: Long, k: Int): DataFrame = {
+  def sqSearch(e0: DataFrame, queryId: Long, k: Int, levels: Int = 255): DataFrame = {
     val e = e0.withColumn("v", scaled12(col("embedding")))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val adist = aggregate(
       transform(sequence(lit(1), lit(Dim)), { i =>
         val lo = element_at(col("los"), i); val hi = element_at(col("his"), i)
-        val recon = lit(255) * lo + sqCodeAt(col("v"), i) * (hi - lo)
-        val d = recon - lit(255) * element_at(col("qv"), i)
+        val recon = lit(levels) * lo + sqCodeAt(col("v"), i, levels) * (hi - lo)
+        val d = recon - lit(levels) * element_at(col("qv"), i)
         d * d
       }),
       lit(0.0d), (acc, x) => acc + x)
@@ -751,6 +757,42 @@ object Similarity {
        |SELECT vec_id, CAST(list_sum(list_transform(
        |    list_transform(range(1, $Dim+1),
        |      i -> 255 * los[i] + (${sqCodeAtSql("v")}) * (his[i] - los[i]) - 255 * qv[i]),
+       |    d -> d * d)) AS BIGINT) AS adist
+       |FROM e, bl, q
+       |WHERE vec_id <> 0
+       |ORDER BY adist, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** SQ4 (VERDICT r7 #5): the 4-bit variant — same one-pass bounds, codes
+    * in 0..15 so two components pack per byte on disk (32 bytes/vector at
+    * Dim=64). Encode and ADC search reuse the SQ8 path at levels=15.
+    */
+  def qAnnSq4Encode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", scaled12(col("embedding")))
+    e.crossJoin(broadcast(sqBoundsArr(e)))
+      .select(col("vec_id"),
+        concat_ws(",", transform(sequence(lit(1), lit(Dim)),
+          i => sqCodeAt(col("v"), i, 15).cast("long").cast("string"))).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qAnnSq4EncodeSql: String =
+    s"""WITH $sqBoundsSqlCtes
+       |SELECT vec_id,
+       |  array_to_string(list_transform(range(1, $Dim+1),
+       |    i -> CAST(CAST(${sqCodeAtSql("v", 15)} AS BIGINT) AS VARCHAR)), ',') AS codes
+       |FROM e, bl
+       |ORDER BY vec_id""".stripMargin
+
+  def qAnnSq4Search(s: SparkSession, dir: String): DataFrame =
+    sqSearch(Tables.embeddings(s, dir), 0L, 10, levels = 15)
+
+  val qAnnSq4SearchSql: String =
+    s"""WITH $sqBoundsSqlCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT vec_id, CAST(list_sum(list_transform(
+       |    list_transform(range(1, $Dim+1),
+       |      i -> 15 * los[i] + (${sqCodeAtSql("v", 15)}) * (his[i] - los[i]) - 15 * qv[i]),
        |    d -> d * d)) AS BIGINT) AS adist
        |FROM e, bl, q
        |WHERE vec_id <> 0
@@ -810,5 +852,7 @@ object Similarity {
     QueryDef("q_ann_sq_train", qAnnSqTrain, Some(qAnnSqTrainSql)),
     QueryDef("q_ann_sq_encode", qAnnSqEncode, Some(qAnnSqEncodeSql)),
     QueryDef("q_ann_sq_search", qAnnSqSearch, Some(qAnnSqSearchSql)),
+    QueryDef("q_ann_sq4_encode", qAnnSq4Encode, Some(qAnnSq4EncodeSql)),
+    QueryDef("q_ann_sq4_search", qAnnSq4Search, Some(qAnnSq4SearchSql)),
   )
 }

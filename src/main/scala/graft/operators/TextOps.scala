@@ -476,14 +476,31 @@ object TextOps {
     */
   def bm25Indexed(s: SparkSession, indexDir: String,
       terms: Seq[String], k: Int): DataFrame = {
+    val posts = prunedPostings(s, indexDir, terms)
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+  }
+
+  /** The query terms' md5 buckets of `dir/postings` — static partition
+    * pruning shared by the plain and packed probes.
+    */
+  private def prunedPostings(s: SparkSession, indexDir: String,
+      terms: Seq[String]): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buckets = terms.map { t =>
       md.reset()
       md.digest(t.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
     }.distinct
-    val posts = s.read.parquet(s"$indexDir/postings")
+    s.read.parquet(s"$indexDir/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
-    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+  }
+
+  /** Shared probe tail: (term, doc_id, tf, dl) posting rows + per-term df
+    * -> BM25 top-k. Identical between the plain and packed index forms, so
+    * the codec can only diverge in the decode step its own oracle checks.
+    */
+  private def bm25FromPosts(s: SparkSession, indexDir: String, posts: DataFrame,
+      dfs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     // stats rows are ADDITIVE (one per write/append) — sum them
     val stats = s.read.parquet(s"$indexDir/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
@@ -514,6 +531,110 @@ object TextOps {
     writeTermIndex(Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp)
     bm25Indexed(s, tmp, QueryTerms, 10)
   }
+
+  /** PACKED term index (VERDICT r7 #6): same bucketed layout, but posting
+    * rows collapse into delta+varint blocks — `dir/postings/tb=XX/` holds
+    * (term, blk, n, plist) where `plist` is ≤`blockSize` (doc_id, tf, dl)
+    * entries packed by [[graft.plans.PostingsCodec]]. Blocking caps the
+    * cell size for hot terms (a 100 TB stopword's full list is millions of
+    * entries — never one row): entries rank within their term by doc_id
+    * (one build-time window, partitioned by term so it parallelizes across
+    * terms) and chunk every `blockSize`. Per-term df is Σn over live
+    * blocks — readable from block HEADERS without touching a single packed
+    * byte, preserving the plain index's append-never-stales property.
+    */
+  def writePackedTermIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: String = "overwrite", blockSize: Int = 4096): Unit = {
+    import graft.plans.PostingsCodec
+    val w = words(col(textCol))
+    val posts = docs
+      .select(col(idCol).as("doc_id"), size(w).as("dl"), explode(w).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    posts
+      .withColumn("blk", ((row_number().over(byTerm) - 1) / blockSize).cast("int"))
+      // hash-partitioned by term from the window ⇒ the (term, blk) groupBy
+      // below introduces NO second exchange (term ⊂ the clustering keys)
+      .groupBy(col("term"), col("blk"))
+      .agg(count(lit(1)).cast("int").as("n"),
+        PostingsCodec.pack(sort_array(collect_list(
+          struct(col("doc_id"), col("tf"), col("dl"))))).as("plist"))
+      .withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
+      .repartition(col("tb"))
+      // parquet min/max stats would embed each multi-KB blob TWICE in the
+      // footer (and nobody range-prunes on an opaque blob) — truncate them
+      // or the stats outweigh the postings
+      .write.option("parquet.statistics.truncate.length", "64")
+      .partitionBy("tb").mode(mode).parquet(s"$dir/postings")
+    docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
+      .write.mode(mode).parquet(s"$dir/stats")
+  }
+
+  /** Append to a packed index: new docs' blocks land beside the old ones
+    * (block ranks are per-append, so blk values may repeat per term —
+    * harmless: df sums live `n`s and the probe explodes every matched
+    * block). Caller owns id disjointness, as with [[appendTermIndex]].
+    */
+  def appendPackedTermIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      blockSize: Int = 4096): Unit =
+    writePackedTermIndex(docs, dir, idCol, textCol, mode = "append", blockSize)
+
+  /** BM25 top-k over the packed index: the same ≤2-files-per-term pruned
+    * scan, df from block headers (Σn — zero decode), then ONLY the matched
+    * blocks unpack, inside the probe's codegen'd projection.
+    */
+  def bm25Packed(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import graft.plans.PostingsCodec
+    val blocks = prunedPostings(s, indexDir, terms)
+    val dfs = blocks.groupBy(col("term")).agg(sum(col("n")).as("df"))
+    val posts = blocks
+      .select(col("term"), explode(PostingsCodec.unpack(col("plist"))).as("e"))
+      .select(col("term"), col("e.doc_id").as("doc_id"),
+        col("e.tf").as("tf"), col("e.dl").as("dl"))
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+  }
+
+  /** Packed-index entry: fresh build + probe; oracle = the same full-scan
+    * SQL, so packed probe == plain probe == scan == DuckDB.
+    */
+  def qTextBm25Packed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("term-index-packed").toString
+    writePackedTermIndex(Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp)
+    bm25Packed(s, tmp, QueryTerms, 10)
+  }
+
+  /** Term index staged ONCE per corpus under /tmp ([[Staging.stagedDir]]
+    * atomic-rename protocol; key includes the documents.parquet size+mtime
+    * so a regenerated testdata set never reuses a stale index). This is the
+    * operational shape: the index is BUILT once and PROBED many times, so
+    * the probe entry below times the probe alone — at 100 TB the build is a
+    * scheduled pipeline, the probe is the product.
+    */
+  private[graft] def stagedTermIndex(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val doc = Paths.get(dir, "documents.parquet")
+    val tag = s"${Files.size(doc)}_${Files.getLastModifiedTime(doc).toMillis}"
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Staging.stagedDir(Paths.get(s"/tmp/graft_term_index_${slug}_$tag")) { tmp =>
+      writeTermIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp.toString)
+    }
+  }
+
+  /** Probe-only BM25 entry (VERDICT r7 #2): same pruned probe as
+    * [[qTextBm25Indexed]] but against the staged index, so the BENCH time
+    * is the ≤2-files-per-term probe alone, not build+probe. Bench stages
+    * the index during the untimed warmup pass (the ODIM-corpus pattern);
+    * the oracle is the same full-scan SQL, so the staged index is
+    * hash-checked against DuckDB every Verify run too.
+    */
+  def qTextBm25Probe(s: SparkSession, dir: String): DataFrame =
+    bm25Indexed(s, stagedTermIndex(s, dir), QueryTerms, 10)
 
   /** CCNet-style text normalization — the canonical pre-dedup transform
     * (lowercase, strip non-alphanumerics, collapse runs of spaces, trim)
@@ -615,6 +736,8 @@ object TextOps {
     QueryDef("q_text_tfidf", qTextTfidf, Some(qTextTfidfSql)),
     QueryDef("q_text_bm25", qTextBm25, Some(qTextBm25Sql), bench = true),
     QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25IndexedSql)),
+    QueryDef("q_text_bm25_probe", qTextBm25Probe, Some(qTextBm25IndexedSql), bench = true),
+    QueryDef("q_text_bm25_packed", qTextBm25Packed, Some(qTextBm25IndexedSql)),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
     QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),
     QueryDef("q_dedup_normalized", qDedupNormalized, Some(qDedupNormalizedSql)),

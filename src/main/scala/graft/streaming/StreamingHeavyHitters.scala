@@ -43,6 +43,40 @@ object StreamingHeavyHitters {
       }
   }
 
+  /** Cadence-throttled form (NOTES r7 #5): counters update every batch but
+    * a shard EMITS only on its every-`cadence`-th data-carrying batch — a
+    * production monitor rarely wants a fresh hot set per micro-batch.
+    * `flatMapGroupsWithState` (vs map) is what lets a shard stay silent;
+    * state and counts are identical to [[heavyKeysStream]] (same
+    * [[HeavyKeys.bump]] per row), so the exactness/overcount guarantees
+    * are unchanged — emissions are just sampled. cadence=1 degenerates to
+    * the per-batch behavior.
+    */
+  def heavyKeysStreamEvery(keys: DataFrame, keyCol: String, cadence: Int,
+      shards: Int = 16, capacity: Int = 256): Dataset[ShardHot] = {
+    require(cadence >= 1, s"cadence must be >= 1, got $cadence")
+    import keys.sparkSession.implicits._
+    keys.select(pmod(hash(col(keyCol)), lit(shards)).as("shard"),
+        col(keyCol).cast("string").as("key"))
+      .as[KeyRow]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[(Map[String, Long], Long, Int), ShardHot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[KeyRow],
+            state: GroupState[(Map[String, Long], Long, Int)]) =>
+          var (m, n, since) = state.getOption.getOrElse((Map.empty[String, Long], 0L, 0))
+          rows.foreach { r => m = HeavyKeys.bump(m, r.key, 1L, capacity); n += 1 }
+          since += 1
+          if (since >= cadence) {
+            state.update((m, n, 0))
+            Iterator.single(ShardHot(shard, HeavyKeys.render(m), n))
+          } else {
+            state.update((m, n, since))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Output mode the operator expects (shard rows refresh in place). */
   val outputMode: OutputMode = OutputMode.Update()
 

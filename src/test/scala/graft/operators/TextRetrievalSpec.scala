@@ -138,6 +138,71 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Double]("bm25") > 0))
   }
 
+  test("packed index: probe equals the plain index and the full scan, blocks split hot terms") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(c("doc_id"), c("text"))
+    val packed = java.nio.file.Files.createTempDirectory("term-index-packed").toString
+    // blockSize=8 forces every common term across multiple blocks, so the
+    // equality below exercises multi-block df summing and per-block decode
+    TextOps.writePackedTermIndex(docs, packed, blockSize = 8)
+    val plain = java.nio.file.Files.createTempDirectory("term-index-plain").toString
+    TextOps.writeTermIndex(docs, plain)
+    val got = TextOps.bm25Packed(spark, packed, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    val want = TextOps.bm25Indexed(spark, plain, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got == TextOps.qTextBm25(spark, sfDir).collect().map(_.toSeq).toSeq)
+    // multi-block: at least one query term's postings span >1 block row
+    val blocks = spark.read.parquet(s"$packed/postings")
+      .filter(c("term").isin(TextOps.QueryTerms: _*))
+      .groupBy(c("term")).count().collect()
+    assert(blocks.exists(_.getLong(1) > 1), "blockSize=8 should split a hot term")
+  }
+
+  private def dirBytes(d: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(d))
+  }
+
+  test("packed index is smaller than the plain index (delta+varint payoff)") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(c("doc_id"), c("text"))
+    val packed = java.nio.file.Files.createTempDirectory("ti-packed-size").toString
+    TextOps.writePackedTermIndex(docs, packed)
+    val plain = java.nio.file.Files.createTempDirectory("ti-plain-size").toString
+    TextOps.writeTermIndex(docs, plain)
+    val (pb, qb) = (dirBytes(s"$packed/postings"), dirBytes(s"$plain/postings"))
+    info(f"postings bytes: plain=$qb packed=$pb ratio=${pb.toDouble / qb}%.2f")
+    // parquet already dict/RLE-compresses the plain rows, so the varint win
+    // is bounded — but the packed form must never LOSE to one-row-per-post
+    assert(pb < qb, s"packed $pb >= plain $qb")
+  }
+
+  test("packed append equals a fresh packed build; compaction preserves the probe") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(c("doc_id"), c("text"))
+    val dir = java.nio.file.Files.createTempDirectory("ti-packed-append").toString
+    TextOps.writePackedTermIndex(docs.filter(c("doc_id") % 2 === 0), dir, blockSize = 16)
+    TextOps.appendPackedTermIndex(docs.filter(c("doc_id") % 2 =!= 0), dir, blockSize = 16)
+    val whole = java.nio.file.Files.createTempDirectory("ti-packed-whole").toString
+    TextOps.writePackedTermIndex(docs, whole, blockSize = 16)
+    val got = TextOps.bm25Packed(spark, dir, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == TextOps.bm25Packed(spark, whole, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq)
+    // packed layout shares the plain index's (postings + stats) shape, so
+    // compactTermIndex composes unchanged; probe results must not move
+    TextOps.compactTermIndex(spark, dir)
+    assert(TextOps.bm25Packed(spark, dir, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq == got)
+  }
+
   test("normalization handles case, punctuation, and whitespace runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

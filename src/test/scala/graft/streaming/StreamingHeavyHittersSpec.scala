@@ -48,6 +48,44 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     assert(counts == truth)
   }
 
+  test("cadence knob: emissions every N data batches, counts still exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = StreamingHeavyHitters.heavyKeysStreamEvery(
+        input.toDF().toDF("key"), "key", cadence = 2, shards = 4, capacity = 256)
+      .writeStream.outputMode(StreamingHeavyHitters.outputMode)
+      .format("memory").queryName("hh_cadence_test").start()
+    val rows = (0 until 2000).map { i =>
+      if (i % 2 == 0) "k0" else if (i % 4 == 1) "k1" else s"cold${i % 40}"
+    }
+    // 4 batches, every shard sees data in each (the key set spans shards)
+    val batches = Seq(rows.take(500), rows.slice(500, 1000),
+      rows.slice(1000, 1500), rows.drop(1500))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    val emitted = spark.table("hh_cadence_test")
+      .withColumn("__seq", monotonically_increasing_id()).collect()
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS hh_cadence_test")
+    // cadence=2 over 4 data-carrying batches -> exactly 2 emissions/shard
+    // (after batches 2 and 4), not 4
+    val perShard = emitted.groupBy(_.getAs[Int]("shard")).view.mapValues(_.length).toMap
+    assert(perShard.values.toSet == Set(2), s"emissions per shard: $perShard")
+    // the final emission carries the full exact counts — throttling the
+    // cadence samples emissions, never the counting
+    val latest = emitted.groupBy(_.getAs[Int]("shard")).map { case (_, rs) =>
+      val last = rs.maxBy(_.getAs[Long]("__seq"))
+      (last.getAs[String]("hh"), last.getAs[Long]("n"))
+    }.toSeq
+    assert(latest.map(_._2).sum == 2000L)
+    val counts = latest.flatMap(_._1.split(",")).filter(_.nonEmpty)
+      .map { kv => val i = kv.lastIndexOf(':'); (kv.take(i), kv.drop(i + 1).toLong) }
+      .toMap
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(counts == truth)
+  }
+
   test("eviction regime: the dominant key survives with an overcount-only error") {
     val rows = (0 until 3000).map { i =>
       if (i % 3 == 0) "hot" else s"noise${i}"
