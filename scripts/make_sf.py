@@ -88,12 +88,17 @@ def scale_table(name, src, dst, copies):
 
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # optional 4th arg: comma-separated table subset (e.g. the sf10
+    # amortization-curve point only needs documents+embeddings — scaling
+    # lineitem x100 would cost minutes and GBs for queries never run there)
+    subset = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst, exist_ok=True)
     for name in ["region", "nation"]:
         shutil.copy(f"{src}/{name}.parquet", f"{dst}/{name}.parquet")
         print(f"{name}: copied as-is (constant dim)")
     for name in SHIFTS:
-        scale_table(name, src, dst, copies)
+        if subset is None or name in subset:
+            scale_table(name, src, dst, copies)
 
 
 if __name__ == "__main__":

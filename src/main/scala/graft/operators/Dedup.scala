@@ -224,15 +224,22 @@ object Dedup {
     * (band, kp).
     */
   def compactBandIndex(s: SparkSession, indexDir: String,
-      seg: String = "base"): Unit = {
+      seg: String = "base", preserveSegs: Set[String] = Set.empty): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val df = s.read.parquet(indexDir)
     val originalCount = df.count()
     val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
     fs.delete(tmp, true)
-    df.select(col("__id"), col("ak"), col("key"), col("band"), col("kp"))
-      .withColumn("seg", lit(seg))
+    // preserveSegs keeps the named segments' identity through the rewrite
+    // (rows merge into the same files, seg VALUE survives): a streaming
+    // auto-compact must preserve the just-appended batch's segment or a
+    // crash-replay of that batch — which excludes its own seg — would find
+    // its rows renamed into `seg` and collide with itself
+    val segOut = if (preserveSegs.isEmpty) lit(seg)
+      else when(col("seg").isin(preserveSegs.toSeq: _*), col("seg")).otherwise(lit(seg))
+    df.select(col("__id"), col("ak"), col("key"), col("band"), col("kp"),
+        segOut.as("seg"))
       .repartition(col("band"), col("kp"))
       .write.mode("overwrite").partitionBy("band", "kp", "seg")
       .parquet(tmp.toString)
@@ -1184,8 +1191,11 @@ object Dedup {
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    // bench = true times the PROBE alone: the staged index is built during
+    // the untimed warmup pass (Staging.stagedDir), same protocol as
+    // q_text_bm25_probe — the probe is the product at 100 TB
     QueryDef("q_dedup_incremental_indexed", qDedupIncrementalIndexed,
-      Some(qDedupIncrementalSql)),
+      Some(qDedupIncrementalSql), bench = true),
     QueryDef("q_dedup_simhash", qSimhash, Some(qSimhashSql)),
     QueryDef("q_dedup_simhash64", qSimhash64, Some(qSimhash64Sql)),
     QueryDef("q_dedup_simhash_pairs", qSimhashPairs, Some(qSimhashPairsSql), bench = true),

@@ -724,6 +724,164 @@ object PipelineOps {
        |ORDER BY split, source""".stripMargin
   }
 
+  /** Temperature-balanced source mixing at α = 1/2 — the multilingual-
+    * training sampler (rate per source ∝ share^α, α < 1 lifts small
+    * sources). Unlike [[mixWeights]] the weights are COMPUTED from the
+    * data: pass 1 is one tiny partial-agg'd count per source, pass 2 joins
+    * the resulting handful of rows back as a broadcast and emits
+    * floor(w) + hash-selected-fractional copies per doc — so at 100 TB the
+    * corpus is scanned once and never shuffled (the explode is a narrow
+    * projection; only the presentation agg exchanges).
+    *
+    * Determinism: α = 1/2 keeps everything in exact integer space —
+    * s_s = floor(sqrt(n_s)) is exact in IEEE double for n_s < 2^50
+    * (sqrt is correctly rounded; a non-square's root is never an integer
+    * and a square's root is exact), and the per-source emission rate
+    * w_s = N·s_s / (S·n_s) (N = total docs, S = Σ s_s — normalized so the
+    * emitted total ≈ N) stays a ratio of int64s: whole copies = num DIV
+    * den, and the fractional remainder becomes a 2^20-resolution threshold
+    * floor(2^20·rem/den) on the md5 unit interval — single integer
+    * divisions both engines compute identically, no float boundary
+    * anywhere.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
+      seed: String = ""): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("s_s", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("n_s")).as("n_total"), sum(col("s_s")).as("s_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("num", col("n_total") * col("s_s"))
+      .withColumn("den", col("s_total") * col("n_s"))
+      .select(col(sourceCol),
+        expr("num DIV den").as("mix_whole"),
+        expr(s"((num % den) * ${1L << 20}) DIV den").as("mix_thr"))
+    val repeats = col("mix_whole") +
+      when(hashBucket(col(idCol), 1 << 20, seed) < col("mix_thr"), 1L).otherwise(0L)
+    docs.join(broadcast(rates), sourceCol)
+      .withColumn("epoch",
+        explode(when(repeats >= 1, sequence(lit(1L), repeats))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("mix_whole", "mix_thr")
+  }
+
+  /** sum(doc_id) over the emissions pins WHICH fractional ids were
+    * selected, not just how many — a count-only oracle would pass even if
+    * the hash threshold picked the wrong rows.
+    */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(s, dir), "doc_id", "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_emitted"),
+        countDistinct(col("doc_id")).as("n_unique"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+
+  val qMixTemperatureSql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_s,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT) AS s_s
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+       |             CAST(sum(s_s) AS BIGINT) AS s_total FROM c),
+       |r AS (
+       |  SELECT source,
+       |    (t.n_total * c.s_s) // (t.s_total * c.n_s) AS mix_whole,
+       |    (((t.n_total * c.s_s) % (t.s_total * c.n_s)) * ${1L << 20})
+       |      // (t.s_total * c.n_s) AS mix_thr
+       |  FROM c, t),
+       |m AS (
+       |  SELECT d.doc_id, d.source,
+       |    unnest(generate_series(1, CAST(r.mix_whole
+       |      + CASE WHEN ${hashBucketSql("d.doc_id", 1 << 20)} < r.mix_thr
+       |             THEN 1 ELSE 0 END AS BIGINT))) AS epoch
+       |  FROM documents d JOIN r USING (source))
+       |SELECT source, count(*) AS n_emitted, count(DISTINCT doc_id) AS n_unique,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic epoch shuffle — the training-data randomization pass.
+    * Each epoch seeds a fresh md5 permutation: a doc lands in shard
+    * hash(id) mod nShards and sorts within its shard by a second hash
+    * (id tie-break makes the order total). This is how 100 TB gets
+    * shuffled: nShards ≫ executors bounds any single sort, the window
+    * partitions by shard so position assignment parallelizes, and the
+    * whole thing is reproducible run-to-run and engine-to-engine — no
+    * rand(), no global row_number (which would serialize on one
+    * partition).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      epoch: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
+    docs.select(col(idCol),
+        hashBucket(col(idCol), nShards, s"shard$epoch").as("shard"),
+        hashBucket(col(idCol), 1 << 20, s"ord$epoch").as("ord"))
+      .withColumn("pos", row_number().over(w))
+      .drop("ord")
+  }
+
+  def qShuffleEpoch(s: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(s, dir), "doc_id", nShards = 8, epoch = 1)
+      .orderBy(col("shard"), col("pos"))
+
+  val qShuffleEpochSql: String =
+    s"""SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard
+       |    ORDER BY ${hashBucketSql("doc_id", 1 << 20, "ord1")}, doc_id) AS pos
+       |FROM (SELECT doc_id,
+       |        ${hashBucketSql("doc_id", 8, "shard1")} AS shard
+       |      FROM documents)
+       |ORDER BY shard, pos""".stripMargin
+
+  // Hashing-trick linear quality model: D buckets of int weights, derived
+  // from a fixed recipe so both engines carry the same literal table.
+  // (A production model would TRAIN these; the operator seam — broadcast
+  // weight table + per-token lookup-sum projection — is identical.)
+  private val QmDim = 64
+  private val QmWeights: Seq[Long] =
+    (0 until QmDim).map(i => (i * 2654435761L) % 97 - 48)
+
+  /** Model-based quality filtering, fasttext-style: a linear classifier
+    * over hashed token features (the hashing trick — no vocabulary, fixed
+    * D-bucket weight table). score(doc) = Σ_tokens w[md5(token) mod D].
+    * The weight table rides along as a 64-element literal (at a real D of
+    * 2^20 it would broadcast), so scoring is a pure per-document
+    * projection: zero shuffle at any scale, and integer weights keep the
+    * score an exact int64 both engines agree on. This is the standard
+    * "learned quality filter" pipeline stage (CCNet / fasttext langid
+    * shape) with the model application seam made deterministic.
+    */
+  def qualityModelScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val wtab = array(QmWeights.map(lit): _*)
+    aggregate(
+      transform(words(text),
+        x => element_at(wtab, (hashBucket(x, QmDim, "qm") + 1).cast("int")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  def qQualityModel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), qualityModelScore(col("text")).as("score"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("sum_score"))
+      .orderBy(col("source"))
+
+  val qQualityModelSql: String = {
+    val wl = QmWeights.mkString("[", ", ", "]")
+    s"""WITH sc AS (
+       |  SELECT doc_id, source,
+       |    coalesce(list_sum(list_transform(string_split(text, ' '),
+       |      x -> ($wl)[CAST(${hashBucketSql("x", QmDim, "qm")} AS INTEGER) + 1])),
+       |      0) AS score
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(score) AS BIGINT) AS sum_score
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),
@@ -734,6 +892,9 @@ object PipelineOps {
     QueryDef("q_doc_chunks", qDocChunks, Some(qDocChunksSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
+    QueryDef("q_mix_temperature", qMixTemperature, Some(qMixTemperatureSql)),
+    QueryDef("q_shuffle_epoch", qShuffleEpoch, Some(qShuffleEpochSql)),
+    QueryDef("q_quality_model", qQualityModel, Some(qQualityModelSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     QueryDef("q_token_budget_single", qTokenBudgetSingle, Some(qTokenBudgetSingleSql)),
     QueryDef("q_text_repetition", qTextRepetition, Some(qTextRepetitionSql)),

@@ -290,4 +290,65 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ok == want)
   }
+
+  test("temperature mixing lifts small sources, total stays near N") {
+    import spark.implicits._
+    // 9:1 source imbalance; alpha=1/2 target shares are sqrt-proportional
+    val docs = ((0L until 900L).map(i => (i, "big", "t")) ++
+      (900L until 1000L).map(i => (i, "small", "t"))).toDF("doc_id", "source", "text")
+    val got = PipelineOps.temperatureMix(docs, "doc_id", "source")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact expectation: s_big = 30, s_small = 10, S = 40, N = 1000
+    // emitted_s ~= N*s_s/S = 750 / 250 (hash selection moves it by O(sqrt))
+    assert(math.abs(got("big") - 750L) < 60, s"big emitted ${got("big")}")
+    assert(math.abs(got("small") - 250L) < 60, s"small emitted ${got("small")}")
+    assert(got("small") > 100L, "small source was not upsampled above its raw count")
+    // deterministic: same input, same emission
+    val again = PipelineOps.temperatureMix(docs, "doc_id", "source")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("epoch shuffle is a permutation: every doc once, positions contiguous per shard") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val s1 = PipelineOps.epochShuffle(docs, "doc_id", nShards = 8, epoch = 1).collect()
+    assert(s1.length == n, "shuffle dropped or duplicated docs")
+    assert(s1.map(_.getLong(0)).distinct.length == n)
+    s1.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getInt(2)).sorted
+      assert(pos.toSeq == (1 to rs.length).toSeq,
+        s"shard $shard positions not contiguous from 1")
+    }
+    // a different epoch produces a different permutation of the same docs
+    val s2 = PipelineOps.epochShuffle(docs, "doc_id", nShards = 8, epoch = 2).collect()
+    val key1 = s1.sortBy(r => (r.getLong(1), r.getInt(2))).map(_.getLong(0)).toSeq
+    val key2 = s2.sortBy(r => (r.getLong(1), r.getInt(2))).map(_.getLong(0)).toSeq
+    assert(key1 != key2, "epochs 1 and 2 produced the identical order")
+    assert(key1.sorted == key2.sorted)
+  }
+
+  test("quality model: score is the sum of hashed-bucket weights, and splits the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "alpha beta gamma"), (2L, "a", "alpha alpha")).toDF("doc_id", "source", "text")
+    val got = docs.select(col("doc_id"), PipelineOps.qualityModelScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // manual recomputation through the same md5 recipe
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("qm" + w).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 64).toInt
+    }
+    val wt = (0 until 64).map(i => (i * 2654435761L) % 97 - 48)
+    def score(t: String): Long = t.split(" ").map(w => wt(bucket(w))).sum
+    assert(got(1L) == score("alpha beta gamma"))
+    assert(got(2L) == score("alpha alpha"))
+    // on the corpus: both classes occupied (a constant filter is no model)
+    val agg = PipelineOps.qQualityModel(spark, sfDir).collect()
+    val kept = agg.map(_.getLong(2)).sum
+    val total = agg.map(_.getLong(1)).sum
+    assert(kept > 0 && kept < total, s"degenerate split: $kept of $total kept")
+  }
 }

@@ -63,4 +63,47 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(!streamed.contains(crossDup._1),
       "cross-batch duplicate was accepted — the in-stream index append is not live")
   }
+
+  test("auto-compaction bounds segment count without changing acceptance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batches = incoming.grouped(math.max(1, incoming.size / 6)).toSeq
+
+    def run(compactEvery: Int): (Seq[Long], Seq[String]) = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ingest-compact$compactEvery")
+      val idx = s"$tmp/index"; val acc = s"$tmp/accepted"
+      Dedup.writeBandIndex(existing, idx, "doc_id", "text")
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingDedup.indexedIngestStream(
+          input.toDF().toDF("doc_id", "text"), idx, acc,
+          compactEvery = compactEvery)
+        .start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val accepted = spark.read.parquet(acc)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val segs = spark.read.parquet(idx).select("seg").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      (accepted, segs)
+    }
+
+    val (plain, plainSegs) = run(compactEvery = 0)
+    val (compacted, compactedSegs) = run(compactEvery = 2)
+    assert(compacted == plain,
+      s"auto-compaction changed acceptance: extra=${compacted.diff(plain)} " +
+        s"missing=${plain.diff(compacted)}")
+    // N batches leave base + N segments unbounded; compactEvery=2 folds all
+    // but the just-appended segment at every trigger
+    assert(plainSegs.size == batches.size + 1,
+      s"expected unbounded segment growth without compaction, got $plainSegs")
+    assert(compactedSegs.size <= 3,
+      s"auto-compaction left ${compactedSegs.size} segments: $compactedSegs")
+  }
 }
