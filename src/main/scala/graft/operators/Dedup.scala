@@ -58,7 +58,8 @@ object Dedup {
   def bucketPairs(exploded: DataFrame, idCol: String, carryCol: String,
                   outA: String, outB: String, nBands: Int,
                   bandMatch: (Column, Column, Int) => Column,
-                  maxBucket: Int = MaxBucket): DataFrame = {
+                  maxBucket: Int = MaxBucket,
+                  carryOut: Option[(String, String)] = None): DataFrame = {
     val pairs = exploded.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(struct(col(idCol).as("i"), col(carryCol).as("c")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -68,8 +69,17 @@ object Dedup {
     val earlierMatch = (0 until nBands - 1).map { b =>
       (col("band") > b) && bandMatch(col("p.a.c"), col("p.b.c"), b)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    pairs.filter(!earlierMatch)
-      .select(col("p.a.i").as(outA), col("p.b.i").as(outB))
+    val kept = pairs.filter(!earlierMatch)
+    // carryOut also emits both carries: a consumer scoring pairs from the
+    // signatures alone ([[qJaccardEstimate]]) then needs NO join back to
+    // the corpus — the signatures already travelled inside the buckets
+    carryOut match {
+      case Some((ca, cb)) =>
+        kept.select(col("p.a.i").as(outA), col("p.b.i").as(outB),
+          col("p.a.c").as(ca), col("p.b.c").as(cb))
+      case None =>
+        kept.select(col("p.a.i").as(outA), col("p.b.i").as(outB))
+    }
   }
 
   /** Band-b key of a minhash key-concat string (16 hex chars per band). */
@@ -251,6 +261,50 @@ object Dedup {
     require(fs.rename(hPath, bak), s"could not move $indexDir aside")
     require(fs.rename(tmp, hPath), s"could not move compacted index into place")
     fs.delete(bak, true): Unit
+  }
+
+  /** Delete documents from a persisted band index — the removal path a
+    * long-lived 100 TB dedup corpus needs (takedowns, GDPR erasure,
+    * retractions). Given the documents WITH their text, the docs' own band
+    * keys statically prune the index to at most 4 x 256 (band, kp)
+    * partitions (the same bounded-collect literal-filter protocol as the
+    * [[incrementalKeptIndexed]] probe), so the rewrite cost is
+    * O(affected partitions), independent of corpus size.
+    *
+    * Protocol per affected (band, kp, seg) partition: anti-join the
+    * deleted ids out into a tmp layout, count-verify (rewritten ==
+    * original - deleted band rows), then swap each partition directory
+    * atomically; a partition whose rows are ALL deleted is removed
+    * entirely. Untouched partitions are never read past their id column.
+    */
+  def deleteFromBandIndex(s: SparkSession, indexDir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = ShingleK): Unit = {
+    val del = docs.select(guardId(col(idCol).cast("long")).as(idCol), col(textCol))
+    // bounded (<= 4 x 256 rows) driver collect -> static partition filter
+    val touched = bandRowsGeneric(del, idCol, textCol, shingleK)
+      .select(col("band"), keyPrefix(col("key")).as("kp")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    if (touched.isEmpty) return
+    val partFilter = touched.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
+      (col("band") === b) && col("kp").isin(ps.map(_._2).toSeq: _*)
+    }.reduce(_ || _)
+    deleteIdsFromBandIndex(s, indexDir,
+      del.select(col(idCol).cast("long").as("__id")), partFilter)
+  }
+
+  /** Ids-only delete: when the deleted docs' text is gone (the usual
+    * erasure situation — the content was already purged), the affected
+    * partitions are DISCOVERED by an id-column scan under `partFilter`
+    * (default: the whole index, column-pruned to __id + partition columns —
+    * the honest fallback cost; pass the text-derived filter via
+    * [[deleteFromBandIndex]] when the docs are still at hand).
+    */
+  def deleteIdsFromBandIndex(s: SparkSession, indexDir: String,
+      delIds: DataFrame, partFilter: Column = lit(true)): Unit = {
+    Layout.deleteByKey(s, indexDir, "__id",
+      delIds.select(col(delIds.columns.head).cast("long")),
+      Seq("band", "kp", "seg"), partFilter): Unit
   }
 
   /** [[incrementalKept]] against a PERSISTED band index ([[writeBandIndex]])
@@ -609,7 +663,19 @@ object Dedup {
     jaccardPairsOf(Tables.documents(s, dir))
 
   /** Library form of [[qJaccardPairs]] over any (doc_id, text) frame. */
-  def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  def jaccardPairsOf(docs: DataFrame): DataFrame =
+    shingleSetPairs(docs)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("inter") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared core of [[jaccardPairsOf]] / [[containmentPairs]]: LSH candidate
+    * pairs with exact hashed-shingle intersection size and both set sizes —
+    * every set-overlap measure (Jaccard, containment, Dice, overlap
+    * coefficient) is a scalar projection over (inter, na, nb).
+    */
+  def shingleSetPairs(docs: DataFrame): DataFrame = {
     // Candidates are materialized once (eager localCheckpoint; reliable
     // checkpoint(dir) on a cluster) and used twice: to semi-join the corpus
     // down to candidate MEMBERS before the shingle-set computation, and as
@@ -643,10 +709,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.plans.IntersectSizeExpr.intersectSize(col("sha"), col("shb")).as("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("inter") >= 2)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val qJaccardPairsSql: String = {
@@ -668,6 +730,86 @@ object Dedup {
        |  JOIN d da ON doc_a = da.doc_id
        |  JOIN d db ON doc_b = db.doc_id)
        |SELECT doc_a, doc_b, inter, inter / (na + nb - inter) AS jaccard
+       |FROM j
+       |WHERE inter >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Signature-estimated Jaccard over LSH candidate pairs — the verification
+    * mode an actual 100 TB MinHash dedup runs: E[matches/8] = J(A,B), so
+    * scoring the candidates from the signatures ALONE skips the second and
+    * third corpus joins (and the shingle recompute) that exact verification
+    * ([[jaccardPairsOf]]) pays. The signatures ride through the buckets as
+    * the existing `ak` carry, so the whole query is ONE exchange — band
+    * rows in, scored pairs out; the corpus text is read exactly once, for
+    * the signature projection itself.
+    *
+    * Determinism: est_jaccard = matches/8 is dyadic, so the double render
+    * is bit-identical across engines. Every candidate scores >= 2/8 by
+    * construction (its matching band IS two equal slots).
+    */
+  def jaccardEstimatePairs(docs: DataFrame): DataFrame =
+    bucketPairs(minhashBandRowsOf(docs), "doc_id", "ak", "doc_a", "doc_b",
+        4, mhBandMatch, carryOut = Some(("aka", "akb")))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 8).map(j => // 8 hex chars per slot (2 slots per 16-char band)
+          when(substring(col("aka"), 8 * j + 1, 8) ===
+            substring(col("akb"), 8 * j + 1, 8), 1L).otherwise(0L))
+          .reduce(_ + _).as("est_matches"))
+      .select(col("doc_a"), col("doc_b"), col("est_matches"),
+        (col("est_matches") / lit(8.0)).as("est_jaccard"))
+
+  def qJaccardEstimate(s: SparkSession, dir: String): DataFrame =
+    jaccardEstimatePairs(Tables.documents(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val qJaccardEstimateSql: String = {
+    val matches = (0 until 8).map(j =>
+      s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCte,
+       |$minhashBandsCteSql,
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")}
+       |SELECT doc_a, doc_b, CAST($matches AS BIGINT) AS est_matches,
+       |  CAST($matches AS BIGINT) / 8.0 AS est_jaccard
+       |FROM cand JOIN m a ON doc_a = a.doc_id JOIN m b ON doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Containment pairs — inter/min(|A|,|B|) over the same LSH candidates
+    * and exact hashed-shingle sets as [[jaccardPairsOf]]. Containment
+    * catches SUBSET duplicates (a doc embedded whole in a longer one) that
+    * symmetric Jaccard misses: a 50-shingle doc inside a 500-shingle doc
+    * scores J ~ 0.1 but containment 1.0. Same one-exchange candidate
+    * machinery, same semi-join member pruning; only the final scoring
+    * projection differs.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame =
+    shingleSetPairs(docs)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("inter") >= 2)
+
+  def qContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val qContainmentPairsSql: String = {
+    val sh = shinglesSql("ws", ShingleK)
+    val hashSet =
+      s"list_transform(list_distinct($sh), s -> ${graft.plans.ShingleSetExpr.hash60Sql("s")})"
+    s"""WITH $minhashCte,
+       |$minhashBandsCteSql,
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")},
+       |d AS (SELECT doc_id, $hashSet AS sh
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS inter,
+       |    len(da.sh) AS na, len(db.sh) AS nb
+       |  FROM cand
+       |  JOIN d da ON doc_a = da.doc_id
+       |  JOIN d db ON doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, inter, inter / least(na, nb) AS containment
        |FROM j
        |WHERE inter >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -1200,6 +1342,8 @@ object Dedup {
     QueryDef("q_dedup_simhash64", qSimhash64, Some(qSimhash64Sql)),
     QueryDef("q_dedup_simhash_pairs", qSimhashPairs, Some(qSimhashPairsSql), bench = true),
     QueryDef("q_dedup_jaccard_pairs", qJaccardPairs, Some(qJaccardPairsSql), bench = true),
+    QueryDef("q_dedup_jaccard_estimate", qJaccardEstimate, Some(qJaccardEstimateSql)),
+    QueryDef("q_dedup_containment", qContainmentPairs, Some(qContainmentPairsSql)),
     QueryDef("q_dedup_embedding_neardup", qEmbeddingNearDup, Some(qEmbeddingNearDupSql)),
     QueryDef("q_dedup_components", qDedupComponents, Some(qDedupComponentsSql), bench = true),
     QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql), bench = true),

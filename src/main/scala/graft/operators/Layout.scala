@@ -223,4 +223,71 @@ object Layout {
     }
     CompactStats(filesBefore, filesAfter, totalBytes, dirs.size)
   }
+
+  /** Partition-scoped row erasure for bare parquet — the delete half of
+    * table maintenance ([[compact]] merges files; this removes rows). Only
+    * the Hive partitions that actually CONTAIN matching keys are rewritten;
+    * everything else is read no further than its key + partition columns.
+    * At 100 TB a takedown/GDPR batch therefore costs O(affected
+    * partitions), and `partFilter` (when the caller can derive one — e.g.
+    * from the deleted docs' own index keys) prunes even the key-column
+    * discovery scan to a static partition set.
+    *
+    * Protocol: discover affected partition tuples (bounded driver collect —
+    * partition count, never row count), anti-join the keys out of exactly
+    * those partitions into `<path>.deleting`, refuse the swap unless the
+    * rewrite holds original-minus-matched rows, then swap each partition
+    * directory atomically. A partition whose rows ALL matched is removed
+    * outright. Partition values must be non-null and free of characters
+    * Hive would escape (both hold for every index this repo writes).
+    *
+    * Returns the number of rows deleted.
+    */
+  def deleteByKey(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, keys: DataFrame, partitionCols: Seq[String],
+      partFilter: Column = lit(true)): Long = {
+    require(partitionCols.nonEmpty, "deleteByKey needs partitioned data")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = broadcast(
+      keys.select(col(keys.columns.head).as(keyCol)).distinct())
+    val data = spark.read.parquet(path).filter(partFilter)
+    val affected = data.join(ids, keyCol)
+      .select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(i => r.get(i)))
+    if (affected.isEmpty) return 0L
+    val partMatch = affected.map { vals =>
+      partitionCols.zip(vals).map { case (c, v) =>
+        require(v != null, s"null partition value in $c — unsupported")
+        col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val affectedRows = data.filter(partMatch)
+    val before = affectedRows.count()
+    val matched = affectedRows.join(ids, Seq(keyCol), "left_semi").count()
+    val tmp = new org.apache.hadoop.fs.Path(path + ".deleting")
+    fs.delete(tmp, true)
+    if (matched < before) {
+      // empty-result writes can't round-trip (no schema); guarded above
+      affectedRows.join(ids, Seq(keyCol), "left_anti")
+        .repartition(partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(tmp.toString)
+      val rewritten = spark.read.parquet(tmp.toString).count()
+      require(rewritten == before - matched,
+        s"delete rewrite of $path holds $rewritten of expected " +
+          s"${before - matched} rows — swap refused, original untouched")
+    }
+    affected.foreach { vals =>
+      val rel = partitionCols.zip(vals).map { case (c, v) => s"$c=$v" }
+        .mkString("/")
+      val live = new org.apache.hadoop.fs.Path(hPath, rel)
+      val moved = new org.apache.hadoop.fs.Path(tmp, rel)
+      fs.delete(live, true)
+      if (fs.exists(moved)) // absent => the whole partition matched
+        require(fs.rename(moved, live), s"could not swap $rel into place")
+    }
+    fs.delete(tmp, true)
+    matched
+  }
 }

@@ -755,6 +755,16 @@ object PipelineOps {
       .select(col(sourceCol),
         expr("num DIV den").as("mix_whole"),
         expr(s"((num % den) * ${1L << 20}) DIV den").as("mix_thr"))
+    emitByRate(docs, idCol, sourceCol, rates, seed)
+  }
+
+  /** Shared emission tail of the data-derived samplers ([[temperatureMix]],
+    * [[unimaxMix]]): each doc emits `mix_whole` whole copies plus one
+    * hash-selected fractional copy when its md5 unit-interval position
+    * clears `mix_thr` — a broadcast join + narrow explode, zero shuffle.
+    */
+  private def emitByRate(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: DataFrame, seed: String): DataFrame = {
     val repeats = col("mix_whole") +
       when(hashBucket(col(idCol), 1 << 20, seed) < col("mix_thr"), 1L).otherwise(0L)
     docs.join(broadcast(rates), sourceCol)
@@ -762,6 +772,97 @@ object PipelineOps {
         explode(when(repeats >= 1, sequence(lit(1L), repeats))
           .otherwise(array().cast("array<bigint>"))))
       .drop("mix_whole", "mix_thr")
+  }
+
+  /** UniMax source mixing (Chung et al. 2023) — the OTHER standard
+    * multilingual sampler: a total example budget `B` and a per-source
+    * epoch cap `E`, allocated by an ascending waterfill. Sources in
+    * increasing-size order each take min(n_s·E, remaining ÷ sources-left):
+    * small sources get their full capped epochs, large sources split what
+    * remains evenly — maximally uniform coverage without over-repeating
+    * the tail.
+    *
+    * Scale shape: the waterfill is a driver loop over ONE collected row
+    * per source (bounded control-plane collect, the regime-pick
+    * precedent); the emission is the same broadcast + narrow explode as
+    * [[temperatureMix]] — the corpus is scanned once and never shuffled.
+    * Determinism: the loop is pure int64 (`÷` is integer division), and
+    * the fractional remainder becomes the same 2^20 dyadic md5 threshold
+    * as every sampler here — no float boundary on either engine.
+    */
+  def unimaxMix(docs: DataFrame, idCol: String, sourceCol: String,
+      budget: Long, maxEpochs: Int, seed: String = ""): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1,
+      s"bad unimax params budget=$budget maxEpochs=$maxEpochs")
+    val s = docs.sparkSession
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .orderBy(col("n_s"), col(sourceCol)).collect() // one row per source
+    var remaining = budget
+    val rateRows = counts.zipWithIndex.map { case (r, i) =>
+      val n = r.getLong(1)
+      val fair = remaining / (counts.length - i)
+      val alloc = math.min(n * maxEpochs, fair)
+      remaining -= alloc
+      org.apache.spark.sql.Row(r.get(0), alloc / n,
+        ((alloc % n) * (1L << 20)) / n)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      counts.headOption.map(_.schema.head)
+        .getOrElse(org.apache.spark.sql.types.StructField(sourceCol,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("mix_whole",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mix_thr",
+        org.apache.spark.sql.types.LongType)))
+    val rates = s.createDataFrame(
+      s.sparkContext.parallelize(rateRows.toSeq, 1), schema)
+    emitByRate(docs, idCol, sourceCol, rates, seed)
+  }
+
+  private val UnimaxBudget = 800L
+  private val UnimaxEpochs = 3
+
+  def qMixUnimax(s: SparkSession, dir: String): DataFrame =
+    unimaxMix(Tables.documents(s, dir), "doc_id", "source",
+        UnimaxBudget, UnimaxEpochs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_emitted"),
+        countDistinct(col("doc_id")).as("n_unique"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+
+  /** DuckDB twin of the ascending waterfill: a recursive CTE walks the
+    * sources in (n_s, source) order threading `remaining` through — the
+    * same pure-int64 recurrence the Spark driver loop runs.
+    */
+  val qMixUnimaxSql: String = {
+    val cap = s"c.n_s * $UnimaxEpochs"
+    s"""WITH RECURSIVE c AS (
+       |  SELECT source, count(*) AS n_s,
+       |    row_number() OVER (ORDER BY count(*), source) AS rk,
+       |    count(*) OVER () AS m
+       |  FROM documents GROUP BY source),
+       |a AS (
+       |  SELECT c.rk, c.source, c.n_s,
+       |    LEAST($cap, $UnimaxBudget // c.m) AS alloc,
+       |    $UnimaxBudget - LEAST($cap, $UnimaxBudget // c.m) AS rem
+       |  FROM c WHERE c.rk = 1
+       |  UNION ALL
+       |  SELECT c.rk, c.source, c.n_s,
+       |    LEAST($cap, a.rem // (c.m - c.rk + 1)),
+       |    a.rem - LEAST($cap, a.rem // (c.m - c.rk + 1))
+       |  FROM c JOIN a ON c.rk = a.rk + 1),
+       |r AS (SELECT source, alloc // n_s AS mix_whole,
+       |        ((alloc % n_s) * ${1L << 20}) // n_s AS mix_thr FROM a),
+       |e AS (
+       |  SELECT d.doc_id, d.source,
+       |    unnest(generate_series(1, CAST(r.mix_whole
+       |      + CASE WHEN ${hashBucketSql("d.doc_id", 1 << 20)} < r.mix_thr
+       |             THEN 1 ELSE 0 END AS BIGINT))) AS epoch
+       |  FROM documents d JOIN r USING (source))
+       |SELECT source, count(*) AS n_emitted, count(DISTINCT doc_id) AS n_unique,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM e GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** sum(doc_id) over the emissions pins WHICH fractional ids were
@@ -893,6 +994,7 @@ object PipelineOps {
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_mix_weights", qMixWeights, Some(qMixWeightsSql)),
     QueryDef("q_mix_temperature", qMixTemperature, Some(qMixTemperatureSql)),
+    QueryDef("q_mix_unimax", qMixUnimax, Some(qMixUnimaxSql)),
     QueryDef("q_shuffle_epoch", qShuffleEpoch, Some(qShuffleEpochSql)),
     QueryDef("q_quality_model", qQualityModel, Some(qQualityModelSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),

@@ -465,6 +465,63 @@ object TextOps {
     (Layout.compact(s, s"$dir/postings", targetBytes, Seq("tb")),
       Layout.compact(s, s"$dir/stats", targetBytes))
 
+  /** Delete documents from a term index — the takedown/erasure path of a
+    * long-lived retrieval corpus. The docs' own terms statically prune the
+    * posting rewrite to their md5 `tb` buckets ([[Layout.deleteByKey]] —
+    * O(affected buckets), independent of index size), and the corpus stats
+    * stay correct through an ADDITIVE negative row: the probe sums stats
+    * rows, so (-n, -Σdl) erases the docs' contribution to n_docs/avg-dl
+    * exactly, no stats rebuild. Per-term df needs no correction at all —
+    * it is always the live posting-list length. Not atomic across the two
+    * writes: a crash in between leaves stats adjusted ahead of postings
+    * (rerun the delete; both steps are idempotent for the same doc set).
+    */
+  def deleteFromTermIndex(s: SparkSession, dir: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val w = words(col(textCol))
+    // one-row negative correction, computed from the docs' text so docs
+    // with NO postings (empty text) still surrender their n_docs count
+    val neg = docs.agg((-count(lit(1))).as("n_docs"),
+      (-coalesce(sum(size(w)), lit(0L))).cast("long").as("sum_dl"))
+    // bounded (<= 256) literal bucket filter from the docs' own terms
+    val tbs = docs.select(explode(array_distinct(w)).as("term"))
+      .select(substring(md5(col("term").cast("binary")), 1, 2).as("tb"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (tbs.nonEmpty)
+      Layout.deleteByKey(s, s"$dir/postings", "doc_id",
+        docs.select(col(idCol).cast("long")), Seq("tb"),
+        col("tb").isin(tbs: _*)): Unit
+    neg.write.mode("append").parquet(s"$dir/stats")
+  }
+
+  /** Ids-only term-index delete (text already purged): per-doc lengths are
+    * recovered from the postings themselves (every posting row carries its
+    * doc's `dl`), so the negative stats row is exact for any doc that HAS
+    * postings. A doc with no postings is invisible to this form — its
+    * n_docs contribution cannot be reconstructed from the index; use
+    * [[deleteFromTermIndex]] while the text still exists if that matters.
+    * Bucket discovery costs a doc_id-column scan of the postings (the
+    * honest fallback — without the text there is no term-derived pruning).
+    */
+  def deleteIdsFromTermIndex(s: SparkSession, dir: String,
+      delIds: DataFrame): Unit = {
+    val ids = broadcast(delIds.select(
+      col(delIds.columns.head).cast("long").as("doc_id")).distinct())
+    // one bounded row, collected BEFORE the postings are rewritten
+    val negRow = s.read.parquet(s"$dir/postings").join(ids, "doc_id")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("sum_dl"))
+      .collect().head
+    Layout.deleteByKey(s, s"$dir/postings", "doc_id", ids, Seq("tb")): Unit
+    if (negRow.getLong(0) != 0L) {
+      import s.implicits._
+      Seq((negRow.getLong(0), negRow.getLong(1)))
+        .toDF("n_docs", "sum_dl")
+        .write.mode("append").parquet(s"$dir/stats")
+    }
+  }
+
   /** BM25 top-k by probing the term index: only the query terms' md5
     * buckets are scanned (static partition pruning — at 100 TB the probe
     * reads |terms| slices of the corpus, never the corpus). A doc with no

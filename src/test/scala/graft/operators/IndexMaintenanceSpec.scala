@@ -101,6 +101,88 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "segment overwrite left duplicate band rows behind")
   }
 
+  test("deleteFromBandIndex equals an index built without the deleted docs") {
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val keepCorpus = docs.filter(col("doc_id") % 3 === 0)
+    val delCorpus = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("band-index-del").toString
+      Dedup.writeBandIndex(keepCorpus, dir, "doc_id", "text")
+      Dedup.appendBandIndex(delCorpus, dir, "doc_id", "text", seg = "b1", overwriteSeg = true)
+      dir
+    }
+    def kept(dir: String): Seq[Long] =
+      Dedup.incrementalKeptIndexed(spark, dir, probe, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val dir = build()
+    val refDir = java.nio.file.Files.createTempDirectory("band-index-ref2").toString
+    Dedup.writeBandIndex(keepCorpus, refDir, "doc_id", "text")
+    val full = kept(dir)
+
+    Dedup.deleteFromBandIndex(spark, dir, delCorpus, "doc_id", "text")
+
+    val after = kept(dir)
+    assert(after == kept(refDir), "deleted index diverges from rebuilt-without")
+    assert(after != full, "deletion not observable — fixture too weak")
+    // no deleted id survives in any file of any partition
+    val delIds = delCorpus.select(col("doc_id").cast("long").as("__id"))
+    assert(spark.read.parquet(dir).join(delIds, "__id").count() == 0)
+    // ids-only form (text already purged) reaches the same index state
+    val dir2 = build()
+    Dedup.deleteIdsFromBandIndex(spark, dir2, delCorpus.select(col("doc_id")))
+    val rows = (d: String) => spark.read.parquet(d)
+      .select("__id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(rows(dir2) == rows(dir), "ids-only delete diverges from text-pruned delete")
+  }
+
+  test("deleting every doc of a partition removes its directory outright") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(40)
+    val dir = java.nio.file.Files.createTempDirectory("band-index-del-all").toString
+    Dedup.writeBandIndex(docs, dir, "doc_id", "text")
+    assert(parquetFiles(dir).nonEmpty)
+    Dedup.deleteFromBandIndex(spark, dir, docs, "doc_id", "text")
+    assert(parquetFiles(dir).isEmpty,
+      "fully-deleted partitions must leave no parquet files behind")
+  }
+
+  test("deleteFromTermIndex equals an index built without the deleted docs") {
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val keep = docs.filter(col("doc_id") % 4 =!= 1)
+    val del = docs.filter(col("doc_id") % 4 === 1)
+    val terms = TextOps.QueryTerms
+    def probe(dir: String): Seq[(Long, String)] =
+      TextOps.bm25Indexed(spark, dir, terms, 10)
+        .select("doc_id", "bm25").collect()
+        .map(r => (r.getLong(0), r.get(1).toString)).toSeq
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("term-index-del").toString
+      TextOps.writeTermIndex(keep, dir)
+      TextOps.appendTermIndex(del, dir)
+      dir
+    }
+    val dir = build()
+    val refDir = java.nio.file.Files.createTempDirectory("term-index-delref").toString
+    TextOps.writeTermIndex(keep, refDir)
+    val full = probe(dir)
+
+    TextOps.deleteFromTermIndex(spark, dir, del)
+
+    assert(probe(dir) == probe(refDir),
+      "deleted term index diverges from rebuilt-without (postings or stats stale)")
+    assert(probe(dir) != full, "deletion not observable — fixture too weak")
+    val delIdsDf = del.select(col("doc_id").cast("long").as("doc_id"))
+    assert(spark.read.parquet(s"$dir/postings")
+      .join(delIdsDf, "doc_id").count() == 0)
+    // ids-only form reaches the same probe state (all fixture docs tokenize)
+    val dir2 = build()
+    TextOps.deleteIdsFromTermIndex(spark, dir2, del.select(col("doc_id")))
+    assert(probe(dir2) == probe(refDir),
+      "ids-only term delete diverges from rebuilt-without")
+  }
+
   test("compactTermIndex bounds files after N appends and preserves the probe") {
     val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val dir = java.nio.file.Files.createTempDirectory("term-index-compact").toString
