@@ -47,15 +47,21 @@ def main():
     # the sf10 amortization run times only the compute-bound heavy set
     only = sys.argv[4] if len(sys.argv) > 4 else os.environ.get("BENCH_ONLY")
     bench = [n for n in BENCH if n in set(only.split(","))] if only else BENCH
+    # BENCH_RUNS trims the median-of-3 to fewer runs for multi-minute
+    # per-query scales (sf10: single-run noise is <2% at 100s+ absolutes,
+    # but 4x500s per query would burn the measurement window)
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     results = {}
     for name in bench:
         sql = oracles.get(name)
         if not sql:
             results[name] = None
             continue
-        con.execute(sql).fetchall()  # warmup
+        for _ in range(warmup):
+            con.execute(sql).fetchall()
         times = []
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             times.append(time.perf_counter() - t0)

@@ -837,6 +837,86 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** IVF-PQ composite search — the FAISS `IVF,PQ` serving shape
+    * (by_residual=false): the coarse quantizer prunes the corpus to the
+    * `nprobe` nearest label buckets, and only those buckets' vectors are
+    * ranked by the PQ ADC distance. This is THE standard 100 TB ANN path:
+    * the probe reads nprobe label partitions (the [[writeSigPartitioned]]
+    * layout) instead of the table, and each surviving candidate costs an
+    * m-term codebook lookup instead of a full-dim dot product. Pure
+    * composition of [[ivfSearch]]'s probe with [[pqSearch]]'s ADC scoring;
+    * every distance stays a sum of squared scaled ints (exact in double),
+    * so the composite remains hash-checkable cross-engine.
+    */
+  def ivfPqSearch(e0: DataFrame, queryId: Long, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val e = e0.withColumn("v", scaled(col("embedding")))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val centArr = pqCentArr(e) // ONE broadcast row: every label centroid
+    val probes = centArr.crossJoin(q)
+      .select(explode(col("cents")).as("c"), col("qv"))
+      .select(col("c.c_label").as("probe_label"),
+        aggregate(zip_with(col("qv"), col("c.cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("qdist"))
+      .orderBy(col("qdist"), col("probe_label"))
+      .limit(nprobe)
+      .select(col("probe_label"))
+    val adist = (0 until PqM).map { j =>
+      array_min(transform(col("cents"), c =>
+        struct(subDist(col("v"), c.getField("cv"), j).as("dist"),
+          c.getField("c_label").as("l"),
+          subDist(col("qv"), c.getField("cv"), j).as("distq"))))
+        .getField("distq")
+    }.reduce(_ + _)
+    e.join(broadcast(probes), col("label") === col("probe_label"))
+      .crossJoin(broadcast(centArr)).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), adist.as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  def qAnnIvfPqSearch(s: SparkSession, dir: String): DataFrame =
+    ivfPqSearch(Tables.embeddings(s, dir), 0L, 5, nprobe = 2)
+
+  val qAnnIvfPqSearchSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM e),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |probe AS (
+       |  SELECT c_label AS probe_label FROM cent, q
+       |  ORDER BY list_sum(list_transform(range(1, $Dim+1), i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), c_label
+       |  LIMIT 2),
+       |d AS (
+       |  SELECT e.vec_id, e.label, c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (v[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(v[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS dist
+       |  FROM e JOIN probe ON e.label = probe_label, cent c,
+       |    (SELECT unnest(range(0, $PqM)) AS j) js
+       |  WHERE e.vec_id <> 0),
+       |dq AS (
+       |  SELECT c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS distq
+       |  FROM cent c, q, (SELECT unnest(range(0, $PqM)) AS j) js),
+       |best AS (
+       |  SELECT vec_id, label, j, c_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c_label) AS rk
+       |    FROM d)
+       |  WHERE rk = 1)
+       |SELECT vec_id, label, sum(distq) AS adist
+       |FROM best JOIN dq USING (c_label, j)
+       |GROUP BY vec_id, label
+       |ORDER BY adist, vec_id
+       |LIMIT 5""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -848,6 +928,7 @@ object Similarity {
     QueryDef("q_ann_pq_encode", qAnnPqEncode, Some(qAnnPqEncodeSql)),
     QueryDef("q_ann_pq_search", qAnnPqSearch, Some(qAnnPqSearchSql)),
     QueryDef("q_ann_pq_train", qAnnPqTrain, Some(qAnnPqTrainSql)),
+    QueryDef("q_ann_ivfpq_search", qAnnIvfPqSearch, Some(qAnnIvfPqSearchSql)),
     QueryDef("q_emb_normalize", qEmbNormalize, Some(qEmbNormalizeSql)),
     QueryDef("q_ann_sq_train", qAnnSqTrain, Some(qAnnSqTrainSql)),
     QueryDef("q_ann_sq_encode", qAnnSqEncode, Some(qAnnSqEncodeSql)),
