@@ -29,7 +29,8 @@ q_dedup_components q_dedup_keeper_by_quality q_decontaminate q_ann_kmeans
 q_skew_join_unsalted q_skew_join_salted q_ann_bruteforce_topk
 q_ann_lsh_signature q_text_quality q_text_tokens q_bloom_prejoin
 q_dedup_segments q_dedup_semantic q_pipeline_prep q_pipeline_full
-q_text_bm25 q_text_bm25_probe q_dedup_incremental_indexed""".split()
+q_text_bm25 q_text_bm25_probe q_text_bm25_msprobe
+q_dedup_incremental_indexed""".split()
 
 
 def main():

@@ -27,6 +27,7 @@ object Registry {
       operators.TextOps.entries ++
       operators.Multimodal.entries ++
       operators.PipelineOps.entries ++
+      operators.Bpe.entries ++
       operators.VptsOps.entries
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

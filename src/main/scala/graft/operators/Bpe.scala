@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning — tokenizer vocabulary induction, the one
+  * corpus-statistics job every LLM data pipeline runs before training
+  * (Sennrich et al. 2016's learn_bpe, re-shaped for a cluster).
+  *
+  * The scalable structure mirrors production BPE trainers: the CORPUS is
+  * scanned exactly once (word counting — one explode + partial-agg'd
+  * shuffle); every merge iteration then runs over the DISTINCT-WORD table
+  * only, which is bounded by vocabulary size (~10^6 for natural language),
+  * not corpus size — so 100 TB of text costs the same per-merge work as
+  * 100 GB once counted. Per iteration: adjacent symbol pairs explode and
+  * partial-agg to weighted counts, the argmax pair comes back as ONE
+  * bounded control-plane row, and the merge itself is an in-row left-to-right
+  * fold over each word's symbol array (greedy non-overlapping, exactly
+  * Sennrich's regex-replace semantics). Lineage is cut with an eager
+  * localCheckpoint per merge so the plan never grows with merge count.
+  *
+  * Correctness contract: [[referenceBpe]] is an independent sequential
+  * implementation; the oracle entry stages its output as parquet and the
+  * shared DuckDB compare checks the distributed path against it hash-exact
+  * (the q_odim_ingest self-consistency protocol).
+  */
+object Bpe {
+
+  /** End-of-word marker — merges never cross word boundaries, and a symbol
+    * sequence ending in the marker distinguishes "low" the word from "low"
+    * the prefix (Sennrich's convention).
+    */
+  val EndMark = "</w>"
+
+  /** (word, cnt) table: the single corpus scan. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Greedy left-to-right merge of adjacent (l, r) into l+r, as an in-row
+    * fold: append each symbol unless the accumulator's last element is `l`
+    * and the incoming one is `r`. Equivalent to the sequential skip-2 scan
+    * (a just-merged token is l+r ≠ l, so it can never immediately re-merge)
+    * — the equivalence BpeSpec pins against [[referenceBpe]].
+    */
+  private def mergeSyms(syms: Column, l: String, r: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      slice(syms, 1, 1),
+      (acc, x) => when(element_at(acc, -1) === l && x === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` BPE merges over the corpus; returns
+    * (rank, left, right, pair_cnt) ordered by rank. Ties in pair count
+    * break lexicographically (left asc, right asc) so the result is
+    * deterministic across partitionings and engines.
+    */
+  def learnBpe(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // chars via substring (split(word, '') keeps a trailing "" under
+    // Spark's limit=-1 regex split — an empty symbol would poison pairs)
+    var vocab = wordCounts(docs, textCol)
+      .select(col("cnt"), concat(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit(EndMark))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges) {
+      // one bounded row: the weighted-argmax pair of this round
+      val top = vocab
+        // guard BEFORE sequence(): sequence(1, 0) would count DOWN
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(expr("transform(sequence(1, size(syms) - 1), " +
+            "i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = numMerges + 1
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank, l, r, c))
+        vocab = vocab
+          .select(col("cnt"), mergeSyms(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** Independent sequential reference (the oracle side): plain Scala over
+    * the collected (word, cnt) table. Driver-bounded by VOCABULARY size —
+    * acceptable for an oracle; the distributed path above never collects
+    * the vocabulary.
+    */
+  def referenceBpe(words: Seq[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector :+ EndMark, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, cnt) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), cnt)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Fixed merge budget for the oracle entry. */
+  val NumMerges = 20
+
+  /** Self-consistency staging: the sequential reference's merges, written
+    * fresh on EVERY call (the result depends on the scale dir, and one Gate
+    * JVM verifies several scales back to back — a per-JVM once-latch would
+    * leak scale A's reference into scale B's compare).
+    */
+  private val SelfCheckDir = "/tmp/graft_bpe_selfcheck"
+
+  val qBpeMergesSql: String =
+    s"""SELECT "rank", "left", "right", pair_cnt FROM '$SelfCheckDir/*.parquet' ORDER BY "rank""""
+
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val wc = wordCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    referenceBpe(wc, NumMerges)
+      .toDF("rank", "left", "right", "pair_cnt")
+      .coalesce(1).write.mode("overwrite").parquet(SelfCheckDir)
+    learnBpe(docs, NumMerges)
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
+  )
+}

@@ -983,7 +983,76 @@ object PipelineOps {
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** DSIR-style hashed importance weighting (Xie et al. 2023's shape:
+    * hashed n-gram features scored against a target-vs-raw distribution
+    * pair, top-weight docs selected for training). Word bigrams hash into
+    * [[IrBuckets]] buckets; the per-bucket divergence is the exact-integer
+    * cross-multiplied difference `Nt_b·Ts − Ns_b·Tt` (sign = whether the
+    * bucket is over-represented in the target), and a document's score is
+    * Σ tf_b · diff_b — a LINEAR divergence surrogate for DSIR's
+    * log-likelihood ratio, chosen deliberately: no transcendental touches
+    * the ranking key, so both engines agree bitwise (the repo's no-`ln`
+    * rule; a log-ratio scorer would be the same plan with a different
+    * bucket statistic). Products stay inside int64 up to ~3·10^9 corpus
+    * grams per side; past that, lift the diff to DECIMAL or renormalize
+    * counts — the plan shape is unchanged.
+    *
+    * Scale: one gram explode partial-aggs to (bucket, Ns, Nt) — at most
+    * [[IrBuckets]] rows, broadcast back; per-doc tf rows partial-agg on
+    * (doc, bucket) before the broadcast join; the final per-doc sum is the
+    * only doc-keyed exchange. Target membership is a predicate column, so
+    * the target corpus is never scanned separately.
+    */
+  val IrBuckets = 256
+
+  def qImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val n = size(w)
+    val grams = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"), w.as("w"),
+        explode(when(n >= 2, sequence(lit(1), n - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("is_t"),
+        hashBucket(concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1)), IrBuckets, "ir").as("b"))
+    val stats = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+    val totals = stats.agg(sum(col("ns")).as("ts"), sum(col("nt")).as("tt"))
+    val diff = stats.crossJoin(broadcast(totals))
+      .select(col("b"), (col("nt") * col("ts") - col("ns") * col("tt")).as("diff"))
+    grams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(diff), "b")
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("diff")).as("ir_score"))
+      .orderBy(col("ir_score").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val qImportanceWeightsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang = 'en' AS is_t,
+       |    ${hashBucketSql("a || ' ' || b", IrBuckets, "ir")} AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_slice(ws, 1, len(ws) - 1)) AS a,
+       |          unnest(list_slice(ws, 2, len(ws))) AS b
+       |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+       |              FROM documents))),
+       |st AS (
+       |  SELECT b, count(*) AS ns,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt
+       |  FROM g GROUP BY b),
+       |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS ts, CAST(sum(nt) AS BIGINT) AS tt FROM st),
+       |d AS (SELECT b, CAST(nt * ts - ns * tt AS BIGINT) AS diff FROM st, tot),
+       |tf AS (SELECT doc_id, b, count(*) AS tf FROM g GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(sum(tf.tf * d.diff) AS BIGINT) AS ir_score
+       |FROM tf JOIN d USING (b)
+       |GROUP BY doc_id
+       |ORDER BY ir_score DESC, doc_id
+       |LIMIT 100""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_importance_weights", qImportanceWeights, Some(qImportanceWeightsSql)),
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),
     QueryDef("q_pipeline_full", qPipelineFull, Some(qPipelineFullSql), bench = true),

@@ -917,6 +917,126 @@ object Similarity {
        |ORDER BY adist, vec_id
        |LIMIT 5""".stripMargin
 
+  // -------------------------------------------------------------- binary --
+
+  /** Binary (1-bit) quantization — the cheapest point on the ANN
+    * compression ladder (8 bytes/vector at Dim=64, vs SQ4's 32): bit i says
+    * whether component i sits above its per-dimension corpus threshold, and
+    * candidate ranking is Hamming distance on the packed bits. Serving
+    * shape is shortlist-then-rerank: Hamming top-R from the bits alone,
+    * then exact scaled-int cosine on the R-row shortlist — the same
+    * two-stage contract as [[qHybridRerank]]'s sparse/dense split.
+    *
+    * Determinism: the threshold test is `x * n_vecs > sum_x` — an exact
+    * integer comparison (components pre-lifted to 2^20 ints), so no
+    * mean division ever happens; the packed halves are exact int64 sums of
+    * distinct powers of two; Hamming is `bit_count(xor)` on both engines.
+    * The per-dim sums stay double-exact up to ~2^33 vectors (2^20-scale
+    * components, 2^53 mantissa); beyond that lift the threshold pass to
+    * DECIMAL — the bits, not the sums, are what ships.
+    *
+    * Scale: training is the [[sqBoundsRows]] plan family (one posexplode +
+    * partial agg to Dim rows); encode and search never shuffle the n-row
+    * side; the Hamming shortlist is a TakeOrderedAndProject; the rerank
+    * touches R rows. At 100 TB the packed bits are 1/256th of the float
+    * corpus — the scan that ranks candidates reads 8 bytes where
+    * brute-force reads 256.
+    */
+  private def binThresholds(e: DataFrame): DataFrame =
+    e.select(posexplode(scaled(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x")).as("s"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(expr("transform(ds, p -> p.s)").as("sums"))
+      .crossJoin(binCount(e))
+
+  private def binCount(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).as("n_vecs"))
+
+  /** bit i (1-based dim) of the vector in scaled space. */
+  private def binBit(v: Column, i: Column): Column =
+    element_at(v, i) * col("n_vecs") > element_at(col("sums"), i)
+
+  /** Pack bits (1-based dims lo..lo+31) into one exact int64 in [0, 2^32). */
+  private def binHalf(v: Column, lo: Int): Column =
+    aggregate(
+      transform(sequence(lit(lo), lit(lo + 31)),
+        // 2^(i-lo) via pow: exact for exponents <= 31, same int64 the
+        // oracle's `1::BIGINT << (i-lo)` produces
+        i => when(binBit(v, i),
+          pow(lit(2.0d), (i - lo).cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  private def binEncoded(e0: DataFrame): DataFrame = {
+    val e = e0.withColumn("v", scaled(col("embedding")))
+    e.crossJoin(broadcast(binThresholds(e)))
+      .select(col("vec_id"), col("embedding"),
+        binHalf(col("v"), 1).as("b_lo"), binHalf(col("v"), 33).as("b_hi"))
+  }
+
+  def qAnnBinaryEncode(s: SparkSession, dir: String): DataFrame =
+    binEncoded(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("b_lo"), col("b_hi"))
+      .orderBy(col("vec_id"))
+
+  private val binSqlCtes: String = {
+    def half(lo: Int) =
+      s"""CAST(list_sum(list_transform(range($lo, ${lo + 32}),
+         |      i -> CASE WHEN v[i] * n_vecs > sums[i] THEN 1::BIGINT << (i - $lo) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |th AS (
+       |  SELECT list(s ORDER BY dim) AS sums, (SELECT count(*) FROM e) AS n_vecs
+       |  FROM (SELECT dim, sum(x) AS s
+       |        FROM (SELECT unnest(range(1, $Dim+1)) AS dim, unnest(v) AS x FROM e)
+       |        GROUP BY dim)),
+       |enc AS (
+       |  SELECT vec_id, embedding, ${half(1)} AS b_lo, ${half(33)} AS b_hi
+       |  FROM e, th)""".stripMargin
+  }
+
+  val qAnnBinaryEncodeSql: String =
+    s"""WITH $binSqlCtes
+       |SELECT vec_id, b_lo, b_hi FROM enc ORDER BY vec_id""".stripMargin
+
+  /** Hamming shortlist (top-`r`) + exact cosine rerank (top-`k`). */
+  def binarySearch(e0: DataFrame, queryId: Long, k: Int, r: Int = 50): DataFrame = {
+    val enc = binEncoded(e0)
+    val q = enc.filter(col("vec_id") === queryId)
+      .select(col("b_lo").as("q_lo"), col("b_hi").as("q_hi"),
+        col("embedding").as("qe"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), col("qe"),
+        (bit_count(col("b_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("b_hi").bitwiseXOR(col("q_hi")))).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(r)
+      .select(col("vec_id"), col("hamming"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def qAnnBinarySearch(s: SparkSession, dir: String): DataFrame =
+    binarySearch(Tables.embeddings(s, dir), 0L, 10)
+
+  val qAnnBinarySearchSql: String =
+    s"""WITH $binSqlCtes,
+       |q AS (SELECT b_lo AS q_lo, b_hi AS q_hi, embedding AS qe FROM enc WHERE vec_id = 0),
+       |short AS (
+       |  SELECT vec_id, embedding, qe,
+       |    bit_count(xor(b_lo, q_lo)) + bit_count(xor(b_hi, q_hi)) AS hamming
+       |  FROM enc, q
+       |  WHERE vec_id <> 0
+       |  ORDER BY hamming, vec_id
+       |  LIMIT 50)
+       |SELECT vec_id, hamming, ${cosineSql("embedding", "qe")} AS cos
+       |FROM short
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -935,5 +1055,7 @@ object Similarity {
     QueryDef("q_ann_sq_search", qAnnSqSearch, Some(qAnnSqSearchSql)),
     QueryDef("q_ann_sq4_encode", qAnnSq4Encode, Some(qAnnSq4EncodeSql)),
     QueryDef("q_ann_sq4_search", qAnnSq4Search, Some(qAnnSq4SearchSql)),
+    QueryDef("q_ann_binary_encode", qAnnBinaryEncode, Some(qAnnBinaryEncodeSql)),
+    QueryDef("q_ann_binary_search", qAnnBinarySearch, Some(qAnnBinarySearchSql)),
   )
 }

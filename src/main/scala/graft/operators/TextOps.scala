@@ -616,7 +616,13 @@ object TextOps {
       // hash-partitioned by term from the window ⇒ the (term, blk) groupBy
       // below introduces NO second exchange (term ⊂ the clustering keys)
       .groupBy(col("term"), col("blk"))
+      // block-max metadata rides the header (VERDICT-r7-#6 family): max_tf /
+      // min_dl bound the block's best possible BM25 contribution (the
+      // tf-part is increasing in tf, decreasing in dl), min/max doc_id give
+      // the skip-pointer range — all readable without touching packed bytes
       .agg(count(lit(1)).cast("int").as("n"),
+        max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        min(col("doc_id")).as("min_did"), max(col("doc_id")).as("max_did"),
         PostingsCodec.pack(sort_array(collect_list(
           struct(col("doc_id"), col("tf"), col("dl"))))).as("plist"))
       .withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
@@ -665,6 +671,133 @@ object TextOps {
     bm25Packed(s, tmp, QueryTerms, 10)
   }
 
+  /** The scalar twin of [[bm25Term]] for CONTROL-PLANE bounds only (term
+    * upper bounds, pruning thresholds). Pruning decisions never reach the
+    * output — scores that ship are always computed by [[bm25Term]] inside
+    * the plan — so this copy carries no cross-engine determinism burden.
+    */
+  private def bm25Scalar(tf: Long, dl: Long, n: Long, sumDl: Long,
+      df: Long): Double = {
+    val idf = (2.0 * n - 2.0 * df + 1) / (2.0 * df + 1)
+    val tp = (22.0 * tf * sumDl) /
+      (10.0 * tf * sumDl + 3.0 * sumDl + 9.0 * dl * n)
+    idf * tp
+  }
+
+  /** MaxScore/block-max pruned BM25 top-k over the PACKED index — the
+    * dynamic-pruning shape every production inverted index serves with
+    * (Turtle & Flood's MaxScore with Lucene-style block-max bounds):
+    *
+    *  1. HEADERS ONLY: per-term df (Σn) and upper bound ub_t =
+    *     score(max max_tf, min min_dl) — no packed byte touched.
+    *  2. θ: decode only the rarest term's blocks and take the k-th best
+    *     single-term contribution — a lower bound on the final k-th best
+    *     total (contributions are non-negative), collected as ≤k rows of
+    *     bounded control plane.
+    *  3. Term pruning: terms in the largest ub-ascending prefix with
+    *     cumulative Σub < θ are NON-ESSENTIAL — no doc containing only
+    *     them can reach the top k, so they generate no candidates. This is
+    *     where a 100 TB stopword (huge df ⇒ tiny idf ⇒ tiny ub) drops out
+    *     of candidate generation entirely.
+    *  4. Block pruning: an essential block B of term t is skipped for
+    *     candidate generation when score(max_tf_B, min_dl_B) +
+    *     Σ_{t'≠t} ub_{t'} < θ — every doc it contains is provably below θ
+    *     through ANY of its blocks.
+    *  5. Exact scoring: candidates = docs in surviving blocks; pruned and
+    *     non-essential blocks decode only into a left-semi join against
+    *     the candidate set, so their contribution to candidate docs is
+    *     never lost (pruning is exact: strict-< tests mean a pruned doc
+    *     scores strictly under θ ≤ the k-th best total, ties included).
+    *
+    * df stays the header Σn over ALL matched blocks — global, unaffected
+    * by pruning — and final scores go through [[bm25FromPosts]], the same
+    * plan tail as every other probe, so maxscore == packed == scan == the
+    * shared DuckDB oracle.
+    */
+  def bm25MaxScore(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import graft.plans.PostingsCodec
+    val blocks = prunedPostings(s, indexDir, terms)
+    // one bounded row: global corpus stats
+    val statsRow = s.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .collect().head
+    val nDocs = statsRow.getLong(0); val sumDl = statsRow.getLong(1)
+    // ≤|terms| bounded rows: df + term-level bound inputs from headers
+    val hdr = blocks.groupBy(col("term"))
+      .agg(sum(col("n")).as("df"), max(col("max_tf")).as("mtf"),
+        min(col("min_dl")).as("mdl"))
+      // tf is a long count but dl is size()'s int — go through Number
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Number]("mtf").longValue,
+          r.getAs[Number]("mdl").longValue))).toMap
+    if (hdr.isEmpty) return bm25Packed(s, indexDir, terms, k)
+    val present = terms.filter(hdr.contains)
+    val ub = present.map { t =>
+      val (df, mtf, mdl) = hdr(t)
+      t -> bm25Scalar(mtf, mdl, nDocs, sumDl, df)
+    }.toMap
+    val totalUb = ub.values.sum
+    val dfs = {
+      import s.implicits._
+      present.map(t => (t, hdr(t)._1)).toDF("term", "df")
+    }
+    def decoded(b: DataFrame): DataFrame = b
+      .select(col("term"), explode(PostingsCodec.unpack(col("plist"))).as("e"))
+      .select(col("term"), col("e.doc_id").as("doc_id"),
+        col("e.tf").as("tf"), col("e.dl").as("dl"))
+    // θ: k-th best single-term contribution of the rarest present term
+    val seed = present.minBy(t => hdr(t)._1)
+    val seedDf = hdr(seed)._1
+    val theta: Double =
+      if (seedDf < k) 0.0
+      else decoded(blocks.filter(col("term") === seed))
+        .select(bm25Term(col("tf"), col("dl"), lit(nDocs), lit(sumDl),
+          lit(seedDf)).as("c"))
+        .orderBy(col("c").desc).limit(k)
+        .collect().map(_.getDouble(0)).min
+    // MaxScore term split: largest ub-ascending prefix with cumΣ < θ
+    val byUb = present.sortBy(t => (ub(t), t))
+    val cum = byUb.scanLeft(0.0)((acc, t) => acc + ub(t)).tail
+    val nonEssential = byUb.zip(cum).takeWhile(_._2 < theta).map(_._1).toSet
+    val essential = present.filterNot(nonEssential)
+    // per-term Σ of the OTHER terms' ubs, as a small when-cascade literal
+    def restUb(term: Column): Column =
+      present.foldLeft(lit(totalUb)) { (acc, t) =>
+        when(term === t, lit(totalUb - ub(t))).otherwise(acc)
+      }
+    val essBlocks = blocks.filter(col("term").isin(essential: _*))
+    val blockBound = bm25Term(col("max_tf"), col("min_dl"), lit(nDocs),
+      lit(sumDl), col("df")) + restUb(col("term"))
+    val live = essBlocks.join(broadcast(dfs), "term")
+      .filter(blockBound >= theta)
+      .drop("df")
+    val livePosts = decoded(live)
+    val candDocs = livePosts.select(col("doc_id")).distinct()
+    val nonEssCond =
+      if (nonEssential.isEmpty) lit(false)
+      else col("term").isin(nonEssential.toSeq: _*)
+    val prunedBlocks = blocks.join(broadcast(dfs), "term")
+      .filter(nonEssCond || blockBound < theta)
+      .drop("df")
+    val prunedPosts = decoded(prunedBlocks)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    // full `terms` (not `present`) keeps the output schema stable: an
+    // index-absent term pivots to tf=0/df=0 and contributes exactly 0
+    bm25FromPosts(s, indexDir, livePosts.unionByName(prunedPosts), dfs,
+      terms, k)
+  }
+
+  /** MaxScore entry: fresh packed build + pruned probe; oracle = the same
+    * full-scan SQL, so the dynamic pruning is hash-proven exact every
+    * Verify run.
+    */
+  def qTextBm25MaxScore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("term-index-ms").toString
+    writePackedTermIndex(Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp)
+    bm25MaxScore(s, tmp, QueryTerms, 10)
+  }
+
   /** Term index staged ONCE per corpus under /tmp ([[Staging.stagedDir]]
     * atomic-rename protocol; key includes the documents.parquet size+mtime
     * so a regenerated testdata set never reuses a stale index). This is the
@@ -692,6 +825,178 @@ object TextOps {
     */
   def qTextBm25Probe(s: SparkSession, dir: String): DataFrame =
     bm25Indexed(s, stagedTermIndex(s, dir), QueryTerms, 10)
+
+  /** PACKED index staged once per corpus (same protocol/tag as
+    * [[stagedTermIndex]]) for the probe-only MaxScore entry.
+    */
+  private[graft] def stagedPackedTermIndex(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val doc = Paths.get(dir, "documents.parquet")
+    val tag = s"${Files.size(doc)}_${Files.getLastModifiedTime(doc).toMillis}"
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Staging.stagedDir(Paths.get(s"/tmp/graft_packed_index_${slug}_$tag")) { tmp =>
+      writePackedTermIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp.toString)
+    }
+  }
+
+  /** Probe-only MaxScore entry: the dynamically-pruned probe against the
+    * staged packed index — times header read + θ seed + pruned decode
+    * alone, the serving cost of the 100 TB retrieval path.
+    */
+  def qTextBm25MsProbe(s: SparkSession, dir: String): DataFrame =
+    bm25MaxScore(s, stagedPackedTermIndex(s, dir), QueryTerms, 10)
+
+  /** PMI-ranked bigram collocations — the corpus-statistics pass behind
+    * phrase vocabularies and tokenizer seeding (find "new york"-style units
+    * worth fusing before training). Score is the PMI lift
+    * p(ab)/(p(a)p(b)) with bigram and unigram probabilities; ranking by it
+    * equals ranking by PMI (log is monotone) without a transcendental in
+    * sight. Computed as (cab/Nb)/((ca/Nu)*(cb/Nu)) — four correctly-rounded
+    * divisions and one multiply in the SAME shape on both engines (the
+    * single-division exact-int form would overflow int64 at corpus scale:
+    * Nu^2 alone passes 2^63 near 10^10 tokens).
+    *
+    * Scale: bigrams explode once and partial-agg to (a,b) counts; unigram
+    * counts join twice on single-word keys (AQE broadcasts the vocab side
+    * when it fits); the min-count filter prunes the long tail BEFORE the
+    * joins, so the exchanges carry frequent pairs only.
+    */
+  def qTextCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val n = size(w)
+    val totals = docs.agg(
+      sum(n.cast("long")).as("nu"),
+      sum(greatest(n - 1, lit(0)).cast("long")).as("nb"))
+    val uni = docs.select(explode(w).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val big = docs
+      .select(w.as("w"),
+        explode(when(n >= 2, sequence(lit(1), n - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + 1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val score = (col("cab").cast("double") / col("nb").cast("double")) /
+      ((col("ca").cast("double") / col("nu").cast("double")) *
+        (col("cb").cast("double") / col("nu").cast("double")))
+    big
+      .join(uni.withColumnRenamed("word", "a").withColumnRenamed("c", "ca"), "a")
+      .join(uni.withColumnRenamed("word", "b").withColumnRenamed("c", "cb"), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        score.as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val qTextCollocationsSql: String =
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |tot AS (
+       |  SELECT CAST(sum(len(w)) AS BIGINT) AS nu,
+       |    CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS nb
+       |  FROM ws),
+       |uni AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(w) AS word FROM ws) GROUP BY word),
+       |big AS (
+       |  SELECT a, b, count(*) AS cab
+       |  FROM (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS a,
+       |               unnest(list_slice(w, 2, len(w))) AS b
+       |        FROM ws)
+       |  GROUP BY a, b
+       |  HAVING count(*) >= 5)
+       |SELECT a, b, cab, ua.c AS ca, ub.c AS cb,
+       |  (CAST(cab AS DOUBLE) / CAST(nb AS DOUBLE)) /
+       |    ((CAST(ua.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+       |     (CAST(ub.c AS DOUBLE) / CAST(nu AS DOUBLE))) AS lift
+       |FROM big JOIN uni ua ON big.a = ua.word
+       |         JOIN uni ub ON big.b = ub.word, tot
+       |ORDER BY lift DESC, a, b
+       |LIMIT 20""".stripMargin
+
+  /** Positional term index — the phrase-query extension of
+    * [[writeTermIndex]]: posting rows carry the term's sorted 1-based token
+    * positions, same 256-way md5 `tb` bucketing, so a phrase probe reads
+    * only its terms' buckets. Positions add ~one int per token to the
+    * index (the classic positional-index size trade, Manning IR §2.4's
+    * layout); everything else (additive stats, df = live posting length)
+    * matches the plain index.
+    */
+  def writePositionalIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: String = "overwrite"): Unit = {
+    val w = words(col(textCol))
+    docs.select(col(idCol).as("doc_id"), posexplode(w).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      // pos is 0-based from posexplode; store 1-based to match the SQL
+      // twin's range(1, len+1) convention
+      .agg(array_sort(collect_list(col("pos") + 1)).as("positions"))
+      .withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode(mode).parquet(s"$dir/postings")
+  }
+
+  /** Exact phrase search over the positional index: probe the phrase
+    * terms' buckets, shift term j's positions by -j, and intersect — a doc
+    * matches where all shifted lists share a start position. |phrase|
+    * pruned bucket reads joined on doc_id (AQE broadcasts the rarest
+    * side); the intersection itself is an in-row array op, no further
+    * exchange. Returns (doc_id, n_matches) for every matching doc.
+    */
+  def phraseSearch(s: SparkSession, indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buckets = phrase.distinct.map { t =>
+      md.reset()
+      md.digest(t.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+    }.distinct
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(phrase.distinct: _*))
+    val frames = phrase.zipWithIndex.map { case (t, j) =>
+      posts.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - j).as(s"p_$j"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+    val inter = (1 until phrase.length).foldLeft(col("p_0")) {
+      (acc, j) => array_intersect(acc, col(s"p_$j"))
+    }
+    joined.select(col("doc_id"), size(inter).as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The fixed phrase for the oracle entry — mid-frequency vocabulary words
+    * so matches exist at every scale without dominating the corpus.
+    */
+  val QueryPhrase = Seq("hash", "join")
+
+  /** Phrase-search entry: fresh positional index + probe; the oracle
+    * recomputes token-adjacency matches straight off the text, so index
+    * probe == full scan == DuckDB.
+    */
+  def qTextPhrase(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("pos-index").toString
+    writePositionalIndex(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp)
+    phraseSearch(s, tmp, QueryPhrase)
+  }
+
+  val qTextPhraseSql: String = {
+    val conds = QueryPhrase.zipWithIndex
+      .map { case (t, j) => s"w[i + $j] = '$t'" }.mkString(" AND ")
+    s"""SELECT doc_id, n_matches FROM (
+       |  SELECT doc_id,
+       |    len(list_filter(range(1, len(w) + 2 - ${QueryPhrase.length}),
+       |      i -> $conds)) AS n_matches
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |WHERE n_matches > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** CCNet-style text normalization — the canonical pre-dedup transform
     * (lowercase, strip non-alphanumerics, collapse runs of spaces, trim)
@@ -795,7 +1100,11 @@ object TextOps {
     QueryDef("q_text_bm25_indexed", qTextBm25Indexed, Some(qTextBm25IndexedSql)),
     QueryDef("q_text_bm25_probe", qTextBm25Probe, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_text_bm25_packed", qTextBm25Packed, Some(qTextBm25IndexedSql)),
+    QueryDef("q_text_bm25_maxscore", qTextBm25MaxScore, Some(qTextBm25IndexedSql)),
+    QueryDef("q_text_bm25_msprobe", qTextBm25MsProbe, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
+    QueryDef("q_text_collocations", qTextCollocations, Some(qTextCollocationsSql)),
+    QueryDef("q_text_phrase", qTextPhrase, Some(qTextPhraseSql)),
     QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),
     QueryDef("q_dedup_normalized", qDedupNormalized, Some(qDedupNormalizedSql)),
     QueryDef("q_quality_bins", qQualityBins, Some(qQualityBinsSql)),

@@ -120,6 +120,27 @@ class SimilarityRecallSpec extends AnyFunSuite {
       s"nprobe=8 (${curve.last._2}) should buy real recall over nprobe=1 (${curve.head._2})")
   }
 
+  test("binary: 8 bytes/vector, shortlist-then-rerank recovers planted structure") {
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val binP = recallAt10(planted, queries, Similarity.binarySearch(_, _, 10))
+    val uQueries = Seq(0L, 101L, 202L, 303L, 404L)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val binU = recallAt10(e, uQueries, Similarity.binarySearch(_, _, 10))
+    info(f"binary recall@10: planted=$binP%.2f uniform=$binU%.2f")
+    // the Hamming shortlist (R=50) keeps whole planted clusters (cluster
+    // members share almost every threshold bit), and the exact-cosine
+    // rerank then restores the true within-cluster order — so 1 bit/dim
+    // beats raw SQ4 ranking on planted data. On uniform vectors the 64-bit
+    // sketch keeps ~R/n of the corpus and recall is whatever survives the
+    // shortlist. Floors are measured values.
+    assert(binP >= 0.9, s"binary planted recall $binP")
+    assert(binU >= 0.3, s"binary uniform recall $binU")
+    // widening the shortlist is the recall knob: r=n degenerates to exact
+    // brute force, so recall must be monotone-ish in r; pin the endpoints
+    val full = recallAt10(e, uQueries, Similarity.binarySearch(_, _, 10, r = 2000))
+    assert(full == 1.0, s"r=corpus-size rerank must equal brute force, got $full")
+  }
+
   test("sq4: half the bytes, bounded recall loss vs sq8") {
     val queries = Seq(0L, 50L, 150L, 300L, 450L)
     val sq4p = recallAt10(planted, queries, Similarity.sqSearch(_, _, 10, levels = 15))

@@ -203,6 +203,98 @@ class TextRetrievalSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq == got)
   }
 
+  test("maxscore probe equals the packed probe and the full scan") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(c("doc_id"), c("text"))
+    val dir = java.nio.file.Files.createTempDirectory("ti-maxscore").toString
+    // small blocks: the block-level bound test runs over many blocks/term
+    TextOps.writePackedTermIndex(docs, dir, blockSize = 8)
+    val got = TextOps.bm25MaxScore(spark, dir, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == TextOps.bm25Packed(spark, dir, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq)
+    assert(got == TextOps.qTextBm25(spark, sfDir).collect().map(_.toSeq).toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("maxscore: stopword term, sparse matches (theta=0), and absent terms stay exact") {
+    import spark.implicits._
+    // "the" is a near-stopword (huge df => tiny idf => tiny ub): MaxScore
+    // must drop it from candidate generation yet keep its contribution to
+    // every candidate's exact score
+    val docs = (1L to 200L).map { i =>
+      val rare = if (i % 97 == 0) " vector" else ""
+      val mid = if (i % 7 == 0) " stream" else ""
+      (i, s"the filler the text the goes on$mid$rare")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ti-ms-stop").toString
+    TextOps.writePackedTermIndex(docs, dir, blockSize = 16)
+    val terms = Seq("vector", "stream", "the")
+    val got = TextOps.bm25MaxScore(spark, dir, terms, 5).collect().map(_.toSeq).toSeq
+    val want = TextOps.bm25Packed(spark, dir, terms, 5).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // fewer matches than k: rarest term df < k forces the theta=0 fallback
+    val sparse = TextOps.bm25MaxScore(spark, dir, Seq("vector", "absent", "stream"), 50)
+      .collect().map(_.toSeq).toSeq
+    assert(sparse == TextOps.bm25Packed(spark, dir, Seq("vector", "absent", "stream"), 50)
+      .collect().map(_.toSeq).toSeq)
+  }
+
+  test("phrase search equals token-adjacency recompute, counts overlaps") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("pos-index-spec").toString
+    TextOps.writePositionalIndex(docs, dir)
+    val got = TextOps.phraseSearch(spark, dir, TextOps.QueryPhrase)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // independent recompute straight off the text
+    val want = docs.collect().map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val n = (0 until ws.length - TextOps.QueryPhrase.length + 1).count(i =>
+        TextOps.QueryPhrase.indices.forall(j => ws(i + j) == TextOps.QueryPhrase(j)))
+      (r.getLong(0), n)
+    }.filter(_._2 > 0).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain the query phrase")
+    // self-overlapping phrase: "a a" in "a a a" matches at BOTH starts —
+    // the shifted-intersection semantics count overlapping occurrences,
+    // same as the oracle's per-position adjacency filter
+    val tiny = Seq((1L, "a a a b a a"), (2L, "b b"), (3L, "a")).toDF("doc_id", "text")
+    val d2 = java.nio.file.Files.createTempDirectory("pos-index-ov").toString
+    TextOps.writePositionalIndex(tiny, d2)
+    val ov = TextOps.phraseSearch(spark, d2, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(ov == Seq((1L, 3)))
+  }
+
+  test("collocation lift equals the independent PMI recompute") {
+    val rows = TextOps.qTextCollocations(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent driver-side recompute
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val nu = texts.map(_.length.toLong).sum
+    val nb = texts.map(w => math.max(w.length - 1, 0).toLong).sum
+    val uni = texts.flatten.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val big = texts.flatMap(w => w.zip(w.tail)).groupBy(identity)
+      .map { case (p, g) => p -> g.length.toLong }
+    val want = big.toSeq.filter(_._2 >= 5)
+      .map { case ((a, b), cab) =>
+        val lift = (cab.toDouble / nb.toDouble) /
+          ((uni(a).toDouble / nu.toDouble) * (uni(b).toDouble / nu.toDouble))
+        (a, b, cab, uni(a), uni(b), lift)
+      }
+      .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(20)
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
+
   test("normalization handles case, punctuation, and whitespace runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
