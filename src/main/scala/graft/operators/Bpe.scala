@@ -163,7 +163,61 @@ object Bpe {
     learnBpe(docs, NumMerges)
   }
 
+  /** Sequential reference encode (oracle side of [[qBpeEncode]]): apply
+    * merges in rank order with the same greedy scan-skip merge.
+    */
+  def referenceEncode(text: String,
+      merges: Seq[(String, String)]): String =
+    text.split(" ").filter(_.nonEmpty).flatMap { w =>
+      var syms: Vector[String] = w.map(_.toString).toVector :+ EndMark
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms
+    }.mkString(" ")
+
+  /** Tokenizer application entry: the corpus-learned merge table (bounded
+    * control-plane collect of [[NumMerges]] rows) is baked into the native
+    * [[graft.plans.BpeEncodeExpr]] projection and applied to a
+    * deterministic 1/37 document sample. The oracle is the sequential
+    * reference encode over the SAME sample, staged fresh per call (the
+    * [[qBpeMerges]] protocol) — driver cost is bounded by the sample, and
+    * the distributed learn feeding the expression is itself oracle-checked
+    * by `q_bpe_merges`, so a pass pins learn + apply end to end. The full
+    * unsampled encode is the same projection (ExprSpec pins the expression
+    * against the declarative merge fold).
+    */
+  private val EncodeCheckDir = "/tmp/graft_bpe_encode_selfcheck"
+
+  val qBpeEncodeSql: String =
+    s"SELECT doc_id, bpe FROM '$EncodeCheckDir/*.parquet' ORDER BY doc_id"
+
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = learnBpe(docs, NumMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val sample = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+    sample.collect()
+      .map(r => (r.getLong(0), referenceEncode(r.getString(1), merges)))
+      .toSeq.toDF("doc_id", "bpe")
+      .coalesce(1).write.mode("overwrite").parquet(EncodeCheckDir)
+    sample
+      .select(col("doc_id"),
+        graft.plans.BpeEncodeExpr.bpeEncode(col("text"), merges).as("bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
+    QueryDef("q_bpe_encode", qBpeEncode, Some(qBpeEncodeSql)),
   )
 }

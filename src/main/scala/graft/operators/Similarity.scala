@@ -1037,6 +1037,59 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ knn join --
+
+  /** Batched exact k-NN JOIN — the many-queries form of nearest-neighbor
+    * search (dedup candidate mining, recall evaluation, cross-corpus
+    * linking all run this, not one query at a time). The query set
+    * broadcasts into the corpus scan and the per-query top-k runs through
+    * [[graft.plans.TopKAggregator]] — a bounded k-element list per
+    * (query × partition) partial-aggregates map-side, so the corpus is
+    * scanned ONCE for all queries, no per-query job, no window sort, and
+    * only |Q|·k rows ever cross the exchange. Distance is squared L2 over
+    * 2^20-scaled ints — an exact int64 ((2^21)^2 · 64 < 2^48), stored
+    * NEGATED so the aggregator's value-DESC order means nearest-first.
+    */
+  def knnJoin(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.plans.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    val corpus = e.select(col("vec_id"), scaled(col("embedding")).as("v"))
+    val qs = queries.select(col("vec_id").as("q_id"), scaled(col("embedding")).as("qv"))
+    val negDist = -aggregate(zip_with(col("v"), col("qv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), negDist.cast("long").as("nd"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("nd"), col("vec_id")).as("knn"))
+      .orderBy(col("q_id"))
+  }
+
+  def qAnnKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    knnJoin(e, e.filter(col("vec_id") < 5), 5)
+  }
+
+  val qAnnKnnJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |d AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |      i -> (v[i] - qv[i]) * (v[i] - qv[i]))) AS BIGINT) AS nd
+       |  FROM e, q
+       |  WHERE vec_id <> q_id)
+       |SELECT q_id,
+       |  string_agg(CAST(nd AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR), '|'
+       |             ORDER BY nd DESC, vec_id) AS knn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY nd DESC, vec_id) AS rn FROM d)
+       |WHERE rn <= 5
+       |GROUP BY q_id
+       |ORDER BY q_id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -1057,5 +1110,6 @@ object Similarity {
     QueryDef("q_ann_sq4_search", qAnnSq4Search, Some(qAnnSq4SearchSql)),
     QueryDef("q_ann_binary_encode", qAnnBinaryEncode, Some(qAnnBinaryEncodeSql)),
     QueryDef("q_ann_binary_search", qAnnBinarySearch, Some(qAnnBinarySearchSql)),
+    QueryDef("q_ann_knn_join", qAnnKnnJoin, Some(qAnnKnnJoinSql)),
   )
 }

