@@ -145,9 +145,13 @@ object Bpe {
   /** Self-consistency staging: the sequential reference's merges, written
     * fresh on EVERY call (the result depends on the scale dir, and one Gate
     * JVM verifies several scales back to back — a per-JVM once-latch would
-    * leak scale A's reference into scale B's compare).
+    * leak scale A's reference into scale B's compare). Pid-keyed: the SQL
+    * below is consumed by the SAME process's oracle dump, and a concurrent
+    * sbt-test JVM running BpeSpec must not clobber a Verify run's staging
+    * between its dump and the DuckDB compare.
     */
-  private val SelfCheckDir = "/tmp/graft_bpe_selfcheck"
+  private[operators] val SelfCheckDir =
+    s"/tmp/graft_bpe_selfcheck_p${ProcessHandle.current().pid()}"
 
   val qBpeMergesSql: String =
     s"""SELECT "rank", "left", "right", pair_cnt FROM '$SelfCheckDir/*.parquet' ORDER BY "rank""""
@@ -194,7 +198,8 @@ object Bpe {
     * unsampled encode is the same projection (ExprSpec pins the expression
     * against the declarative merge fold).
     */
-  private val EncodeCheckDir = "/tmp/graft_bpe_encode_selfcheck"
+  private[operators] val EncodeCheckDir =
+    s"/tmp/graft_bpe_encode_selfcheck_p${ProcessHandle.current().pid()}"
 
   val qBpeEncodeSql: String =
     s"SELECT doc_id, bpe FROM '$EncodeCheckDir/*.parquet' ORDER BY doc_id"

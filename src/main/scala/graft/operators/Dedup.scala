@@ -517,6 +517,98 @@ object Dedup {
        |SELECT doc_a, doc_b FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- LSH parameter auto-tuning (beyond-ref; the banding S-curve of
+  //      Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4) ----
+
+  /** Total error area of a (bands, rows) banding around threshold t.
+    * Collision probability at true similarity s is P(s) = 1-(1-s^r)^b;
+    * the cost of a split is false-positive mass below t plus
+    * false-negative mass above it:
+    *
+    *   err(b,r) = integral_0^t P(s) ds + integral_t^1 (1-P(s)) ds
+    *            = t - 2*I(t) + I(1),   I(x) = integral_0^x (1-s^r)^b ds
+    *
+    * and I(x) expands exactly by the binomial theorem to
+    * sum_i C(b,i)(-1)^i x^(ri+1)/(ri+1) — a closed form, no numeric
+    * quadrature, so the tuner's choice is deterministic.
+    */
+  def lshErrorArea(threshold: Double, bands: Int, rows: Int): Double = {
+    def bigI(x: Double): Double = {
+      var acc = 0.0
+      var c = 1.0 // C(bands, i) — exact in double at these magnitudes
+      var i = 0
+      while (i <= bands) {
+        val term = c * math.pow(x, rows.toDouble * i + 1) / (rows.toDouble * i + 1)
+        acc += (if (i % 2 == 0) term else -term)
+        c = c * (bands - i) / (i + 1)
+        i += 1
+      }
+      acc
+    }
+    threshold - 2.0 * bigI(threshold) + bigI(1.0)
+  }
+
+  /** Pick (bands, rowsPerBand) with bands*rows == slots minimizing
+    * [[lshErrorArea]] at `threshold`; ties break toward more rows per
+    * band (fewer false positives -> less verification compute, the
+    * cheaper failure mode at cluster scale). This is the knob a 100 TB
+    * user turns: the signature budget is fixed by storage, the
+    * threshold by dedup policy, and the split decides whether the
+    * cluster pays in wasted verification or in missed duplicates.
+    * Pinned picks (LshTuneSpec): t=0.15->(8,1), 0.5->(4,2),
+    * 0.7->(2,4), 0.9->(1,8).
+    */
+  def lshTune(threshold: Double, slots: Int = 8): (Int, Int) = {
+    require(slots >= 1 && threshold > 0.0 && threshold < 1.0,
+      s"lshTune: need 0 < threshold < 1 and slots >= 1, got t=$threshold slots=$slots")
+    val splits = (1 to slots).filter(slots % _ == 0).map(b => (b, slots / b))
+    splits.minBy { case (b, r) => (lshErrorArea(threshold, b, r), -r) }
+  }
+
+  /** Band-b key of a `rows`-slot band (8 hex chars per slot). */
+  private def mhBandKeyW(ak: Column, b: Int, rows: Int): Column =
+    substring(ak, 8 * rows * b + 1, 8 * rows)
+
+  /** [[minhashBandRowsOf]] generalized to a tuned (bands, rows) split of
+    * the same 8-slot signature — same null-drop generate, same unbounded
+    * (band, key) space.
+    */
+  private def minhashBandRowsTuned(docs: DataFrame, bands: Int, rows: Int): DataFrame =
+    withMinhashes(docs)
+      .select(col("doc_id"), concat((0 until 8).map(j => col(s"mh$j")): _*).as("ak"))
+      .select(col("doc_id"), col("ak"),
+        posexplode(when(col("ak").isNotNull,
+          array((0 until bands).map(mhBandKeyW(col("ak"), _, rows)): _*)))
+          .as(Seq("band", "key")))
+
+  /** Candidate pairs under a TUNER-CHOSEN banding at threshold 0.7 —
+    * lshTune picks (2 bands, 4 rows): curve midpoint (1/2)^(1/4) = 0.84
+    * vs the default (4,2)'s 0.50, so this variant trades recall on
+    * mid-similarity pairs for a sharply smaller candidate (and thus
+    * verification) volume. The SQL twin hardcodes the same (2,4) split;
+    * LshTuneSpec pins the tuner's pick so the two cannot drift apart.
+    */
+  private val TunedThreshold = 0.7
+  def qLshTuned(s: SparkSession, dir: String): DataFrame = {
+    val (b, r) = lshTune(TunedThreshold, 8)
+    bucketPairs(minhashBandRowsTuned(Tables.documents(s, dir), b, r),
+      "doc_id", "ak", "doc_a", "doc_b", b,
+      (x, y, band) => mhBandKeyW(x, band, r) === mhBandKeyW(y, band, r))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qLshTunedSql: String = {
+    val bandRows = (0 until 2).map { b =>
+      val ks = (0 until 4).map(j => s"mh${4 * b + j}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $ks AS key FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashCte,
+       |bands AS ($bandRows),
+       |${candCteSql("bands", "doc_id", "doc_a", "doc_b")}
+       |SELECT doc_a, doc_b FROM cand
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Incremental ingest demo split: every 5th doc is the incoming batch,
     * the rest are the existing corpus; output = accepted incoming ids.
     */
@@ -1332,6 +1424,7 @@ object Dedup {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
+    QueryDef("q_dedup_lsh_tuned", qLshTuned, Some(qLshTunedSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     // bench = true times the PROBE alone: the staged index is built during
     // the untimed warmup pass (Staging.stagedDir), same protocol as

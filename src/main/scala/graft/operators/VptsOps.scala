@@ -155,7 +155,10 @@ object VptsOps {
     * a possibly-stale previous build): Verify stages it fresh each run;
     * Bench stages it during the untimed warmup pass.
     */
-  private val SelfCheckDir = "/tmp/graft_odim_selfcheck"
+  // Pid-keyed: a concurrent sbt-test JVM must not clobber a Verify run's
+  // staging between its oracle dump and the DuckDB compare.
+  private val SelfCheckDir =
+    s"/tmp/graft_odim_selfcheck_p${ProcessHandle.current().pid()}"
   @volatile private var selfCheckStaged = false
   private def stageSelfCheck(s: SparkSession, corpus: String): Unit =
     if (!selfCheckStaged) synchronized {

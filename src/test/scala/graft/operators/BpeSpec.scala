@@ -55,7 +55,7 @@ class BpeSpec extends AnyFunSuite {
     val got = Bpe.qBpeEncode(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got.nonEmpty)
-    val staged = spark.read.parquet("/tmp/graft_bpe_encode_selfcheck")
+    val staged = spark.read.parquet(Bpe.EncodeCheckDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
     assert(got == staged)
     // encoding is lossless modulo the markers: stripping </w> and spaces
