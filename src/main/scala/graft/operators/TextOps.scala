@@ -822,10 +822,25 @@ object TextOps {
     * plan tail as every other probe, so maxscore == packed == scan == the
     * shared DuckDB oracle.
     */
-  def bm25MaxScore(s: SparkSession, indexDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
+  /** Shared control plane of the dynamic-pruning probes ([[bm25MaxScore]],
+    * [[bm25Wand]]): global corpus stats, the present query terms with
+    * their header-derived (df, max tf, min dl), and the θ threshold —
+    * ≤ k+|terms|+1 bounded rows of driver state; no packed byte decodes
+    * except the θ seed term's blocks.
+    */
+  private case class PruneCtl(nDocs: Long, sumDl: Long,
+      present: Seq[String], hdr: Map[String, (Long, Long, Long)],
+      theta: Double)
+
+  private def decodedPosts(b: DataFrame): DataFrame = {
     import graft.plans.PostingsCodec
-    val blocks = prunedPostings(s, indexDir, terms)
+    b.select(col("term"), explode(PostingsCodec.unpack(col("plist"))).as("e"))
+      .select(col("term"), col("e.doc_id").as("doc_id"),
+        col("e.tf").as("tf"), col("e.dl").as("dl"))
+  }
+
+  private def pruneCtl(s: SparkSession, indexDir: String, blocks: DataFrame,
+      terms: Seq[String], k: Int): Option[PruneCtl] = {
     // one bounded row: global corpus stats
     val statsRow = s.read.parquet(s"$indexDir/stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
@@ -839,8 +854,32 @@ object TextOps {
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getAs[Number]("mtf").longValue,
           r.getAs[Number]("mdl").longValue))).toMap
-    if (hdr.isEmpty) return bm25Packed(s, indexDir, terms, k)
+    if (hdr.isEmpty) return None
     val present = terms.filter(hdr.contains)
+    // θ: k-th best single-term contribution of the rarest present term —
+    // a lower bound on the final k-th best total (contributions are
+    // non-negative), collected as ≤k rows of bounded control plane
+    val seed = present.minBy(t => hdr(t)._1)
+    val seedDf = hdr(seed)._1
+    val theta: Double =
+      if (seedDf < k) 0.0
+      else decodedPosts(blocks.filter(col("term") === seed))
+        .select(bm25Term(col("tf"), col("dl"), lit(nDocs), lit(sumDl),
+          lit(seedDf)).as("c"))
+        .orderBy(col("c").desc).limit(k)
+        .collect().map(_.getDouble(0)).min
+    Some(PruneCtl(nDocs, sumDl, present, hdr, theta))
+  }
+
+  def bm25MaxScore(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val blocks = prunedPostings(s, indexDir, terms)
+    val ctl = pruneCtl(s, indexDir, blocks, terms, k) match {
+      case None => return bm25Packed(s, indexDir, terms, k)
+      case Some(c) => c
+    }
+    val (nDocs, sumDl, present, hdr, theta) =
+      (ctl.nDocs, ctl.sumDl, ctl.present, ctl.hdr, ctl.theta)
     val ub = present.map { t =>
       val (df, mtf, mdl) = hdr(t)
       t -> bm25Scalar(mtf, mdl, nDocs, sumDl, df)
@@ -850,20 +889,6 @@ object TextOps {
       import s.implicits._
       present.map(t => (t, hdr(t)._1)).toDF("term", "df")
     }
-    def decoded(b: DataFrame): DataFrame = b
-      .select(col("term"), explode(PostingsCodec.unpack(col("plist"))).as("e"))
-      .select(col("term"), col("e.doc_id").as("doc_id"),
-        col("e.tf").as("tf"), col("e.dl").as("dl"))
-    // θ: k-th best single-term contribution of the rarest present term
-    val seed = present.minBy(t => hdr(t)._1)
-    val seedDf = hdr(seed)._1
-    val theta: Double =
-      if (seedDf < k) 0.0
-      else decoded(blocks.filter(col("term") === seed))
-        .select(bm25Term(col("tf"), col("dl"), lit(nDocs), lit(sumDl),
-          lit(seedDf)).as("c"))
-        .orderBy(col("c").desc).limit(k)
-        .collect().map(_.getDouble(0)).min
     // MaxScore term split: largest ub-ascending prefix with cumΣ < θ
     val byUb = present.sortBy(t => (ub(t), t))
     val cum = byUb.scanLeft(0.0)((acc, t) => acc + ub(t)).tail
@@ -880,7 +905,7 @@ object TextOps {
     val live = essBlocks.join(broadcast(dfs), "term")
       .filter(blockBound >= theta)
       .drop("df")
-    val livePosts = decoded(live)
+    val livePosts = decodedPosts(live)
     val candDocs = livePosts.select(col("doc_id")).distinct()
     val nonEssCond =
       if (nonEssential.isEmpty) lit(false)
@@ -888,7 +913,7 @@ object TextOps {
     val prunedBlocks = blocks.join(broadcast(dfs), "term")
       .filter(nonEssCond || blockBound < theta)
       .drop("df")
-    val prunedPosts = decoded(prunedBlocks)
+    val prunedPosts = decodedPosts(prunedBlocks)
       .join(candDocs, Seq("doc_id"), "left_semi")
     // full `terms` (not `present`) keeps the output schema stable: an
     // index-absent term pivots to tf=0/df=0 and contributes exactly 0
