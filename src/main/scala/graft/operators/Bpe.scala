@@ -97,6 +97,28 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  /** Unsigned UTF-8 byte-sequence ordering — the collation of Spark's
+    * UTF8String binary compare (= code-point order). The sequential
+    * reference's tie-break must use the SAME collation as learnBpe's
+    * distributed `orderBy(l, r)` or, for count ties that mix
+    * supplementary-plane characters with U+E000–U+FFFF chars, the two
+    * paths pick different merges (Java String compare is UTF-16
+    * code-UNIT order, which ranks surrogate pairs below private-use
+    * BMP chars).
+    */
+  private[operators] val Utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) {
+      c = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (c != 0) c else x.length - y.length
+  }
+
   /** Independent sequential reference (the oracle side): plain Scala over
     * the collected (word, cnt) table. Driver-bounded by VOCABULARY size —
     * acceptable for an oracle; the distributed path above never collects
@@ -121,7 +143,10 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.min(
+          Ordering.by[((String, String), Long), Long](-_._2)
+            .orElse(Ordering.by[((String, String), Long), String](_._1._1)(Utf8Order))
+            .orElse(Ordering.by[((String, String), Long), String](_._1._2)(Utf8Order)))
         out += ((rank, l, r, c))
         vocab = vocab.map { case (syms, cnt) =>
           val b = Vector.newBuilder[String]
@@ -151,7 +176,7 @@ object Bpe {
     * between its dump and the DuckDB compare.
     */
   private[operators] val SelfCheckDir =
-    s"/tmp/graft_bpe_selfcheck_p${ProcessHandle.current().pid()}"
+    Staging.pidScratchDir("graft_bpe_selfcheck")
 
   val qBpeMergesSql: String =
     s"""SELECT "rank", "left", "right", pair_cnt FROM '$SelfCheckDir/*.parquet' ORDER BY "rank""""
@@ -199,7 +224,7 @@ object Bpe {
     * against the declarative merge fold).
     */
   private[operators] val EncodeCheckDir =
-    s"/tmp/graft_bpe_encode_selfcheck_p${ProcessHandle.current().pid()}"
+    Staging.pidScratchDir("graft_bpe_encode_selfcheck")
 
   val qBpeEncodeSql: String =
     s"SELECT doc_id, bpe FROM '$EncodeCheckDir/*.parquet' ORDER BY doc_id"
@@ -209,7 +234,10 @@ object Bpe {
     val docs = Tables.documents(s, dir)
     val merges = learnBpe(docs, NumMerges).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val sample = docs.filter(col("doc_id") % 37 === 0)
+    // doc_id cap keeps the oracle's driver-side collect bounded (<= 2000
+    // docs) at ANY scale factor; both sides sample identically so the
+    // compare is unaffected
+    val sample = docs.filter(col("doc_id") % 37 === 0 && col("doc_id") < 74000)
       .select(col("doc_id"), col("text"))
     sample.collect()
       .map(r => (r.getLong(0), referenceEncode(r.getString(1), merges)))

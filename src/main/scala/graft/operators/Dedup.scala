@@ -559,8 +559,14 @@ object Dedup {
     * 0.7->(2,4), 0.9->(1,8).
     */
   def lshTune(threshold: Double, slots: Int = 8): (Int, Int) = {
-    require(slots >= 1 && threshold > 0.0 && threshold < 1.0,
-      s"lshTune: need 0 < threshold < 1 and slots >= 1, got t=$threshold slots=$slots")
+    // slots cap: lshErrorArea's alternating binomial sum is exact-in-double
+    // only while C(b,i) stays below 2^53; past ~32 slots the cancellation is
+    // catastrophic and the argmin would be rounding noise, so fail loudly
+    // instead of returning a noise-driven split (valid range documented)
+    require(slots >= 1 && slots <= 32 && threshold > 0.0 && threshold < 1.0,
+      s"lshTune: need 0 < threshold < 1 and 1 <= slots <= 32 " +
+        s"(closed-form error area is numerically exact only there), " +
+        s"got t=$threshold slots=$slots")
     val splits = (1 to slots).filter(slots % _ == 0).map(b => (b, slots / b))
     splits.minBy { case (b, r) => (lshErrorArea(threshold, b, r), -r) }
   }

@@ -1053,12 +1053,12 @@ object Similarity {
   def knnJoin(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.plans.TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
-    val corpus = e.select(col("vec_id"), scaled(col("embedding")).as("v"))
-    val qs = queries.select(col("vec_id").as("q_id"), scaled(col("embedding")).as("qv"))
-    val negDist = -aggregate(zip_with(col("v"), col("qv"),
-      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val qs = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), negDist.cast("long").as("nd"), col("vec_id"))
+      .select(col("q_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("embedding"), col("qe")).as("nd"),
+        col("vec_id"))
       .groupBy(col("q_id"))
       .agg(topk(col("nd"), col("vec_id")).as("knn"))
       .orderBy(col("q_id"))
@@ -1069,12 +1069,21 @@ object Similarity {
     knnJoin(e, e.filter(col("vec_id") < 5), 5)
   }
 
-  val qAnnKnnJoinSql: String =
+  /** Non-trivial batch (|Q| = 500): the benched form — at |Q|=5 the join is
+    * all per-stage floor; 500 queries x corpus is where the per-pair
+    * distance loop (and thus the native-vs-interpreted gap) dominates.
+    */
+  def qAnnKnnJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    knnJoin(e, e.filter(col("vec_id") < 500), 5)
+  }
+
+  private def knnJoinSql(nQ: Int, k: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id,
        |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
        |  FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQ),
        |d AS (
        |  SELECT q_id, vec_id,
        |    CAST(-list_sum(list_transform(range(1, $Dim+1),
@@ -1086,9 +1095,12 @@ object Similarity {
        |             ORDER BY nd DESC, vec_id) AS knn
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY nd DESC, vec_id) AS rn FROM d)
-       |WHERE rn <= 5
+       |WHERE rn <= $k
        |GROUP BY q_id
        |ORDER BY q_id""".stripMargin
+
+  val qAnnKnnJoinSql: String = knnJoinSql(5, 5)
+  val qAnnKnnJoinBatchSql: String = knnJoinSql(500, 5)
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
@@ -1111,5 +1123,6 @@ object Similarity {
     QueryDef("q_ann_binary_encode", qAnnBinaryEncode, Some(qAnnBinaryEncodeSql)),
     QueryDef("q_ann_binary_search", qAnnBinarySearch, Some(qAnnBinarySearchSql)),
     QueryDef("q_ann_knn_join", qAnnKnnJoin, Some(qAnnKnnJoinSql)),
+    QueryDef("q_ann_knn_join_batch", qAnnKnnJoinBatch, Some(qAnnKnnJoinBatchSql), bench = true),
   )
 }

@@ -34,6 +34,37 @@ object Staging {
     root.toString
   }
 
+  /** Pid-keyed scratch dir under /tmp, sweeping siblings left by DEAD
+    * pids as a side effect. The per-process self-check staging dirs (BPE
+    * merges/encode, ODIM ingest) are fresh-per-pid by design and must
+    * OUTLIVE their JVM — the driver's DuckDB compare runs in a separate
+    * process after the Spark JVM exits, so a delete-on-exit hook would
+    * race the oracle read. Instead each new JVM garbage-collects the
+    * accumulated dirs of processes that no longer exist, bounding /tmp
+    * growth to one generation per live pid.
+    */
+  def pidScratchDir(prefix: String): String = {
+    val self = ProcessHandle.current().pid()
+    try {
+      val s = Files.list(Path.of("/tmp"))
+      try s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix + "_p") && n != s"${prefix}_p$self") {
+          val pid = n.stripPrefix(prefix + "_p")
+          val dead = pid.nonEmpty && pid.forall(_.isDigit) && {
+            val h = ProcessHandle.of(pid.toLong)
+            !(h.isPresent && h.get().isAlive)
+          }
+          if (dead) {
+            try deleteRecursively(p)
+            catch { case _: java.io.IOException => } // best effort
+          }
+        }
+      } finally s.close()
+    } catch { case _: java.io.IOException => }
+    s"/tmp/${prefix}_p$self"
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)

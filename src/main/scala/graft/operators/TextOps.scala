@@ -885,6 +885,14 @@ object TextOps {
       t -> bm25Scalar(mtf, mdl, nDocs, sumDl, df)
     }.toMap
     val totalUb = ub.values.sum
+    // One-sided θ: the driver-side bound sums (totalUb, cum, restUb) carry
+    // up-to-ulps rounding that can UNDER-estimate the true Σ, and the scored
+    // total is a differently-ordered fp sum — on an exact tie a top-k doc
+    // could be pruned and the probe would diverge from the full-scan oracle.
+    // A 1e-12 relative down-scale of θ dominates the ≤~1e-14 relative error
+    // of these ≤|terms|-term sums, making every bound provably conservative;
+    // the cost is at most a few extra live blocks per exact-tie corpus.
+    val thetaGuard = theta * (1.0 - 1e-12)
     val dfs = {
       import s.implicits._
       present.map(t => (t, hdr(t)._1)).toDF("term", "df")
@@ -892,7 +900,7 @@ object TextOps {
     // MaxScore term split: largest ub-ascending prefix with cumΣ < θ
     val byUb = present.sortBy(t => (ub(t), t))
     val cum = byUb.scanLeft(0.0)((acc, t) => acc + ub(t)).tail
-    val nonEssential = byUb.zip(cum).takeWhile(_._2 < theta).map(_._1).toSet
+    val nonEssential = byUb.zip(cum).takeWhile(_._2 < thetaGuard).map(_._1).toSet
     val essential = present.filterNot(nonEssential)
     // per-term Σ of the OTHER terms' ubs, as a small when-cascade literal
     def restUb(term: Column): Column =
@@ -903,7 +911,7 @@ object TextOps {
     val blockBound = bm25Term(col("max_tf"), col("min_dl"), lit(nDocs),
       lit(sumDl), col("df")) + restUb(col("term"))
     val live = essBlocks.join(broadcast(dfs), "term")
-      .filter(blockBound >= theta)
+      .filter(blockBound >= thetaGuard)
       .drop("df")
     val livePosts = decodedPosts(live)
     val candDocs = livePosts.select(col("doc_id")).distinct()
@@ -911,7 +919,7 @@ object TextOps {
       if (nonEssential.isEmpty) lit(false)
       else col("term").isin(nonEssential.toSeq: _*)
     val prunedBlocks = blocks.join(broadcast(dfs), "term")
-      .filter(nonEssCond || blockBound < theta)
+      .filter(nonEssCond || blockBound < thetaGuard)
       .drop("df")
     val prunedPosts = decodedPosts(prunedBlocks)
       .join(candDocs, Seq("doc_id"), "left_semi")

@@ -157,8 +157,7 @@ object VptsOps {
     */
   // Pid-keyed: a concurrent sbt-test JVM must not clobber a Verify run's
   // staging between its oracle dump and the DuckDB compare.
-  private val SelfCheckDir =
-    s"/tmp/graft_odim_selfcheck_p${ProcessHandle.current().pid()}"
+  private val SelfCheckDir = Staging.pidScratchDir("graft_odim_selfcheck")
   @volatile private var selfCheckStaged = false
   private def stageSelfCheck(s: SparkSession, corpus: String): Unit =
     if (!selfCheckStaged) synchronized {

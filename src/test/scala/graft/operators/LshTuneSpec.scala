@@ -37,6 +37,16 @@ class LshTuneSpec extends AnyFunSuite {
     assert(Dedup.lshTune(0.9, 8) == ((1, 8)))
   }
 
+  test("tuner rejects slot counts outside the numerically exact range") {
+    // past ~32 slots C(b,i) exceeds 2^53 and the alternating closed form
+    // cancels catastrophically — the guard fails loudly instead of
+    // returning a rounding-noise split
+    intercept[IllegalArgumentException](Dedup.lshTune(0.5, 64))
+    intercept[IllegalArgumentException](Dedup.lshTune(0.5, 0))
+    intercept[IllegalArgumentException](Dedup.lshTune(1.0, 8))
+    assert(Dedup.lshTune(0.5, 32)._1 * Dedup.lshTune(0.5, 32)._2 == 32)
+  }
+
   test("tuner is monotone: rows per band never decrease with threshold") {
     val picks = Seq(0.05, 0.15, 0.3, 0.5, 0.65, 0.8, 0.95)
       .map(t => Dedup.lshTune(t, 8)._2)

@@ -393,6 +393,38 @@ class ExprSpec extends AnyFunSuite {
     assert(nat.toSeq == ref.toSeq)
   }
 
+  test("neg_sq_dist matches the declarative scaled zip_with chain under forced codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.EmbeddingFunctions.scaled
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val e = s2.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
+    val pairs = e.crossJoin(broadcast(
+      e.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+    val nat = pairs
+      .select(col("vec_id"), col("qid"),
+        NegSqDistExpr.negSqDist(col("embedding"), col("qe")).as("nd"))
+      .orderBy("vec_id", "qid").collect().map(_.getLong(2))
+    val dec = pairs
+      .select(col("vec_id"), col("qid"),
+        (-aggregate(zip_with(scaled(col("embedding")), scaled(col("qe")),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+          .cast("long").as("nd"))
+      .orderBy("vec_id", "qid").collect().map(_.getLong(2))
+    assert(nat.sameElements(dec))
+    assert(nat.exists(_ < 0L) && nat.contains(0L)) // self-pairs are exact zero
+
+    // mismatched lengths and null elements -> null (zip_with semantics)
+    import s2.implicits._
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(NegSqDistExpr.negSqDist(col("a"), col("b")).as("nd")).collect()
+    assert(edge(0).isNullAt(0) && !edge(1).isNullAt(0))
+  }
+
   test("resource descriptor matches the reference layout") {
     val dir = java.nio.file.Files.createTempDirectory("desc")
     graft.vpts.Vpts.writeResourceDescriptor(dir.resolve("vpts.csv").toString)
