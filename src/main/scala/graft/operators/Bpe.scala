@@ -239,7 +239,12 @@ object Bpe {
     // compare is unaffected
     val sample = docs.filter(col("doc_id") % 37 === 0 && col("doc_id") < 74000)
       .select(col("doc_id"), col("text"))
-    sample.collect()
+    val collected = sample.collect()
+    // fail LOUDLY if the id-distribution assumption (dense from 0) breaks:
+    // an empty sample would make both compare sides empty and pass vacuously
+    require(collected.nonEmpty,
+      "q_bpe_encode sample is empty — doc_id distribution no longer dense from 0; widen the sample predicate")
+    collected
       .map(r => (r.getLong(0), referenceEncode(r.getString(1), merges)))
       .toSeq.toDF("doc_id", "bpe")
       .coalesce(1).write.mode("overwrite").parquet(EncodeCheckDir)

@@ -1263,10 +1263,10 @@ object Dedup {
     // the exploded stream the exchanges see: three longs per segment,
     // recomputed per consumer (a narrow codegen projection over the scan —
     // materializing it is what made the r5 shape pay >corpus-size blocks)
-    val hashed = docs.select(col("doc_id"),
-      posexplode(graft.plans.SegmentsExpr.segmentHashes(col("text"), w))
-        .as(Seq("pos", "h")))
-    val boiler = hashed
+    // the count path carries ONE long per segment — pos is only generated
+    // for the join regime's position sets, never for the occ-count exchange
+    val boiler = docs
+      .select(explode(graft.plans.SegmentsExpr.segmentHashes(col("text"), w)).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc)
       .select(col("h"))
@@ -1298,6 +1298,9 @@ object Dedup {
           graft.plans.SegmentsExpr.segments(col("text"), w).as("segs"))
         // which positions of which docs are boilerplate — sparse (only
         // docs that contain a boilerplate segment), longs only
+        val hashed = docs.select(col("doc_id"),
+          posexplode(graft.plans.SegmentsExpr.segmentHashes(col("text"), w))
+            .as(Seq("pos", "h")))
         val boilerPos = hashed.join(boiler, Seq("h"), "left_semi")
           .groupBy(col("doc_id"))
           .agg(collect_set(col("pos")).as("bpos"))

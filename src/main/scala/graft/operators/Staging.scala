@@ -42,26 +42,41 @@ object Staging {
     * race the oracle read. Instead each new JVM garbage-collects the
     * accumulated dirs of processes that no longer exist, bounding /tmp
     * growth to one generation per live pid.
+    *
+    * Sweep eligibility requires BOTH a dead pid AND an mtime older than
+    * [[SweepGraceMillis]]: a dead pid alone is not enough precisely
+    * because these dirs must outlive their JVM — a JVM launched between
+    * Verify's exit and the driver's DuckDB compare would otherwise see
+    * the just-exited pid as dead and clobber parquet mid-compare. One
+    * hour is far beyond any compare window while still bounding /tmp.
     */
+  private[graft] val SweepGraceMillis: Long = 60L * 60 * 1000
+
   def pidScratchDir(prefix: String): String = {
     val self = ProcessHandle.current().pid()
     try {
       val s = Files.list(Path.of("/tmp"))
       try s.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(prefix + "_p") && n != s"${prefix}_p$self") {
-          val pid = n.stripPrefix(prefix + "_p")
-          val dead = pid.nonEmpty && pid.forall(_.isDigit) && {
-            val h = ProcessHandle.of(pid.toLong)
-            !(h.isPresent && h.get().isAlive)
+        try {
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix + "_p") && n != s"${prefix}_p$self") {
+            val pid = n.stripPrefix(prefix + "_p")
+            val dead = pid.nonEmpty && pid.length <= 18 && pid.forall(_.isDigit) && {
+              val h = ProcessHandle.of(pid.toLong)
+              !(h.isPresent && h.get().isAlive)
+            }
+            val aged = dead && {
+              val age = System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+              age > SweepGraceMillis
+            }
+            if (aged) {
+              try deleteRecursively(p)
+              catch { case _: java.io.IOException => } // best effort
+            }
           }
-          if (dead) {
-            try deleteRecursively(p)
-            catch { case _: java.io.IOException => } // best effort
-          }
-        }
+        } catch { case scala.util.control.NonFatal(_) => } // never fail class init over a weird /tmp entry
       } finally s.close()
-    } catch { case _: java.io.IOException => }
+    } catch { case scala.util.control.NonFatal(_) => }
     s"/tmp/${prefix}_p$self"
   }
 

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -28,12 +29,23 @@ case class NegSqDistExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "neg_sq_dist_scaled"
 
-  private val Scale = graft.functions.EmbeddingFunctions.Scale
+  /** Analysis-time gate: only float32 arrays. The determinism contract
+    * above (floor(v+0.5) == Spark HALF_UP round, exact double sums) is
+    * proven only for float32-precision inputs, so double arrays are
+    * rejected too rather than silently diverging on ties just below .5.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> columns (float32 determinism " +
+        s"contract), got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
-  @transient private lazy val leftIsFloat =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  @transient private lazy val rightIsFloat =
-    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private val Scale = graft.functions.EmbeddingFunctions.Scale
 
   private def rnd(v: Double): Double =
     if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
@@ -47,9 +59,7 @@ case class NegSqDistExpr(left: Expression, right: Expression)
       // declarative twin propagates a null element through aggregate() to a
       // null sum; getFloat on a null slot would silently read 0 instead
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val av = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val bv = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      val t = rnd(av * Scale) - rnd(bv * Scale)
+      val t = rnd(a.getFloat(i).toDouble * Scale) - rnd(b.getFloat(i).toDouble * Scale)
       d += t * t
       i += 1
     }

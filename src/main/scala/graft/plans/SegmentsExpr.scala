@@ -59,10 +59,32 @@ case class SegmentsExpr(child: Expression, w: Int = 3)
     copy(child = newChild)
 }
 
-/** [[SegmentsExpr]]'s shuffle-friendly twin: the 60-bit [[Hash60]] of each
-  * consecutive w-word segment, computed in the same compiled pass (same
-  * tokenizer, same segment assembly — the two expressions can never emit
-  * different segment boundaries). Lets the segment-dedup operator shuffle
+/** Byte-range identity + seeded xxh64 shared by the two segment-hash
+  * expressions, which MUST agree bit-for-bit: because [[Tokenize.words]]
+  * splits on the exact single-space delimiter (keeping empties) and
+  * segments re-join with the same single space, every segment's string is
+  * EXACTLY a byte range of the original UTF-8 text (split+join on the same
+  * delimiter is an identity, and 0x20 can never be a UTF-8 continuation
+  * byte). So segment hashing needs no word strings, no StringBuilder and
+  * no MessageDigest at all — one byte scan for boundaries, one xxh64 per
+  * range. Replacing the per-segment MD5 ([[Hash60]]) cut the segment-dedup
+  * hot loop ~2x at sf1; the hash is purely internal (the oracle compares
+  * reassembled STRINGS), so only collision quality matters, and 64-bit
+  * xxh64 keeps collisions negligible below ~2^32 distinct segments.
+  */
+private[plans] object SegHash {
+  val Seed = 42L
+  def range(bytes: Array[Byte], from: Int, until: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+      until - from, Seed)
+}
+
+/** [[SegmentsExpr]]'s shuffle-friendly twin: the seeded xxh64 ([[SegHash]])
+  * of each consecutive w-word segment, computed as one compiled pass over
+  * the raw UTF-8 bytes (segment = byte range, see [[SegHash]] — boundaries
+  * can never diverge from [[SegmentsExpr]]'s split+join because they ARE
+  * the same bytes). Lets the segment-dedup operator shuffle
   * `(doc_id, pos, hash)` longs (~24 B/row) through its occurrence-count and
   * boilerplate-mark exchanges instead of the segment STRINGS — at corpus
   * scale the exploded string stream is the whole corpus plus offsets, and
@@ -77,26 +99,29 @@ case class SegmentHashesExpr(child: Expression, w: Int = 3)
   override def prettyName: String = "word_segment_hashes"
 
   def compute(input: UTF8String): ArrayData = {
-    val words = Tokenize.words(input.toString)
-    val n = words.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = input.getBytes
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val n = spaces + 1 // split(" ", -1) never yields zero words ("" -> [""])
     val nSegs = (n + w - 1) / w
     val out = new Array[Any](nSegs)
-    val sb = new java.lang.StringBuilder()
+    var segStart = 0
+    var inSeg = 0
     var s = 0
-    while (s < nSegs) {
-      val from = s * w
-      val until = math.min(from + w, n)
-      sb.setLength(0)
-      var i = from
-      while (i < until) {
-        if (i > from) sb.append(' ')
-        sb.append(words(i))
-        i += 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') {
+        inSeg += 1
+        if (inSeg == w) {
+          out(s) = SegHash.range(bytes, segStart, i); s += 1
+          inSeg = 0; segStart = i + 1
+        }
       }
-      out(s) = Hash60.of(sb.toString)
-      s += 1
+      i += 1
     }
+    out(s) = SegHash.range(bytes, segStart, len) // trailing (possibly short) segment
     new GenericArrayData(out)
   }
 
@@ -150,14 +175,15 @@ case class ShingleHashesExpr(child: Expression, k: Int = 5)
 }
 
 /** Single-pass segment-dedup reassembly against a broadcast boilerplate
-  * set: tokenize, segment (same [[Tokenize]] + assembly loop as
-  * [[SegmentsExpr]]/[[SegmentHashesExpr]] so boundaries can never diverge),
-  * hash each segment, drop the ones whose [[Hash60]] is in the broadcast
-  * sorted array, and emit `struct(n_segs, n_kept, clean_text)` — the whole
-  * per-doc side of segment dedup in ONE codegen'd projection with zero
-  * joins. The boilerplate set rides a `Broadcast` handle (executors fetch
-  * it once; the expression serializes as a pointer, not the array), and
-  * membership is binary search on the sorted longs.
+  * set: segment the raw UTF-8 bytes (same [[SegHash]] byte-range identity
+  * as [[SegmentHashesExpr]] so boundaries and hashes can never diverge),
+  * drop the ranges whose hash is in the broadcast sorted array, copy the
+  * survivors into the output buffer, and emit
+  * `struct(n_segs, n_kept, clean_text)` — the whole per-doc side of
+  * segment dedup in ONE codegen'd projection with zero joins and zero
+  * String materialization. The boilerplate set rides a `Broadcast` handle
+  * (executors fetch it once; the expression serializes as a pointer, not
+  * the array), and membership is binary search on the sorted longs.
   */
 case class SegmentCleanExpr(
     child: Expression,
@@ -174,33 +200,34 @@ case class SegmentCleanExpr(
 
   def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val sorted = boiler.value
-    val words = Tokenize.words(input.toString)
-    val n = words.length
-    val nSegs = if (n == 0) 0 else (n + w - 1) / w
-    val sb = new java.lang.StringBuilder()
-    val outSb = new java.lang.StringBuilder()
+    val bytes = input.getBytes
+    val len = bytes.length
+    val out = new Array[Byte](len)
+    var outLen = 0
+    var nSegs = 0L
     var kept = 0L
-    var s = 0
-    while (s < nSegs) {
-      val from = s * w
-      val until = math.min(from + w, n)
-      sb.setLength(0)
-      var i = from
-      while (i < until) {
-        if (i > from) sb.append(' ')
-        sb.append(words(i))
-        i += 1
-      }
-      val seg = sb.toString
-      if (java.util.Arrays.binarySearch(sorted, Hash60.of(seg)) < 0) {
-        if (kept > 0) outSb.append(' ')
-        outSb.append(seg)
+    def emit(from: Int, until: Int): Unit = {
+      nSegs += 1
+      if (java.util.Arrays.binarySearch(sorted, SegHash.range(bytes, from, until)) < 0) {
+        if (kept > 0) { out(outLen) = ' '; outLen += 1 }
+        System.arraycopy(bytes, from, out, outLen, until - from)
+        outLen += until - from
         kept += 1
       }
-      s += 1
     }
+    var segStart = 0
+    var inSeg = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') {
+        inSeg += 1
+        if (inSeg == w) { emit(segStart, i); inSeg = 0; segStart = i + 1 }
+      }
+      i += 1
+    }
+    emit(segStart, len) // trailing (possibly short) segment
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nSegs.toLong, kept, UTF8String.fromString(outSb.toString)))
+      Array[Any](nSegs, kept, UTF8String.fromBytes(out, 0, outLen)))
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
