@@ -1429,6 +1429,115 @@ object Dedup {
        |GROUP BY doc_id, span_id
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Exact longest-repeated-substring lengths — the suffix-array half of
+    * Lee et al. 2022's ExactSubstr that [[repeatedSpans]] only
+    * approximates at fixed window width: for every token position whose
+    * `minLen`-token prefix occurs verbatim more than once corpus-wide,
+    * the EXACT length (capped at `cap` tokens) of the longest substring
+    * starting there that occurs at least twice. Unlike the windowed form
+    * it reports arbitrary match lengths (incl. `minLen <= len < SpanK`
+    * repeats the k=5 windows can never see) and attributes each position
+    * its true maximal extent.
+    *
+    * Suffix-array construction, distributed: materializing and sorting
+    * full suffixes is the single-node form; here the classic structure is
+    * decomposed so nothing ever holds the corpus in one place.
+    *
+    *  1. candidate pruning — ONE long-only exchange (the same
+    *     `(doc_id, pos, hash)` stream as [[repeatedSpans]]) keeps only
+    *     positions whose `minLen`-gram hash repeats. Everything else has
+    *     match_len < minLen by definition and exits the plan; in a real
+    *     web corpus that is the overwhelming majority of positions.
+    *  2. bucketed suffix sort — each candidate materializes its suffix
+    *     TRUNCATED to `cap` tokens (the per-doc suffix-sampling trade:
+    *     match lengths clamp at cap, exactly like ExactSubstr's
+    *     threshold makes longer matches equi-actionable), and suffixes
+    *     sort WITHIN their minLen-gram group (`Window.partitionBy(h)`),
+    *     never globally: the max-LCP partner of a candidate shares its
+    *     minLen-gram by definition, so it lives in the same group, and
+    *     no lexicographic interloper can separate two suffixes sharing
+    *     >= minLen tokens (any suffix sorting between them shares the
+    *     same prefix). Groups are occurrence counts of a single exact
+    *     minLen-gram — small and hash-distributed (max 6 at sf0.1); a
+    *     boilerplate-degenerate gram would cap via the same salting
+    *     pattern as [[bucketPairs]] if a corpus ever needed it.
+    *  3. neighbor LCP — in suffix-array order the maximal common prefix
+    *     of any suffix is achieved at an adjacent suffix, so one
+    *     lag/lead window pass computes exact match lengths; the LCP is
+    *     the declarative zip_with/first-mismatch form, bit-identical to
+    *     the DuckDB twin's list_zip.
+    *
+    * 60-bit gram-hash collisions are harmless here, not just unlikely: a
+    * collision merges two DIFFERENT grams into one sort group, but their
+    * suffixes share < minLen tokens, so they can neither separate true
+    * neighbors (shared-prefix argument above) nor contribute an LCP that
+    * survives the >= minLen output floor.
+    */
+  def suffixMatchLens(docs: DataFrame, minLen: Int = SuffixMinLen,
+      cap: Int = SuffixCap): DataFrame = {
+    require(minLen >= 1 && cap >= minLen, s"bad suffix params minLen=$minLen cap=$cap")
+    val wins = docs.select(col("doc_id"),
+      posexplode(graft.plans.SegmentsExpr.shingleHashes(col("text"), minLen))
+        .as(Seq("pos", "h")))
+    val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select(col("h"))
+    val cand = wins.join(rep, Seq("h"), "left_semi")
+    // token arrays ride the doc_id join once per doc; the capped slice is
+    // projected in the same stage, so no full suffix ever materializes
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val suff = cand.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        slice(col("w"), col("pos") + 1, lit(cap)).as("sfx"))
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("sfx"))
+    // first-mismatch LCP, null-safe over zip_with's length padding; both
+    // engines signal array_position/list_position absence with 0 (equal
+    // arrays), which nullif routes to the equal-prefix fallback
+    def lcp(a: Column, b: Column): Column = when(b.isNull, lit(0L)).otherwise(
+      coalesce(
+        nullif(array_position(zip_with(a, b, (x, y) => x <=> y), lit(false)), lit(0L)) - 1L,
+        least(size(a), size(b)).cast("long")))
+    suff
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        greatest(
+          lcp(col("sfx"), lag(col("sfx"), 1).over(grp)),
+          lcp(col("sfx"), lead(col("sfx"), 1).over(grp))).as("match_len"))
+  }
+
+  private val SuffixMinLen = 5
+  private val SuffixCap = 32
+
+  def qSuffixLrs(s: SparkSession, dir: String): DataFrame =
+    suffixMatchLens(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val qSuffixLrsSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
+       |      FROM ws WHERE len(w) >= $SuffixMinLen),
+       |wins AS (SELECT doc_id, pos,
+       |           array_to_string(w[(pos + 1):(pos + $SuffixMinLen)], ' ') AS win,
+       |           w[(pos + 1):(pos + $SuffixCap)] AS sfx
+       |         FROM p),
+       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |cand AS (SELECT doc_id, pos, win, sfx FROM wins
+       |         WHERE win IN (SELECT win FROM rep)),
+       |nb AS (SELECT doc_id, pos, sfx,
+       |         lag(sfx) OVER (PARTITION BY win ORDER BY sfx) AS prv,
+       |         lead(sfx) OVER (PARTITION BY win ORDER BY sfx) AS nxt
+       |       FROM cand)
+       |SELECT doc_id, pos, greatest(
+       |  CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, prv),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(prv))) END,
+       |  CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, nxt),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(nxt))) END) AS match_len
+       |FROM nb
+       |ORDER BY doc_id, pos""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql), bench = true),
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
@@ -1451,6 +1560,7 @@ object Dedup {
     QueryDef("q_dedup_keeper_by_quality", qKeeperByQuality, Some(qKeeperByQualitySql), bench = true),
     QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql), bench = true),
     QueryDef("q_dedup_spans", qRepeatedSpans, Some(qRepeatedSpansSql)),
+    QueryDef("q_dedup_suffix_lrs", qSuffixLrs, Some(qSuffixLrsSql), bench = true),
     QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),
   )
 }

@@ -129,6 +129,49 @@ class DedupSpec extends AnyFunSuite {
       s"got $merged")
   }
 
+  test("suffix LRS: exact lengths, finds a short planted dup the k=5 windows miss, cap clamps") {
+    import spark.implicits._
+    // docs 1 and 2 share EXACTLY 4 words ("p1 p2 p3 p4") — below the
+    // spans operator's k=5 window width, so the windowed form is blind
+    // to it; the suffix form at minLen=4 reports it with its exact length
+    val docs = Seq(
+      (1L, "a b c p1 p2 p3 p4 d e f g h"),
+      (2L, "x y p1 p2 p3 p4 z w v u"),
+      (3L, "nothing here repeats anywhere else at all")).toDF("doc_id", "text")
+    val winSpans = Dedup.repeatedSpans(docs, k = 5, maxOcc = 1).collect()
+    assert(winSpans.isEmpty, s"k=5 windows should miss the 4-word dup: ${winSpans.toSeq}")
+    val lrs = Dedup.suffixMatchLens(docs, minLen = 4, cap = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lrs == Set((1L, 3L, 4L), (2L, 2L, 4L)), s"got $lrs")
+
+    // exact attribution: a 7-word planted passage decays 7,6,5,4 as the
+    // start slides right — the per-position TRUE maximal extent, which
+    // window marking cannot attribute (it only knows "covered")
+    val passage = "lorem ipsum dolor sit amet consectetur adipiscing"
+    val exact = Seq(
+      (10L, s"intro $passage tail one"),
+      (11L, s"a b c $passage")).toDF("doc_id", "text")
+    val got = Dedup.suffixMatchLens(exact, minLen = 4, cap = 32)
+      .filter(col("doc_id") === 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 7L), (2L, 6L), (3L, 5L), (4L, 4L)), s"got $got")
+
+    // cap clamps: two identical 12-word docs at cap=8 report 8 at pos 0
+    val long = Seq(
+      (20L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (21L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text")
+    val capped = Dedup.suffixMatchLens(long, minLen = 4, cap = 8)
+      .filter(col("doc_id") === 20L && col("pos") === 0L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(capped == Seq(8L), s"got $capped")
+
+    // within-doc self-repeat counts: "r1 r2 r3 r4" twice in one doc
+    val self = Seq((30L, "r1 r2 r3 r4 mid fill words r1 r2 r3 r4")).toDF("doc_id", "text")
+    val selfGot = Dedup.suffixMatchLens(self, minLen = 4, cap = 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(selfGot == Set((0L, 4L), (7L, 4L)), s"got $selfGot")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
