@@ -1102,6 +1102,208 @@ object Similarity {
   val qAnnKnnJoinSql: String = knnJoinSql(5, 5)
   val qAnnKnnJoinBatchSql: String = knnJoinSql(500, 5)
 
+  // ------------------------------------------------------------ graph ann --
+
+  /** Exact R-NN graph as an edge list — [[knnJoin]] exploded to
+    * `(u, rank, v, nd)` rows. This is the quadratic BUILD path (every
+    * pair scored once, corpus scanned once, |V|·R edges out), the right
+    * tool for bounded node sets: an IVF cell, a shard, the oracle's
+    * capped corpus. The linear-at-scale builder is [[nnDescent]].
+    */
+  def knnGraphEdges(e: DataFrame, r: Int): DataFrame =
+    knnJoin(e, e, r)
+      .select(col("q_id").as("u"), posexplode(split(col("knn"), "\\|")).as(Seq("i", "p")))
+      .select(col("u"), (col("i") + 1).cast("long").as("rank"),
+        split(col("p"), ":").getItem(1).cast("long").as("v"),
+        split(col("p"), ":").getItem(0).cast("long").as("nd"))
+
+  /** NN-descent (Dong et al. 2011) — the linear-ish distributed k-NN-graph
+    * build, the piece that makes graph ANN viable at 100 TB where
+    * [[knnGraphEdges]]'s all-pairs scoring cannot run: start every node
+    * with R ring neighbors (ids are cluster-shuffled in this corpus, so
+    * the ring is an effectively random init, and unlike a seeded RNG it
+    * is reproducible in SQL), then for a driver-bounded number of rounds
+    * refine each node's list to the R nearest among its current edges
+    * plus all two-hop candidates through the UNDIRECTED edge set
+    * (neighbors-of-neighbors — the NN-descent exchange step).
+    *
+    * Per round: one self-join on the bounded-degree edge list (fan-out
+    * <= (2R)^2 per node, never all-pairs), two hash joins to fetch the
+    * endpoint vectors, one bounded window top-R (groups <= R + 4R^2
+    * rows). Everything is exact scaled-int distance ([[graft.plans.NegSqDistExpr]])
+    * with vec_id-asc tie-break, so the converged lists are a pure
+    * function of the input and the oracle replays the rounds verbatim.
+    */
+  def nnDescent(e: DataFrame, r: Int = GraphR, rounds: Int = 2): DataFrame = {
+    require(r >= 1 && rounds >= 1, s"bad nn-descent params r=$r rounds=$rounds")
+    val n = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("nd").desc, col("v"))
+    def scored(pool: DataFrame): DataFrame = {
+      val eu = e.select(col("vec_id").as("u"), col("embedding").as("ue"))
+      val ev = e.select(col("vec_id").as("v"), col("embedding").as("ve"))
+      pool.join(eu, Seq("u")).join(ev, Seq("v"))
+        .select(col("u"), col("v"),
+          graft.plans.NegSqDistExpr.negSqDist(col("ue"), col("ve")).as("nd"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= r)
+    }
+    var edges: DataFrame = e
+      .select(col("vec_id").as("u"), explode(sequence(lit(1L), lit(r.toLong))).as("j"))
+      .select(col("u"), pmod(col("u") + col("j"), lit(n)).as("v"))
+      .filter(col("u") =!= col("v"))
+    for (_ <- 1 to rounds) {
+      val und = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val fof = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+        .filter(col("u") =!= col("v"))
+      edges = scored(edges.select(col("u"), col("v")).union(fof).distinct())
+        .select(col("u"), col("v"))
+    }
+    scored(edges).select(col("u"), col("rank"), col("v"), col("nd"))
+  }
+
+  /** Beam search over a prebuilt neighbor graph — the graph-ANN serving
+    * path. Driver-bounded layered expansion: start from the `nEntry`
+    * smallest non-query node ids, then for `rounds` layers expand the
+    * current top-`beam` visited nodes through their graph edges, score
+    * the newly reached nodes exactly against the query, and keep the
+    * best `beam`. Returns the top `k` visited as `(rank, vec_id, nd)` —
+    * distances are exact scaled-int L2 throughout, so the "rerank" is
+    * built in and the whole trace is deterministic (vec_id tie-breaks).
+    *
+    * The driver holds only the visited frontier (<= nEntry +
+    * rounds·beam·R ids); per-layer work is a broadcast-pruned edge
+    * lookup plus a |frontier|-row exact scoring pass — the graph and the
+    * corpus stay distributed, which is the point: at 100 TB the index is
+    * the big object, a search touches O(beam·R·rounds) of it.
+    */
+  def graphBeamSearch(graph: DataFrame, e: DataFrame, queryId: Long, k: Int,
+      beam: Int = GraphBeamW, rounds: Int = GraphBeamRounds,
+      nEntry: Int = GraphEntries, entryIds: Option[Seq[Long]] = None): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val qvec = e.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val g = graph.filter(col("u") =!= queryId && col("v") =!= queryId)
+    def distsOf(ids: Seq[Long]): Seq[(Long, Long)] = // (id, nd)
+      e.filter(col("vec_id").isin(ids: _*) && col("vec_id") =!= queryId)
+        .select(col("vec_id"),
+          graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    // default entries = smallest non-query ids (the oracle-replayable
+    // rule); callers with a coarse layer (cluster heads, a stride sample
+    // — the HNSW upper-levels role) pass entryIds explicitly
+    val entry = entryIds.getOrElse(
+      e.filter(col("vec_id") =!= queryId).select(col("vec_id"))
+        .orderBy(col("vec_id")).limit(nEntry).collect().map(_.getLong(0)).toSeq)
+    val visited = scala.collection.mutable.Map[Long, Long]() ++= distsOf(entry)
+    for (_ <- 1 to rounds) {
+      val beamIds = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
+        .take(beam).map(_._1)
+      val nbrs = g.filter(col("u").isin(beamIds: _*))
+        .select(col("v")).distinct().collect().map(_.getLong(0))
+        .filterNot(visited.contains).toSeq
+      if (nbrs.nonEmpty) visited ++= distsOf(nbrs)
+    }
+    visited.toSeq.map { case (id, nd) => (nd, id) }
+      .sortBy { case (nd, id) => (-nd, id) }.take(k)
+      .zipWithIndex.map { case ((nd, id), i) => (i + 1L, id, nd) }
+      .toDF("rank", "vec_id", "nd")
+  }
+
+  private val GraphR = 8
+  private val GraphCap = 2000L // oracle-side corpus cap for the quadratic build
+  private val GraphBeamW = 8
+  private val GraphBeamRounds = 3
+  private val GraphEntries = 2
+
+  def qAnnGraphBuild(s: SparkSession, dir: String): DataFrame =
+    knnGraphEdges(Tables.embeddings(s, dir).filter(col("vec_id") < GraphCap), GraphR)
+      .orderBy(col("u"), col("rank"))
+
+  private def eCapSql(cap: String): String =
+    s"""SELECT vec_id,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings WHERE vec_id < $cap""".stripMargin
+
+  private val pairNdSql: String =
+    s"""CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT)""".stripMargin
+
+  val qAnnGraphBuildSql: String =
+    s"""WITH e AS (${eCapSql(GraphCap.toString)}),
+       |d AS (SELECT a.vec_id AS u, b.vec_id AS v, $pairNdSql AS nd
+       |      FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+       |SELECT u, rk AS rank, v, nd
+       |FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY nd DESC, v) AS rk FROM d)
+       |WHERE rk <= $GraphR
+       |ORDER BY u, rank""".stripMargin
+
+  def qAnnNnDescent(s: SparkSession, dir: String): DataFrame =
+    nnDescent(Tables.embeddings(s, dir)).orderBy(col("u"), col("rank"))
+
+  val qAnnNnDescentSql: String = {
+    // one NN-descent round as SQL: und -> two-hop candidates -> pool ->
+    // exact distances -> per-node top-R (mirrors the Spark loop verbatim)
+    def round(prev: String, cur: String): String =
+      s"""und_$cur AS (SELECT u, v FROM $prev UNION SELECT v AS u, u AS v FROM $prev),
+         |fof_$cur AS (SELECT DISTINCT a.u, b.v
+         |             FROM und_$cur a JOIN und_$cur b ON a.v = b.u WHERE a.u <> b.v),
+         |pool_$cur AS (SELECT u, v FROM $prev UNION SELECT u, v FROM fof_$cur),
+         |d_$cur AS (SELECT p.u, p.v, $pairNdSql AS nd
+         |           FROM pool_$cur p JOIN e a ON p.u = a.vec_id JOIN e b ON p.v = b.vec_id),
+         |$cur AS (SELECT u, v, nd, row_number() OVER (PARTITION BY u ORDER BY nd DESC, v) AS rk
+         |         FROM d_$cur)""".stripMargin
+    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+       |n AS (SELECT max(vec_id) + 1 AS n FROM e),
+       |init AS (SELECT e.vec_id AS u, (e.vec_id + t.j) % n.n AS v
+       |         FROM e, n, generate_series(1, $GraphR) AS t(j)
+       |         WHERE e.vec_id <> (e.vec_id + t.j) % n.n),
+       |${round("init", "r1")},
+       |e1 AS (SELECT u, v FROM r1 WHERE rk <= $GraphR),
+       |${round("e1", "r2")}
+       |SELECT u, rk AS rank, v, nd FROM r2 WHERE rk <= $GraphR
+       |ORDER BY u, rank""".stripMargin
+  }
+
+  def qAnnGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < GraphCap)
+    graphBeamSearch(knnGraphEdges(e, GraphR), e, queryId = 0L, k = 5)
+  }
+
+  val qAnnGraphSearchSql: String = {
+    // one beam layer: expand the top-W visited through the graph, union
+    // the newly reached nodes' exact distances into the visited set
+    def layer(prevV: String, curB: String, curV: String): String =
+      s"""$curB AS (SELECT vec_id FROM $prevV ORDER BY nd DESC, vec_id LIMIT $GraphBeamW),
+         |$curV AS (SELECT vec_id, nd FROM $prevV
+         |          UNION SELECT d.vec_id, d.nd
+         |          FROM dist d JOIN graph g ON g.v = d.vec_id
+         |                      JOIN $curB b ON g.u = b.vec_id)""".stripMargin
+    s"""WITH e AS (${eCapSql(GraphCap.toString)}),
+       |p AS (SELECT a.vec_id AS u, b.vec_id AS v, $pairNdSql AS nd
+       |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |graph AS (SELECT u, v
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY nd DESC, v) AS rk FROM p)
+       |          WHERE rk <= $GraphR AND u <> 0 AND v <> 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dist AS (SELECT e.vec_id,
+       |           CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |             i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
+       |         FROM e, q WHERE e.vec_id <> 0),
+       |v0 AS (SELECT vec_id, nd FROM dist
+       |       WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id <> 0
+       |                        ORDER BY vec_id LIMIT $GraphEntries)),
+       |${layer("v0", "b1", "v1")},
+       |${layer("v1", "b2", "v2")},
+       |${layer("v2", "b3", "v3")}
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM v3 ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -1124,5 +1326,8 @@ object Similarity {
     QueryDef("q_ann_binary_search", qAnnBinarySearch, Some(qAnnBinarySearchSql)),
     QueryDef("q_ann_knn_join", qAnnKnnJoin, Some(qAnnKnnJoinSql)),
     QueryDef("q_ann_knn_join_batch", qAnnKnnJoinBatch, Some(qAnnKnnJoinBatchSql), bench = true),
+    QueryDef("q_ann_graph_build", qAnnGraphBuild, Some(qAnnGraphBuildSql)),
+    QueryDef("q_ann_nndescent", qAnnNnDescent, Some(qAnnNnDescentSql), bench = true),
+    QueryDef("q_ann_graph_search", qAnnGraphSearch, Some(qAnnGraphSearchSql)),
   )
 }

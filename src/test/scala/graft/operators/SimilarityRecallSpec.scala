@@ -98,6 +98,41 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(sq >= 0.85, s"sq recall $sq")
   }
 
+  test("graph ann: nn-descent converges toward the exact graph; beam search recovers planted structure") {
+    // edge recall of the linear-at-scale builder vs the exact 8-NN graph
+    val exactEdges = Similarity.knnGraphEdges(planted, 8)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactEdges.size == 500 * 8)
+    val r1 = Similarity.nnDescent(planted, 8, rounds = 1)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = Similarity.nnDescent(planted, 8, rounds = 2)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val er1 = exactEdges.intersect(r1).size.toDouble / exactEdges.size
+    val er2 = exactEdges.intersect(r2).size.toDouble / exactEdges.size
+    info(f"nn-descent edge recall vs exact 8-NN graph: round1=$er1%.2f round2=$er2%.2f")
+    assert(er2 >= er1, s"round 2 ($er2) lost edges vs round 1 ($er1)")
+    assert(er2 >= 0.75, s"nn-descent edge recall $er2 (measured 0.79 from ring init)")
+
+    // beam search recall@10 over both graphs, with a stride-31 coarse
+    // entry layer (every planted cluster is 50 ids wide, so each holds
+    // at least one entry — the HNSW upper-levels role)
+    val entries = (0L until 500L by 31L).toSeq
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val exactGraph = Similarity.knnGraphEdges(planted, 8).cache()
+    val nndGraph = Similarity.nnDescent(planted, 8, rounds = 2).cache()
+    def beamOp(g: org.apache.spark.sql.DataFrame)(e: DataFrame, q: Long): DataFrame =
+      Similarity.graphBeamSearch(g, e, q, 10, beam = 10, rounds = 3,
+        entryIds = Some(entries.filterNot(_ == q)))
+    val exactBeam = recallAt10(planted, queries, beamOp(exactGraph))
+    val nndBeam = recallAt10(planted, queries, beamOp(nndGraph))
+    info(f"planted beam-search recall@10: exact-graph=$exactBeam%.2f nn-descent-graph=$nndBeam%.2f")
+    // both measured 0.94: the 0.79-edge-recall nn-descent graph loses
+    // nothing at search time — beam redundancy covers the missing edges
+    // (the gap to 1.0 is the L2 graph vs cosine ground truth, as for sq)
+    assert(exactBeam >= 0.9, s"beam recall over exact graph $exactBeam (measured 0.94)")
+    assert(nndBeam >= 0.9, s"beam recall over nn-descent graph $nndBeam (measured 0.94)")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
