@@ -988,6 +988,73 @@ object TextOps {
   def qTextBm25MsProbe(s: SparkSession, dir: String): DataFrame =
     bm25MaxScore(s, stagedPackedTermIndex(s, dir), QueryTerms, 10)
 
+  /** WAND-pruned BM25 top-k over the packed index (Broder et al. 2003,
+    * with Lucene-style block-max bounds) — the OTHER classic dynamic
+    * pruning traversal, sharing [[bm25MaxScore]]'s index, header bounds
+    * and θ machinery but pruning on the orthogonal axis:
+    *
+    *  - MaxScore splits the TERM list (non-essential terms generate no
+    *    candidates; blocks skip pre-decode when their bound cannot reach
+    *    θ through any doc).
+    *  - WAND's pivot test is per DOC: d can enter the top k only if
+    *    Σ over the query terms whose postings contain d of that
+    *    (term, block)'s bound reaches θ. Every matched block decodes,
+    *    but the candidate set handed to exact scoring is per-doc tight —
+    *    a doc containing all three query terms in low-bound blocks is
+    *    pruned where MaxScore must keep it, and vice versa a doc of one
+    *    high-ub essential term survives MaxScore but fails the pivot sum.
+    *
+    * The distributed traversal is one narrow pass: decode matched blocks
+    * with their block bound attached, ONE doc_id exchange computing each
+    * doc's pivot sum as a window aggregate (the subsequent exact-scoring
+    * groupBy reuses the same partitioning, so pruning adds no extra
+    * shuffle), filter, and hand the survivors' postings to
+    * [[bm25FromPosts]] — the same plan tail as every other probe, so
+    * wand == maxscore == packed == scan == the shared DuckDB oracle.
+    *
+    * Exactness under fp: per-posting bound ≥ exact contribution
+    * (max_tf/min_dl are extremal and [[bm25Term]] is monotone), fp
+    * addition is operand-monotone, and the one-sided θ guard absorbs
+    * cross-order ulp wobble (same argument as [[bm25MaxScore]]) — so any
+    * pruned doc scores strictly under θ ≤ the k-th best total, ties
+    * included, and borderline candidate-set wobble can never reach the
+    * top k.
+    */
+  def bm25Wand(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val blocks = prunedPostings(s, indexDir, terms)
+    val ctl = pruneCtl(s, indexDir, blocks, terms, k) match {
+      case None => return bm25Packed(s, indexDir, terms, k)
+      case Some(c) => c
+    }
+    val thetaGuard = ctl.theta * (1.0 - 1e-12)
+    val dfs = {
+      import s.implicits._
+      ctl.present.map(t => (t, ctl.hdr(t)._1)).toDF("term", "df")
+    }
+    import graft.plans.PostingsCodec
+    val posts = blocks.join(broadcast(dfs), "term")
+      .select(col("term"),
+        bm25Term(col("max_tf"), col("min_dl"), lit(ctl.nDocs), lit(ctl.sumDl),
+          col("df")).as("bound"),
+        explode(PostingsCodec.unpack(col("plist"))).as("e"))
+      .select(col("term"), col("bound"), col("e.doc_id").as("doc_id"),
+        col("e.tf").as("tf"), col("e.dl").as("dl"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val candPosts = posts
+      .withColumn("pivot_ub", sum(col("bound")).over(byDoc))
+      .filter(col("pivot_ub") >= thetaGuard)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    bm25FromPosts(s, indexDir, candPosts, dfs, terms, k)
+  }
+
+  /** Probe-only WAND entry: same staged packed index as
+    * [[qTextBm25MsProbe]], same full-scan oracle — a Verify pass proves
+    * both dynamic-pruning traversals and the full scan agree doc-for-doc.
+    */
+  def qTextBm25Wand(s: SparkSession, dir: String): DataFrame =
+    bm25Wand(s, stagedPackedTermIndex(s, dir), QueryTerms, 10)
+
   /** PMI-ranked bigram collocations — the corpus-statistics pass behind
     * phrase vocabularies and tokenizer seeding (find "new york"-style units
     * worth fusing before training). Score is the PMI lift
@@ -1243,6 +1310,7 @@ object TextOps {
     QueryDef("q_text_bm25_packed", qTextBm25Packed, Some(qTextBm25IndexedSql)),
     QueryDef("q_text_bm25_maxscore", qTextBm25MaxScore, Some(qTextBm25IndexedSql)),
     QueryDef("q_text_bm25_msprobe", qTextBm25MsProbe, Some(qTextBm25IndexedSql), bench = true),
+    QueryDef("q_text_bm25_wand", qTextBm25Wand, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
     QueryDef("q_hybrid_rrf", qHybridRrf, Some(qHybridRrfSql)),
     QueryDef("q_text_fluency", qTextFluency, Some(qTextFluencySql)),

@@ -216,6 +216,9 @@ class TextRetrievalSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq)
     assert(got == TextOps.qTextBm25(spark, sfDir).collect().map(_.toSeq).toSeq)
     assert(got.nonEmpty)
+    // the orthogonal traversal agrees doc-for-doc on the same index
+    assert(got == TextOps.bm25Wand(spark, dir, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq, "wand != maxscore/scan")
   }
 
   test("maxscore: stopword term, sparse matches (theta=0), and absent terms stay exact") {
@@ -235,10 +238,15 @@ class TextRetrievalSpec extends AnyFunSuite {
     val want = TextOps.bm25Packed(spark, dir, terms, 5).collect().map(_.toSeq).toSeq
     assert(got == want)
     assert(got.nonEmpty)
+    // WAND on the same stopword corpus: the pivot sum keeps the stopword's
+    // bound in every doc's Σ (no term split), yet the result is identical
+    assert(want == TextOps.bm25Wand(spark, dir, terms, 5).collect().map(_.toSeq).toSeq)
     // fewer matches than k: rarest term df < k forces the theta=0 fallback
     val sparse = TextOps.bm25MaxScore(spark, dir, Seq("vector", "absent", "stream"), 50)
       .collect().map(_.toSeq).toSeq
     assert(sparse == TextOps.bm25Packed(spark, dir, Seq("vector", "absent", "stream"), 50)
+      .collect().map(_.toSeq).toSeq)
+    assert(sparse == TextOps.bm25Wand(spark, dir, Seq("vector", "absent", "stream"), 50)
       .collect().map(_.toSeq).toSeq)
   }
 
