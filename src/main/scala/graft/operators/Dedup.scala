@@ -1483,9 +1483,15 @@ object Dedup {
       .filter(col("occ") > 1).select(col("h"))
     val cand = wins.join(rep, Seq("h"), "left_semi")
     // token arrays ride the doc_id join once per doc; the capped slice is
-    // projected in the same stage, so no full suffix ever materializes
+    // projected in the same stage, so no full suffix ever materializes.
+    // SHUFFLE_HASH (build = the 3-longs-per-row candidate side) pins the
+    // plan Catalyst must NOT solve by broadcast: its size estimate for the
+    // split() side is bytes-of-parquet, but the deserialized token arrays
+    // are the whole corpus — at sf1 the auto-broadcast of `toks` was both
+    // the bench variance (hundreds of MB re-broadcast per run) and exactly
+    // the plan that cannot exist at 100 TB
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val suff = cand.join(toks, Seq("doc_id"))
+    val suff = cand.hint("shuffle_hash").join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("h"),
         slice(col("w"), col("pos") + 1, lit(cap)).as("sfx"))
     val grp = org.apache.spark.sql.expressions.Window

@@ -106,7 +106,7 @@ case class SegmentHashesExpr(child: Expression, w: Int = 3)
     while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     val n = spaces + 1 // split(" ", -1) never yields zero words ("" -> [""])
     val nSegs = (n + w - 1) / w
-    val out = new Array[Any](nSegs)
+    val out = new Array[Long](nSegs) // primitive: no per-segment boxing
     var segStart = 0
     var inSeg = 0
     var s = 0
@@ -122,7 +122,7 @@ case class SegmentHashesExpr(child: Expression, w: Int = 3)
       i += 1
     }
     out(s) = SegHash.range(bytes, segStart, len) // trailing (possibly short) segment
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
@@ -136,13 +136,16 @@ case class SegmentHashesExpr(child: Expression, w: Int = 3)
     copy(child = newChild)
 }
 
-/** 60-bit [[Hash60]] of every OVERLAPPING k-word shingle, in order, with
-  * repeats — element i is the window starting at word i (contrast
-  * [[ShingleSetExpr]], which emits the sorted DISTINCT set for Jaccard).
-  * Feeds the repeated-substring-span operator: window occurrence counting
-  * shuffles `(doc_id, pos, hash60)` longs, never the window strings. Same
-  * [[Tokenize]] + assembly as every other text expression, so window
-  * boundaries can never diverge across operators.
+/** Seeded xxh64 ([[SegHash]]) of every OVERLAPPING k-word shingle, in
+  * order, with repeats — element i is the window starting at word i
+  * (contrast [[ShingleSetExpr]], which emits the sorted DISTINCT set for
+  * Jaccard). Feeds the repeated-substring-span and suffix-LRS operators:
+  * window occurrence counting shuffles `(doc_id, pos, hash)` longs, never
+  * the window strings. Hashing is over raw UTF-8 byte ranges (the
+  * [[SegHash]] split+join identity: window i spans from the start of word
+  * i to the end of word i+k-1), so the per-window MD5 + StringBuilder the
+  * r4 form paid — the dominant cost of both explode passes at sf1 — is
+  * gone; the hash is internal-only (both oracles group window STRINGS).
   */
 case class ShingleHashesExpr(child: Expression, k: Int = 5)
     extends UnaryExpression {
@@ -152,15 +155,33 @@ case class ShingleHashesExpr(child: Expression, k: Int = 5)
   override def prettyName: String = "shingle_hashes"
 
   def compute(input: UTF8String): ArrayData = {
-    val words = Tokenize.words(input.toString)
-    if (words.length < k) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](words.length - k + 1)
+    val bytes = input.getBytes
+    val len = bytes.length
+    var spaces = 0
     var i = 0
-    Tokenize.eachShingle(words, k) { s =>
-      out(i) = Hash60.of(s)
+    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val n = spaces + 1
+    if (n < k) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyLongArray)
+    // wordStart(j) for j in [0, n): 0 or one past each space
+    val starts = new Array[Int](n)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
       i += 1
     }
-    new GenericArrayData(out)
+    val out = new Array[Long](n - k + 1) // primitive: no per-window boxing
+    var s = 0
+    while (s <= n - k) {
+      // window [s, s+k): from start of word s to end of word s+k-1 (the
+      // byte before word s+k's separator, or end of text)
+      val until = if (s + k < n) starts(s + k) - 1 else len
+      out(s) = SegHash.range(bytes, starts(s), until)
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
