@@ -51,6 +51,22 @@ class SimilarityRecallSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding", "label")
   }
 
+  test("batched knn: the single-pass aggregation form equals the join form row-for-row") {
+    // the two formulations share the oracle, but pin them against each
+    // other directly too — on the real corpus AND the planted fixture,
+    // where exact ties between same-cluster members exercise the
+    // (nd DESC, vec_id ASC) ordering in both code paths
+    for (corpus <- Seq(graft.Tables.embeddings(spark, sfDir), planted)) {
+      val qs = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      val join = Similarity.knnJoin(corpus, qs, 5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val agg = Similarity.knnJoinBatched(corpus, qs, 5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(join == agg, s"join vs aggregation divergence: ${join.diff(agg).take(3)}")
+      assert(join.nonEmpty)
+    }
+  }
+
   test("planted clusters: every searcher recovers the local structure") {
     val queries = Seq(0L, 50L, 150L, 300L, 450L)
     val lsh = recallAt10(planted, queries, Similarity.lshSearch(_, _, 10))
