@@ -1496,13 +1496,13 @@ object Dedup {
         slice(col("w"), col("pos") + 1, lit(cap)).as("sfx"))
     val grp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("sfx"))
-    // first-mismatch LCP, null-safe over zip_with's length padding; both
-    // engines signal array_position/list_position absence with 0 (equal
-    // arrays), which nullif routes to the equal-prefix fallback
-    def lcp(a: Column, b: Column): Column = when(b.isNull, lit(0L)).otherwise(
-      coalesce(
-        nullif(array_position(zip_with(a, b, (x, y) => x <=> y), lit(false)), lit(0L)) - 1L,
-        least(size(a), size(b)).cast("long")))
+    // first-mismatch LCP as ONE compiled walk ([[graft.plans.ArrLcpExpr]],
+    // ExprSpec-pinned bit-identical to the declarative zip_with/
+    // array_position chain the DuckDB twin mirrors — the HOF form is
+    // CodegenFallback and materialized a boolean array per comparison,
+    // twice per candidate in the window stage)
+    def lcp(a: Column, b: Column): Column = when(b.isNull, lit(0L))
+      .otherwise(graft.plans.ArrLcpExpr.arrLcp(a, b))
     suff
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         greatest(

@@ -393,6 +393,45 @@ class ExprSpec extends AnyFunSuite {
     assert(nat.toSeq == ref.toSeq)
   }
 
+  test("arr_lcp matches the declarative zip_with/array_position chain under forced codegen") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    import s2.implicits._
+    val rows = Seq(
+      (Array("a", "b", "c"), Array("a", "b", "c")),      // equal -> 3
+      (Array("a", "b", "c"), Array("a", "b", "c", "d")), // prefix overhang -> 3
+      (Array("a", "b", "c"), Array("a", "x", "c")),      // mismatch at 1
+      (Array("a"), Array("z")),                          // mismatch at 0
+      (Array.empty[String], Array("a")),                 // empty -> 0
+      (Array.empty[String], Array.empty[String]))        // both empty -> 0
+      .toDF("a", "b")
+    val nat = rows.select(ArrLcpExpr.arrLcp(col("a"), col("b")).as("l"))
+      .collect().map(_.getLong(0)).toSeq
+    val dec = rows.select(
+        coalesce(
+          nullif(array_position(zip_with(col("a"), col("b"), (x, y) => x <=> y),
+            lit(false)), lit(0L)) - 1L,
+          least(size(col("a")), size(col("b"))).cast("long")).as("l"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(nat == dec, s"native $nat vs declarative $dec")
+    assert(nat == Seq(3L, 3L, 1L, 0L, 0L, 0L))
+    // real-corpus pin: the suffix operator's window inputs
+    val docs = s2.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val pairs = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") === col("y.doc_id") + 1)
+      .select(col("x.w").as("a"), col("y.w").as("b"))
+    val natR = pairs.select(ArrLcpExpr.arrLcp(col("a"), col("b"))).collect().map(_.getLong(0))
+    val decR = pairs.select(
+      coalesce(
+        nullif(array_position(zip_with(col("a"), col("b"), (x, y) => x <=> y),
+          lit(false)), lit(0L)) - 1L,
+        least(size(col("a")), size(col("b"))).cast("long"))).collect().map(_.getLong(0))
+    assert(natR.sameElements(decR))
+  }
+
   test("neg_sq_dist matches the declarative scaled zip_with chain under forced codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.EmbeddingFunctions.scaled
