@@ -1088,6 +1088,9 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"))
       .agg(agg(col("vec_id"), col("embedding")).as("m"))
       .select(explode(col("m")).as(Seq("q_id", "knn")))
+      // join-form parity: a query with NO neighbors (corpus of one) gets
+      // no group row there; drop its empty-list entry here too
+      .filter(col("knn") =!= "")
       .orderBy(col("q_id"))
   }
 
@@ -1176,6 +1179,9 @@ object Similarity {
       .select(col("u"), pmod(col("u") + col("j"), lit(n)).as("v"))
       .filter(col("u") =!= col("v"))
     for (_ <- 1 to rounds) {
+      // und IS deduped before the two-hop join: mutual edges would
+      // otherwise appear on both sides and ~4x the fof fan-out — measured
+      // strictly worse at sf1 than the exchange the distinct costs
       val und = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v"))).distinct()
       val fof = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
