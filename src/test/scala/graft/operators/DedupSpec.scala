@@ -172,6 +172,39 @@ class DedupSpec extends AnyFunSuite {
     assert(selfGot == Set((0L, 4L), (7L, 4L)), s"got $selfGot")
   }
 
+  test("suffix LRS equals the brute-force quadratic reference on a randomized corpus") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus over a small vocabulary so
+    // repeats occur at many lengths and alignments
+    val rnd = new java.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0L until 25L).map { id =>
+      val n = 5 + rnd.nextInt(20)
+      (id, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val (minLen, cap) = (3, 6)
+    // O((n·len)^2) reference: per position, max word-LCP against every
+    // other position, capped
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val positions = for ((id, w) <- toks; p <- w.indices) yield (id, p, w)
+    def lcpAt(a: Array[String], i: Int, b: Array[String], j: Int): Int = {
+      var l = 0
+      while (l < cap && i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+      l
+    }
+    val expect = positions.flatMap { case (id, p, w) =>
+      val best = positions.collect {
+        case (id2, p2, w2) if (id2, p2) != (id, p) => lcpAt(w, p, w2, p2)
+      }.max
+      if (best >= minLen) Some((id, p.toLong, best.toLong)) else None
+    }.toSet
+    val got = Dedup.suffixMatchLens(docs.toDF("doc_id", "text"), minLen, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.nonEmpty, "fixture produced no repeats — vocabulary too large")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
