@@ -1210,11 +1210,15 @@ object Similarity {
     */
   def graphBeamSearch(graph: DataFrame, e: DataFrame, queryId: Long, k: Int,
       beam: Int = GraphBeamW, rounds: Int = GraphBeamRounds,
-      nEntry: Int = GraphEntries, entryIds: Option[Seq[Long]] = None): DataFrame = {
+      nEntry: Int = GraphEntries, entryIds: Option[Seq[Long]] = None,
+      queryVec: Option[Array[Float]] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val qvec = e.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // queryVec lets a layered caller search a SUBSET corpus (an upper
+    // HNSW layer) the query node itself is not a member of
+    val qvec = queryVec.getOrElse(
+      e.filter(col("vec_id") === queryId)
+        .select(col("embedding")).head().getSeq[Float](0).toArray)
     val g = graph.filter(col("u") =!= queryId && col("v") =!= queryId)
     def distsOf(ids: Seq[Long]): Seq[(Long, Long)] = // (id, nd)
       e.filter(col("vec_id").isin(ids: _*) && col("vec_id") =!= queryId)
@@ -1333,6 +1337,92 @@ object Similarity {
        |ORDER BY rank""".stripMargin
   }
 
+  /** HNSW-style layered search — the hierarchy that makes graph ANN
+    * entry-point-free: a deterministic exponential layer assignment
+    * (node in layer l iff vec_id % stride^l == 0 — the SQL-replayable
+    * stand-in for HNSW's geometric level draw) gives a tiny top layer
+    * scanned outright (exactly the role of HNSW's upper levels), and
+    * each lower layer runs [[graphBeamSearch]] over ITS OWN exact R-NN
+    * graph seeded by the layer above's best nodes. All distances exact
+    * scaled-int L2 throughout, ties by vec_id, so the full descent
+    * trace replays in SQL.
+    *
+    * Scale shape: layer l holds n/stride^l nodes, so upper-layer graphs
+    * are geometrically cheaper than L0's; the query-time work is one
+    * |topLayer| scan plus O(layers · beam · R) edge lookups — the
+    * hierarchy is what removes [[graphBeamSearch]]'s reliance on a
+    * caller-supplied coarse entry layer.
+    */
+  def hnswSearch(e: DataFrame, queryId: Long, k: Int,
+      stride: Int = HnswStride, r: Int = GraphR): DataFrame = {
+    val spark = e.sparkSession
+    val l2 = e.filter(col("vec_id") % (stride * stride) === 0)
+    val l1 = e.filter(col("vec_id") % stride === 0)
+    val qvec = e.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // top layer: outright nearest among ~n/stride^2 nodes
+    val top = l2.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
+      .orderBy(col("nd").desc, col("vec_id")).limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    // middle layer: short beam over L1's own graph, seeded from above
+    val mid = graphBeamSearch(knnGraphEdges(l1, math.max(r / 2, 1)), l1,
+        queryId, k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
+        entryIds = Some(top), queryVec = Some(qvec))
+      .collect().map(_.getLong(1)).toSeq
+    // base layer: full-width beam over the L0 graph, seeded from L1
+    graphBeamSearch(knnGraphEdges(e, r), e, queryId, k,
+      beam = GraphBeamW, rounds = GraphBeamRounds, entryIds = Some(mid),
+      queryVec = Some(qvec))
+  }
+
+  private val HnswStride = 4
+  private val HnswMidFanout = 2
+
+  def qAnnHnswSearch(s: SparkSession, dir: String): DataFrame =
+    hnswSearch(Tables.embeddings(s, dir).filter(col("vec_id") < GraphCap),
+      queryId = 0L, k = 5)
+
+  val qAnnHnswSearchSql: String = {
+    val s2 = HnswStride * HnswStride
+    val rMid = math.max(GraphR / 2, 1)
+    def layerGraph(name: String, member: String, rr: Int): String =
+      s"""${name}_p AS (SELECT a.vec_id AS u, b.vec_id AS v, $pairNdSql AS nd
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % $member = 0 AND b.vec_id % $member = 0),
+         |$name AS (SELECT u, v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY nd DESC, v) AS rk
+         |        FROM ${name}_p)
+         |  WHERE rk <= $rr AND u <> 0 AND v <> 0)""".stripMargin
+    def beam(graph: String, prevV: String, curB: String, curV: String,
+        member: String, w: Int): String =
+      s"""$curB AS (SELECT vec_id FROM $prevV ORDER BY nd DESC, vec_id LIMIT $w),
+         |$curV AS (SELECT vec_id, nd FROM $prevV
+         |          UNION SELECT d.vec_id, d.nd
+         |          FROM dist d JOIN $graph g ON g.v = d.vec_id
+         |                      JOIN $curB b ON g.u = b.vec_id
+         |          WHERE d.vec_id % $member = 0)""".stripMargin
+    s"""WITH e AS (${eCapSql(GraphCap.toString)}),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dist AS (SELECT e.vec_id,
+       |           CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |             i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
+       |         FROM e, q WHERE e.vec_id <> 0),
+       |top AS (SELECT vec_id, nd FROM dist WHERE vec_id % $s2 = 0
+       |        ORDER BY nd DESC, vec_id LIMIT 1),
+       |${layerGraph("g1", HnswStride.toString, rMid)},
+       |${beam("g1", "top", "b1", "v1", HnswStride.toString, HnswMidFanout)},
+       |mid AS (SELECT vec_id, nd FROM v1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
+       |${layerGraph("g0", "1", GraphR)},
+       |${beam("g0", "mid", "c1", "w1", "1", GraphBeamW)},
+       |${beam("g0", "w1", "c2", "w2", "1", GraphBeamW)},
+       |${beam("g0", "w2", "c3", "w3", "1", GraphBeamW)}
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM w3 ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_bruteforce_topk", qAnnBruteForce, Some(qAnnBruteForceSql), bench = true),
     QueryDef("q_ann_lsh_signature", qAnnLshSignature, Some(qAnnLshSignatureSql), bench = true),
@@ -1358,5 +1448,6 @@ object Similarity {
     QueryDef("q_ann_graph_build", qAnnGraphBuild, Some(qAnnGraphBuildSql)),
     QueryDef("q_ann_nndescent", qAnnNnDescent, Some(qAnnNnDescentSql), bench = true),
     QueryDef("q_ann_graph_search", qAnnGraphSearch, Some(qAnnGraphSearchSql)),
+    QueryDef("q_ann_hnsw_search", qAnnHnswSearch, Some(qAnnHnswSearchSql)),
   )
 }

@@ -149,6 +149,18 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(nndBeam >= 0.9, s"beam recall over nn-descent graph $nndBeam (measured 0.94)")
   }
 
+  test("hnsw hierarchy: entry-point-free layered search recovers planted structure") {
+    // the point of the layer hierarchy: NO caller-supplied coarse entries
+    // (contrast the stride-entry beam test above) — the deterministic
+    // vec_id % 4^l layers put ~3 upper-layer nodes in every 50-id planted
+    // cluster, so the descent lands in the right cluster on its own
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val recall = recallAt10(planted, queries,
+      (e, q) => Similarity.hnswSearch(e, q, 10))
+    info(f"planted hnsw recall@10 (no entry hints): $recall%.2f")
+    assert(recall >= 0.9, s"hnsw recall $recall (measured 0.94)")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
