@@ -1471,7 +1471,9 @@ object Dedup {
     * collision merges two DIFFERENT grams into one sort group, but their
     * suffixes share < minLen tokens, so they can neither separate true
     * neighbors (shared-prefix argument above) nor contribute an LCP that
-    * survives the >= minLen output floor.
+    * survives the >= minLen output floor — enforced explicitly by the
+    * final filter below (a no-op absent collisions: every true in-group
+    * neighbor shares the gram, so its LCP is >= minLen by construction).
     */
   def suffixMatchLens(docs: DataFrame, minLen: Int = SuffixMinLen,
       cap: Int = SuffixCap): DataFrame = {
@@ -1508,6 +1510,11 @@ object Dedup {
         greatest(
           lcp(col("sfx"), lag(col("sfx"), 1).over(grp)),
           lcp(col("sfx"), lead(col("sfx"), 1).over(grp))).as("match_len"))
+      // the documented collision floor, made explicit: a 60-bit gram-hash
+      // collision can only ADD rows whose match_len < minLen (the merged
+      // grams share < minLen tokens), which the string-grouped oracle
+      // lacks — this filter removes exactly those and nothing else
+      .filter(col("match_len") >= minLen)
   }
 
   private val SuffixMinLen = 5

@@ -1081,9 +1081,19 @@ object Similarity {
   def knnJoinBatched(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    // the |Q|-is-driver-bounded contract, enforced: collect at most cap+1
+    // rows so an unbounded query set fails with a clear message instead of
+    // a driver OOM (the join form wants nnDescent for corpus-sized Q)
     val qArr = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val agg = udaf(new graft.plans.KnnBatchAggregator(qArr, k),
+      .as[(Long, Array[Float])].limit(MaxBatchQueries + 1).collect().sortBy(_._1)
+    require(qArr.length <= MaxBatchQueries,
+      s"knnJoinBatched query set exceeds $MaxBatchQueries rows — " +
+        "batch the queries or build the full graph with nnDescent")
+    // join-form parity: zero queries -> zero result rows, not a
+    // driver-side aggregator exception
+    if (qArr.isEmpty) return Seq.empty[(Long, String)].toDF("q_id", "knn")
+    val qBc = s.sparkContext.broadcast(qArr)
+    val agg = udaf(new graft.plans.KnnBatchAggregator(qBc, k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Float])]())
     e.select(col("vec_id"), col("embedding"))
       .agg(agg(col("vec_id"), col("embedding")).as("m"))
@@ -1093,6 +1103,13 @@ object Similarity {
       .filter(col("knn") =!= "")
       .orderBy(col("q_id"))
   }
+
+  /** Hard |Q| cap for [[knnJoinBatched]]: 64k queries × 64 dims × 8 B of
+    * prescaled longs is a ~32 MB broadcast and a |partitions|·|Q|·k merge
+    * state — comfortably driver-bounded; beyond it the per-row update
+    * loop itself stops being the cheap path.
+    */
+  private val MaxBatchQueries = 65536
 
   /** Non-trivial batch (|Q| = 500): the benched form — at |Q|=5 the join is
     * all per-stage floor; 500 queries x corpus is where the per-pair

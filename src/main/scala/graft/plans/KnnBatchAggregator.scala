@@ -23,29 +23,35 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering is (nd DESC, vec_id ASC), self-pairs excluded by id, finish
   * renders the same "nd:id|…" string per query.
   *
-  * Scale shape: the query matrix (|Q|·dim floats) ships once per task
-  * closure — the same |Q|-is-broadcastable assumption the join form
-  * makes. For corpus-sized query sets use [[graft.operators.Similarity.nnDescent]].
+  * Scale shape: the query matrix arrives as a BROADCAST handle (the
+  * SegmentCleanExpr pattern), so executors fetch the |Q|·dim floats once
+  * per executor instead of once per task closure, and the prescaled long
+  * matrix is computed lazily per JVM. For corpus-sized query sets use
+  * [[graft.operators.Similarity.nnDescent]].
   */
-final class KnnBatchAggregator(queries: Array[(Long, Array[Float])], k: Int)
+final class KnnBatchAggregator(
+    queries: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]], k: Int)
     extends Aggregator[(Long, Array[Float]), Array[List[(Long, Long)]], Map[Long, String]] {
-  require(queries.nonEmpty && k >= 1, s"bad knn batch params |Q|=${queries.length} k=$k")
+  require(queries.value.nonEmpty && k >= 1,
+    s"bad knn batch params |Q|=${queries.value.length} k=$k")
 
-  private val Scale = graft.functions.EmbeddingFunctions.Scale
+  private val nQ = queries.value.length // a scalar; the matrix stays behind the handle
 
   private def rnd(v: Double): Double =
     if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
 
   private def scaled(v: Array[Float]): Array[Long] = {
+    val Scale = graft.functions.EmbeddingFunctions.Scale
     val out = new Array[Long](v.length)
     var i = 0
     while (i < v.length) { out(i) = rnd(v(i).toDouble * Scale).toLong; i += 1 }
     out
   }
 
-  // prescaled once; serialized with the aggregator into each task closure
-  private val qIds: Array[Long] = queries.map(_._1)
-  private val qVecs: Array[Array[Long]] = queries.map(q => scaled(q._2))
+  // prescaled once per executor JVM from the broadcast; @transient so the
+  // serialized aggregator carries only the cheap broadcast handle
+  @transient private lazy val qIds: Array[Long] = queries.value.map(_._1)
+  @transient private lazy val qVecs: Array[Array[Long]] = queries.value.map(q => scaled(q._2))
 
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -57,7 +63,7 @@ final class KnnBatchAggregator(queries: Array[(Long, Array[Float])], k: Int)
   }
 
   override def zero: Array[List[(Long, Long)]] =
-    Array.fill(queries.length)(Nil)
+    Array.fill(nQ)(Nil)
 
   override def reduce(buf: Array[List[(Long, Long)]],
       row: (Long, Array[Float])): Array[List[(Long, Long)]] = {

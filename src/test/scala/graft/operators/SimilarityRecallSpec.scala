@@ -67,6 +67,14 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("batched knn: empty query set short-circuits to an empty frame, like the join form") {
+    val corpus = planted
+    val none = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 0)
+    val out = Similarity.knnJoinBatched(corpus, none, 5)
+    assert(out.columns.toSeq == Seq("q_id", "knn"))
+    assert(out.count() == 0L)
+  }
+
   test("planted clusters: every searcher recovers the local structure") {
     val queries = Seq(0L, 50L, 150L, 300L, 450L)
     val lsh = recallAt10(planted, queries, Similarity.lshSearch(_, _, 10))
