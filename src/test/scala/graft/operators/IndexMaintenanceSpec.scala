@@ -204,4 +204,80 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(after == before, "probe results changed across term-index compaction")
     assert(before.nonEmpty)
   }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("u", "v", "nd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("appendToAnnGraph: maintained graph equals the from-scratch exact graph edge-for-edge") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val old = e.filter(col("vec_id") < 400)
+    val b1 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val b2 = e.filter(col("vec_id") >= 450)
+    val dir = java.nio.file.Files.createTempDirectory("ann-graph-append").toString
+    Similarity.writeAnnGraph(old, dir, 8)
+    Similarity.appendToAnnGraph(spark, dir, b1, old, 8, seg = "b1", overwriteSeg = true)
+    Similarity.appendToAnnGraph(spark, dir, b2, old.unionByName(b1), 8,
+      seg = "b2", overwriteSeg = true)
+    val rebuilt = edgeSet(Similarity.knnGraphEdges(e, 8))
+    val maintained = edgeSet(Similarity.readAnnGraphLayer(spark, dir, 8))
+    assert(maintained == rebuilt,
+      s"maintained != rebuilt: ${maintained.diff(rebuilt).take(3)} extra, " +
+        s"${rebuilt.diff(maintained).take(3)} missing")
+    // ... and therefore identical beam-search results, asserted directly
+    // through the pruned probe path the artifact exists for
+    val direct = Similarity.graphBeamSearch(Similarity.knnGraphEdges(e, 8), e, 3L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val probed = Similarity.graphBeamSearch(spark.emptyDataFrame, e, 3L, 10,
+        lookup = Some(Similarity.annGraphLookup(spark, dir, 8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probed == direct, "beam search over maintained artifact diverged from rebuilt graph")
+    // replaying a batch's append (crash retry) replaces its segment
+    Similarity.appendToAnnGraph(spark, dir, b2, old.unionByName(b1), 8,
+      seg = "b2", overwriteSeg = true)
+    assert(edgeSet(Similarity.readAnnGraphLayer(spark, dir, 8)) == rebuilt,
+      "replayed append changed the merged view")
+    // compaction collapses segments, drops displaced rows, preserves the view
+    val filesBefore = parquetFiles(dir).size
+    Similarity.compactAnnGraph(spark, dir, 8)
+    assert(parquetFiles(dir).map(_.getParentFile.getName).distinct == Seq("seg=base"),
+      "compaction must collapse all segments into one")
+    assert(parquetFiles(dir).size < filesBefore)
+    assert(edgeSet(Similarity.readAnnGraphLayer(spark, dir, 8)) == rebuilt,
+      "merged view changed across compaction")
+  }
+
+  test("deleteFromAnnGraph equals a graph built without the deleted nodes") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ann-graph-delete").toString
+    Similarity.writeAnnGraph(e, dir, 8)
+    val delIds = (0L until 500L by 7L).toSeq
+    val survivors = e.filter(!col("vec_id").isin(delIds: _*))
+    Similarity.deleteFromAnnGraph(spark, dir, delIds, survivors, 8)
+    val rebuilt = edgeSet(Similarity.knnGraphEdges(survivors, 8))
+    val maintained = edgeSet(Similarity.readAnnGraphLayer(spark, dir, 8))
+    assert(maintained == rebuilt,
+      s"post-delete graph != survivor rebuild: ${maintained.diff(rebuilt).take(3)} extra, " +
+        s"${rebuilt.diff(maintained).take(3)} missing")
+    assert(maintained.nonEmpty)
+  }
+
+  test("insertIntoHnswGraph wires a batch into both layers; the probe still serves") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val old = e.filter(col("vec_id") < 480)
+    val batch = e.filter(col("vec_id") >= 480)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-insert").toString
+    Similarity.writeAnnGraphLayer(
+      Similarity.nnDescent(old, 4, rounds = 3, stride = 4), s"$dir/layer1")
+    Similarity.writeAnnGraphLayer(
+      Similarity.nnDescent(old, 8, rounds = 3), s"$dir/layer0")
+    Similarity.insertIntoHnswGraph(spark, dir, batch, old, seg = "b0")
+    // the new nodes are reachable: their own lists landed in layer 0
+    val newNodes = Similarity.readAnnGraphLayer(spark, s"$dir/layer0", 8)
+      .filter(col("u") >= 480).select("u").distinct().count()
+    assert(newNodes == 20, s"expected 20 inserted layer-0 nodes, saw $newNodes")
+    val out = Similarity.hnswProbe(spark, dir, e, queryId = 1L, k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out.size == 5 && out.distinct.size == 5)
+  }
 }

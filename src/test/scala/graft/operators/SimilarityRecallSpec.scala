@@ -169,6 +169,22 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"hnsw recall $recall (measured 0.94)")
   }
 
+  test("hnsw probe: the persisted nn-descent layer graphs serve the same recall") {
+    // the serving path: layers built ONCE with nnDescent (the linear
+    // builder, not the quadratic knnGraphEdges the inline form uses),
+    // persisted partition-pruned, probed with zero query-time construction
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-probe-recall").toString
+    Similarity.writeAnnGraphLayer(
+      Similarity.nnDescent(planted, 4, stride = 4), s"$dir/layer1")
+    Similarity.writeAnnGraphLayer(
+      Similarity.nnDescent(planted, 8), s"$dir/layer0")
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val recall = recallAt10(planted, queries,
+      (e, q) => Similarity.hnswProbe(spark, dir, e, q, 10))
+    info(f"planted hnsw PROBE recall@10 (persisted layers): $recall%.2f")
+    assert(recall >= 0.9, s"hnsw probe recall $recall")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
