@@ -205,6 +205,32 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "fixture produced no repeats — vocabulary too large")
   }
 
+  test("suffix LRS: a degenerate boilerplate gram routes through the range-sorted path unchanged") {
+    import spark.implicits._
+    // 1500 copies of one 8-token disclaimer (distinct tokens, so no
+    // within-boilerplate self-similarity muddies the expectation) + a
+    // unique 2-token tail per doc: every all-boilerplate 5-gram occurs
+    // 1500 times — far past any sane window-group cap
+    val boiler = "standard legal disclaimer applies to this document entirely"
+    val docs = (0L until 1500L)
+      .map(i => (i, s"$boiler unique$i tail$i")).toDF("doc_id", "text")
+    def run(degenCap: Int): Set[(Long, Long, Long)] =
+      Dedup.suffixMatchLens(docs, minLen = 5, cap = 32, degenCap = degenCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaWindow = run(Int.MaxValue) // everything through the window path
+    val viaSorted = run(8) // the 1500-occ grams through the sorted walk
+    assert(viaSorted == viaWindow,
+      s"paths diverge: ${viaSorted.diff(viaWindow).take(3)} extra, " +
+        s"${viaWindow.diff(viaSorted).take(3)} missing")
+    // analytic expectation: a suffix at boilerplate offset p (0..3 carry
+    // an all-boilerplate 5-gram) matches every other doc's same-offset
+    // suffix for the remaining 8-p disclaimer tokens, and nothing longer
+    val expect = (for (i <- 0L until 1500L; p <- 0 to 3)
+      yield (i, p.toLong, (8 - p).toLong)).toSet
+    assert(viaSorted == expect,
+      s"missing=${(expect -- viaSorted).take(3)} extra=${(viaSorted -- expect).take(3)}")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
