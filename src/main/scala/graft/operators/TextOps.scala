@@ -417,6 +417,61 @@ object TextOps {
        |LIMIT 5""".stripMargin
   }
 
+  /** Cross-encoder rerank seam — the third retrieval stage (recall →
+    * dense rerank → cross-encoder) of a production search stack. The
+    * SEAM is the `scorer` parameter: a function from (query terms,
+    * doc-token column) to a score COLUMN, evaluated distributed over the
+    * top-`depth` candidate rows ONLY — at 100 TB the candidates are a
+    * broadcastable k-row set, so this is exactly where a learned
+    * cross-encoder (a batched model-server UDF or mapInPandas ONNX
+    * scorer) plugs in without touching the plan shape: the corpus join
+    * stays a broadcast probe, the model only ever sees depth rows per
+    * query. The default scorer is a deterministic exact-int
+    * position-weighted term-overlap ([[crossOverlapScorer]]) the DuckDB
+    * oracle replays verbatim, keeping the whole stage hash-checkable.
+    *
+    * Rerank-then-truncate vs truncate-then-rerank: reranking the full
+    * depth then taking k can surface a low-BM25 candidate the truncated
+    * form never sees — that asymmetry is WHY the depth knob exists;
+    * TextRetrievalSpec pins both the boundary equalities (depth == k,
+    * constant scorer) and a constructed case where the orders differ.
+    */
+  def crossRerank(docs: DataFrame, candidates: DataFrame,
+      terms: Seq[String], k: Int,
+      scorer: (Seq[String], Column) => Column = crossOverlapScorer): DataFrame =
+    docs
+      .join(broadcast(candidates), Seq("doc_id"))
+      .select(col("doc_id"), col("bm25"),
+        scorer(terms, words(col("text"))).as("ce_score"))
+      .orderBy(col("ce_score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Deterministic stand-in cross-scorer: per query term, its occurrence
+    * count in the doc, weighted by query position (earlier terms weigh
+    * more) — an exact-int "cross" signal over the (query, doc) pair, the
+    * same access pattern a real cross-encoder has.
+    */
+  def crossOverlapScorer(terms: Seq[String], toks: Column): Column =
+    terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, w => w === lit(t))).cast("long") *
+        lit((terms.length - i).toLong)
+    }.reduceLeft(_ + _)
+
+  def qRerankCross(s: SparkSession, dir: String): DataFrame =
+    crossRerank(Tables.documents(s, dir),
+      bm25TopK(s, dir, 20).select(col("doc_id"), col("bm25")), QueryTerms, 5)
+
+  val qRerankCrossSql: String = {
+    val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$t')) * ${QueryTerms.length - i}"
+    }.mkString(" + ")
+    s"""WITH bm AS (${bm25TopKSql(20)})
+       |SELECT doc_id, bm.bm25 AS bm25, CAST($score AS BIGINT) AS ce_score
+       |FROM bm JOIN documents USING (doc_id)
+       |ORDER BY ce_score DESC, doc_id
+       |LIMIT 5""".stripMargin
+  }
+
   /** Reciprocal-rank fusion of the sparse (BM25) and dense (cosine) top-k
     * lists — the standard score-free hybrid-retrieval combiner
     * (Cormack et al. 2009): rrf(d) = Σ_lists 1/(60 + rank_d). Ranks come
@@ -1084,6 +1139,108 @@ object TextOps {
   val qTextBm25RareProbeSql: String =
     s"SELECT * FROM (${bm25TopKSql(10, RareTerms)}) WHERE bm25 > 0"
 
+  // ------------------------------------------------------- doc sharding --
+
+  /** DOC-sharded posting index — the orthogonal layout to
+    * [[writeTermIndex]]'s term-bucketed one: postings partition by
+    * `ds = doc_id % DocShards`, so every shard holds ALL terms of ITS
+    * docs. What each layout buys at 100 TB:
+    *
+    *  - term-partitioned: a selective probe prunes to ≤2 files per term,
+    *    flat in corpus size (the BASELINE.md crossover table's winner);
+    *    but every APPEND fans its batch across up to 256 term buckets —
+    *    write amplification that compounds at ingest rates, and per-doc
+    *    composition must gather a doc's terms across buckets.
+    *  - doc-sharded: an append touches only its own shard partitions
+    *    (bounded, batch-proportional write), and everything per-doc —
+    *    conjunctive matching, whole-doc scoring — finds a doc's postings
+    *    co-located by construction. The price: ONE term's postings live
+    *    in every shard, so partition pruning is impossible; the layout's
+    *    mitigation is the (term, doc_id) sort within each shard, which
+    *    lets parquet row-group min/max stats skip non-matching groups
+    *    (predicate pushdown, not pruning).
+    *
+    * Same additive `stats` protocol as the term index; df is recomputed
+    * from live postings, so appends never stale it.
+    */
+  def writeDocShardedIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: String = "overwrite"): Unit = {
+    val w = words(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(w).as("dl"), explode(w).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("ds", pmod(col("doc_id"), lit(DocShards)))
+      .repartition(col("ds"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.partitionBy("ds").mode(mode).parquet(s"$dir/postings")
+    docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
+      .write.mode(mode).parquet(s"$dir/stats")
+  }
+
+  /** BM25 probe of the doc-sharded layout: every shard is visited (the
+    * layout's structural cost), but the `term` filter rides into the scan
+    * as a parquet row-group predicate against the in-shard sort order.
+    * Scoring tail is [[bm25FromPosts]], shared with every other probe, so
+    * the layouts can only diverge in the data path the oracle checks.
+    */
+  def bm25DocSharded(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+  }
+
+  /** Append NEW docs to a doc-sharded index — the layout's headline win:
+    * the batch's rows land in its own shard partitions as fresh files and
+    * a fresh additive stats row joins the pile; no term bucket is ever
+    * rewritten or even listed. Caller owns id disjointness, as for
+    * [[appendTermIndex]].
+    */
+  def appendDocShardedIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeDocShardedIndex(docs, dir, idCol, textCol, mode = "append")
+
+  /** Compact a doc-sharded index after N appends ([[compactTermIndex]]
+    * role; within-`ds` re-merge + stats coalesce).
+    */
+  def compactDocShardedIndex(s: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : (Layout.CompactStats, Layout.CompactStats) =
+    (Layout.compact(s, s"$dir/postings", targetBytes, Seq("ds")),
+      Layout.compact(s, s"$dir/stats", targetBytes))
+
+  /** Doc-sharded index staged once per corpus ([[stagedTermIndex]]
+    * protocol, its own identity key).
+    */
+  private[graft] def stagedDocShardedIndex(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val doc = Paths.get(dir, "documents.parquet")
+    val tag = s"${Files.size(doc)}_${Files.getLastModifiedTime(doc).toMillis}"
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Staging.stagedDir(Paths.get(s"/tmp/graft_docshard_index_${slug}_$tag")) { tmp =>
+      writeDocShardedIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp.toString)
+    }
+  }
+
+  /** The benched regime pair vs the term-partitioned probes: multi-term
+    * (stopword-ish) queries, where the doc layout reads all shards but
+    * composes per-doc locally…
+    */
+  def qTextBm25DsProbe(s: SparkSession, dir: String): DataFrame =
+    bm25DocSharded(s, stagedDocShardedIndex(s, dir), QueryTerms, 10)
+
+  /** …and the selective-term regime, where the term layout's partition
+    * pruning is unbeatable and the doc layout pays its full-shard-visit
+    * structural cost — the honest losing case, measured.
+    */
+  def qTextBm25DsRare(s: SparkSession, dir: String): DataFrame =
+    bm25DocSharded(s, stagedDocShardedIndex(s, dir), RareTerms, 10)
+
+  private val DocShards = 16
+
   /** PMI-ranked bigram collocations — the corpus-statistics pass behind
     * phrase vocabularies and tokenizer seeding (find "new york"-style units
     * worth fusing before training). Score is the PMI lift
@@ -1342,7 +1499,12 @@ object TextOps {
     QueryDef("q_text_bm25_wand", qTextBm25Wand, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_text_bm25_rare", qTextBm25Rare, Some(qTextBm25RareSql), bench = true),
     QueryDef("q_text_bm25_rare_probe", qTextBm25RareProbe, Some(qTextBm25RareProbeSql), bench = true),
+    // the doc-sharded layout pair: staged during untimed warmup like every
+    // probe entry; same shared full-scan oracles as the term-layout probes
+    QueryDef("q_text_bm25_ds_probe", qTextBm25DsProbe, Some(qTextBm25IndexedSql), bench = true),
+    QueryDef("q_text_bm25_ds_rare", qTextBm25DsRare, Some(qTextBm25RareProbeSql), bench = true),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
+    QueryDef("q_rerank_cross", qRerankCross, Some(qRerankCrossSql)),
     QueryDef("q_hybrid_rrf", qHybridRrf, Some(qHybridRrfSql)),
     QueryDef("q_text_fluency", qTextFluency, Some(qTextFluencySql)),
     QueryDef("q_text_collocations", qTextCollocations, Some(qTextCollocationsSql)),

@@ -122,6 +122,85 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("doc-sharded layout: probe equals the term layout on both regimes; append is shard-local") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(c("doc_id"), c("text"))
+    val ds = java.nio.file.Files.createTempDirectory("ds-index").toString
+    TextOps.writeDocShardedIndex(docs.filter(c("doc_id") % 2 === 0), ds)
+    TextOps.appendDocShardedIndex(docs.filter(c("doc_id") % 2 =!= 0), ds)
+    val term = java.nio.file.Files.createTempDirectory("term-index-twin").toString
+    TextOps.writeTermIndex(docs, term)
+    for (terms <- Seq(TextOps.QueryTerms, TextOps.RareTerms)) {
+      val got = TextOps.bm25DocSharded(spark, ds, terms, 10)
+        .collect().map(_.toSeq).toSeq
+      val want = TextOps.bm25Indexed(spark, term, terms, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"layouts diverge on $terms")
+      assert(got.nonEmpty)
+    }
+    // the layout's write contract: the append touched ONLY ds=* shard
+    // partitions (no term buckets exist to rewrite), and compaction
+    // preserves the probe
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val partDirs = walk(new java.io.File(s"$ds/postings"))
+      .filter(_.getName.endsWith(".parquet")).map(_.getParentFile.getName).distinct
+    assert(partDirs.forall(_.startsWith("ds=")), s"unexpected partitions: $partDirs")
+    val before = TextOps.bm25DocSharded(spark, ds, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    TextOps.compactDocShardedIndex(spark, ds)
+    val after = TextOps.bm25DocSharded(spark, ds, TextOps.QueryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "probe changed across doc-shard compaction")
+  }
+
+  test("cross-rerank seam: boundary equalities hold; depth asymmetry surfaces hidden winners") {
+    import spark.implicits._
+    val c = org.apache.spark.sql.functions.col _
+    // doc 5 mentions the query terms most (cross-score winner) but sits
+    // LOW in the candidate ordering; docs 1-4 are the bm25 top
+    val docs = Seq(
+      (1L, "alpha beta filler filler filler"),
+      (2L, "alpha filler filler filler filler"),
+      (3L, "beta filler filler filler filler"),
+      (4L, "filler filler filler filler filler"),
+      (5L, "alpha alpha beta beta alpha filler")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0), (4L, 6.0), (5L, 1.0))
+      .toDF("doc_id", "bm25")
+    val terms = Seq("alpha", "beta")
+    def run(cand: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      TextOps.crossRerank(docs, cand, terms, k).collect().map(_.getLong(0)).toSeq
+    // boundary 1: depth == k — reranking all candidates and truncating is
+    // the same thing as reranking the truncated set (identical input set)
+    assert(run(cands, 5) == run(cands.limit(5), 5))
+    // boundary 2: constant scorer — rerank degenerates to the doc_id
+    // tie-break on BOTH orders, so truncate-then-rerank equals
+    // rerank-then-truncate
+    val const = (_: Seq[String], _: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.lit(1L)
+    val full = TextOps.crossRerank(docs, cands, terms, 3, const)
+      .collect().map(_.getLong(0)).toSeq
+    val trunc = TextOps.crossRerank(docs,
+        cands.orderBy(c("doc_id")).limit(3), terms, 3, const)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == trunc && full == Seq(1L, 2L, 3L))
+    // the asymmetry the depth knob exists for: reranking the full depth
+    // surfaces doc 5 (the strongest cross signal) at rank 1, while
+    // truncating the candidates to the bm25 top-3 first loses it forever
+    val deep = run(cands, 3)
+    val shallow = run(cands.orderBy(c("bm25").desc).limit(3), 3)
+    assert(deep.head == 5L, s"full-depth rerank should surface doc 5, got $deep")
+    assert(!shallow.contains(5L), s"bm25-truncated rerank cannot see doc 5: $shallow")
+    // pluggability: the seam accepts any (terms, tokens) => Column scorer —
+    // an inverted scorer reverses the preference between docs 1 and 4
+    val inverted = (ts: Seq[String], toks: org.apache.spark.sql.Column) =>
+      -TextOps.crossOverlapScorer(ts, toks)
+    assert(TextOps.crossRerank(docs, cands, terms, 1, inverted)
+      .collect().head.getLong(0) == 4L)
+  }
+
   test("sparse corpus: probe returns matched docs only, all positive-score") {
     import spark.implicits._
     // fewer docs contain a query term than k: the probe must return exactly
