@@ -57,6 +57,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"multi-probe scanned $mf of $nBuckets buckets")
   }
 
+  test("persisted ann-graph lookup scans only the frontier's bucket partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ann-graph-prune").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    Similarity.writeAnnGraphLayer(Similarity.nnDescent(e, 8), dir)
+    val nBuckets = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("b="))
+    assert(nBuckets == 16, s"expected 16 u-buckets, got $nBuckets")
+    // a beam frontier touching 3 distinct buckets must scan exactly those
+    val frontier = Seq(1L, 2L, 19L) // buckets 1, 2, 3 (19 % 16)
+    val look = Similarity.annGraphLookup(spark, dir, 8)(frontier)
+    look.collect()
+    // the lookup plan has a Window, so AQE wraps the scan in query
+    // stages — descend through the adaptive wrappers to find it
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val fs = scans(look.queryExecution.executedPlan)
+    assert(fs.nonEmpty, "no file scan in lookup plan")
+    val files = fs.map(_.metrics("numFiles").value).sum
+    assert(files == 3L, s"lookup scanned $files bucket files, wanted 3 of $nBuckets")
+  }
+
   test("no query plan contains a cartesian product or nested-loop join on big sides") {
     // BroadcastNestedLoopJoin with a one-row build side is fine (the ivf
     // argmin); CartesianProduct is never fine
