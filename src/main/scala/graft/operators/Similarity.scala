@@ -1590,6 +1590,93 @@ object Similarity {
     hnswProbe(s, stagedHnswGraph(s, dir), Tables.embeddings(s, dir),
       queryId = 0L, k = 5)
 
+  /** Batched [[hnswProbe]] — the serving-THROUGHPUT form: |Q| queries
+    * descend together, paying ONE distributed job per layer round for the
+    * whole batch instead of ~5 jobs per query (at ~0.2 s scheduling floor
+    * per job, the per-query form's cost is almost entirely job count).
+    * Per round: the union of all queries' beam frontiers drives one
+    * partition-pruned edge fetch and one pruned corpus read of the newly
+    * reached vectors; the per-(query, candidate) exact scaled-int
+    * distances then evaluate driver-side over the collected candidate
+    * block — bounded by |Q|·beam·R rows a round, the same
+    * driver-boundedness [[graphBeamSearch]] already assumes, with the
+    * identical rounding contract as [[graft.plans.KnnBatchAggregator]]
+    * (parity-spec'd). Entry selection reuses [[knnJoinBatched]] over the
+    * top layer — one aggregation job for all queries. Output is
+    * bit-identical to per-query [[hnswProbe]] (SimilarityRecallSpec pins
+    * it), as rows `(q_id, rank, vec_id, nd)`.
+    */
+  def hnswProbeBatched(s: SparkSession, graphDir: String, e: DataFrame,
+      queryIds: Seq[Long], k: Int, stride: Int = HnswStride,
+      beam: Int = HnswEf, rounds: Int = GraphBeamRounds): DataFrame = {
+    import s.implicits._
+    require(queryIds.nonEmpty && queryIds.distinct.size == queryIds.size,
+      "hnswProbeBatched needs a non-empty, duplicate-free query id set")
+    val Scale = graft.functions.EmbeddingFunctions.Scale
+    def rnd(v: Double): Double =
+      if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+    def scaled(v: Array[Float]): Array[Long] =
+      v.map(x => rnd(x.toDouble * Scale).toLong)
+    def fetchScaled(ids: Seq[Long]): Map[Long, Array[Long]] =
+      if (ids.isEmpty) Map.empty
+      else e.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => id -> scaled(v) }.toMap
+    val qVec = fetchScaled(queryIds)
+    def nd(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      -d
+    }
+    // top layer: ONE batched exact top-1 over the stride^2 members
+    val l2 = e.filter(col("vec_id") % (stride * stride) === 0)
+    val qDf = e.filter(col("vec_id").isin(queryIds: _*))
+    val entry: Map[Long, (Long, Long)] = // q -> (entry id, nd)
+      knnJoinBatched(l2, qDf, 1).collect().map { r =>
+        val p = r.getString(1).split(":")
+        r.getLong(0) -> (p(1).toLong, p(0).toLong)
+      }.toMap
+    // visited(q): id -> nd, seeded from the top-layer entry
+    val visited = queryIds.map(q => q ->
+      scala.collection.mutable.Map[Long, Long](
+        entry(q)._1 -> entry(q)._2)).toMap
+    def layerRounds(layerDir: String, r: Int, w: Int, n: Int): Unit =
+      for (_ <- 1 to n) {
+        val beams: Map[Long, Seq[Long]] = queryIds.map { q =>
+          q -> visited(q).toSeq.sortBy { case (id, d) => (-d, id) }
+            .take(w).map(_._1)
+        }.toMap
+        val union = beams.values.flatten.toSeq.distinct
+        // ONE pruned edge fetch for the whole batch's frontier
+        val edges = annGraphLookup(s, layerDir, r)(union)
+          .select(col("u"), col("v")).collect()
+          .map(row => (row.getLong(0), row.getLong(1)))
+          .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSeq }
+        val wanted: Map[Long, Seq[Long]] = queryIds.map { q =>
+          q -> beams(q).filter(_ != q).flatMap(edges.getOrElse(_, Nil))
+            .distinct.filter(id => id != q && !visited(q).contains(id))
+        }.toMap
+        // ONE pruned corpus read of everything newly reached this round
+        val vecs = fetchScaled(wanted.values.flatten.toSeq.distinct)
+        for (q <- queryIds; id <- wanted(q); v <- vecs.get(id))
+          visited(q)(id) = nd(qVec(q), v)
+      }
+    layerRounds(s"$graphDir/layer1", HnswR1, HnswMidFanout, 1)
+    // keep only each query's mid fan-out as seeds for the base descent
+    for (q <- queryIds) {
+      val mid = visited(q).toSeq.sortBy { case (id, d) => (-d, id) }
+        .take(HnswMidFanout)
+      visited(q).clear(); visited(q) ++= mid
+    }
+    layerRounds(s"$graphDir/layer0", GraphR, beam, rounds)
+    queryIds.flatMap { q =>
+      visited(q).toSeq.sortBy { case (id, d) => (-d, id) }.take(k)
+        .zipWithIndex.map { case ((id, d), i) => (q, i + 1L, id, d) }
+    }.toDF("q_id", "rank", "vec_id", "nd")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // --------------------------------------------- ann graph maintenance --
 
   /** Exact R-NN graph persisted in the layer layout — the maintainable
@@ -1668,11 +1755,41 @@ object Similarity {
     * segment holding the MERGED top-`r` lists — the small-file/stale-row
     * compaction ([[graft.operators.Dedup.compactBandIndex]] role). The
     * merge view is unchanged by construction; displaced delta rows are
-    * physically dropped.
+    * physically dropped. `preserveSegs` keeps the named segments'
+    * identity through the rewrite (their SURVIVING rows keep their seg
+    * value) — a streaming auto-compact must preserve the just-appended
+    * batch's segment or a crash-replay of that batch would find its rows
+    * renamed into `base` and dynamic-overwrite nothing, duplicating the
+    * delta.
     */
-  def compactAnnGraph(s: SparkSession, indexDir: String, r: Int = GraphR): Unit = {
-    val expect = s.read.parquet(indexDir).select("u").distinct().count()
-    rewriteAnnGraph(s, indexDir, readAnnGraphLayer(s, indexDir, r), expect)
+  def compactAnnGraph(s: SparkSession, indexDir: String, r: Int = GraphR,
+      preserveSegs: Set[String] = Set.empty): Unit = {
+    val raw = s.read.parquet(indexDir)
+    val expect = raw.select("u").distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("nd").desc, col("v"))
+    val segOut = if (preserveSegs.isEmpty) lit("base")
+      else when(col("seg").isin(preserveSegs.toSeq: _*), col("seg"))
+        .otherwise(lit("base"))
+    val merged = raw.select(col("u"), col("v"), col("nd"), segOut.as("segv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= r).drop("rk")
+    val hPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    fs.delete(tmp, true)
+    merged.withColumn("b", pmod(col("u"), lit(HnswBuckets)))
+      .withColumnRenamed("segv", "seg")
+      .repartition(col("b"))
+      .write.partitionBy("b", "seg").mode("overwrite").parquet(tmp.toString)
+    val got = s.read.parquet(tmp.toString).select("u").distinct().count()
+    require(got == expect,
+      s"compacted ann graph holds $got of $expect nodes — swap refused")
+    val bak = new org.apache.hadoop.fs.Path(indexDir + ".compact-bak")
+    fs.delete(bak, true)
+    require(fs.rename(hPath, bak), s"could not move $indexDir aside")
+    require(fs.rename(tmp, hPath), s"could not move compacted graph into place")
+    fs.delete(bak, true): Unit
   }
 
   /** tmp-rewrite + node-count verify + atomic swap (the
@@ -1744,32 +1861,60 @@ object Similarity {
        |${pfx}g AS (SELECT u, v FROM ${pfx}r$rounds WHERE rk <= $r)""".stripMargin
   }
 
-  val qAnnHnswProbeSql: String = {
+  /** One query's full layered descent as prefix-namespaced CTEs over the
+    * shared `e`/`l1g`/`l0g` replays, ending in `${p}res(rank, vec_id, nd)`
+    * — the query-node exclusions ride on `${p}dist` (v side) and the
+    * visited sets never containing the query (u side), exactly the
+    * Spark-side argument.
+    */
+  private def hnswDescentSql(qid: Long, p: String): String = {
     val s2 = HnswStride * HnswStride
     def beam(graph: String, prevV: String, curB: String, curV: String, w: Int): String =
-      s"""$curB AS (SELECT vec_id FROM $prevV ORDER BY nd DESC, vec_id LIMIT $w),
-         |$curV AS (SELECT vec_id, nd FROM $prevV
+      s"""$p$curB AS (SELECT vec_id FROM $p$prevV ORDER BY nd DESC, vec_id LIMIT $w),
+         |$p$curV AS (SELECT vec_id, nd FROM $p$prevV
          |          UNION SELECT d.vec_id, d.nd
-         |          FROM dist d JOIN $graph g ON g.v = d.vec_id
-         |                      JOIN $curB b ON g.u = b.vec_id)""".stripMargin
+         |          FROM ${p}dist d JOIN $graph g ON g.v = d.vec_id
+         |                      JOIN $p$curB b ON g.u = b.vec_id)""".stripMargin
+    s"""${p}q AS (SELECT v AS qv FROM e WHERE vec_id = $qid),
+       |${p}dist AS (SELECT e.vec_id,
+       |           CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |             i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
+       |         FROM e, ${p}q q WHERE e.vec_id <> $qid),
+       |${p}top AS (SELECT vec_id, nd FROM ${p}dist WHERE vec_id % $s2 = 0
+       |        ORDER BY nd DESC, vec_id LIMIT 1),
+       |${beam("l1g", "top", "b1", "v1", HnswMidFanout)},
+       |${p}mid AS (SELECT vec_id, nd FROM ${p}v1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
+       |${beam("l0g", "mid", "c1", "w1", HnswEf)},
+       |${beam("l0g", "w1", "c2", "w2", HnswEf)},
+       |${beam("l0g", "w2", "c3", "w3", HnswEf)},
+       |${p}res AS (
+       |  SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |  FROM (SELECT * FROM ${p}w3 ORDER BY nd DESC, vec_id LIMIT 5))""".stripMargin
+  }
+
+  val qAnnHnswProbeSql: String =
     s"""WITH e AS (${eCapSql("9223372036854775807")}),
        |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
        |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |dist AS (SELECT e.vec_id,
-       |           CAST(-list_sum(list_transform(range(1, $Dim+1),
-       |             i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
-       |         FROM e, q WHERE e.vec_id <> 0),
-       |top AS (SELECT vec_id, nd FROM dist WHERE vec_id % $s2 = 0
-       |        ORDER BY nd DESC, vec_id LIMIT 1),
-       |${beam("l1g", "top", "b1", "v1", HnswMidFanout)},
-       |mid AS (SELECT vec_id, nd FROM v1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
-       |${beam("l0g", "mid", "c1", "w1", HnswEf)},
-       |${beam("l0g", "w1", "c2", "w2", HnswEf)},
-       |${beam("l0g", "w2", "c3", "w3", HnswEf)}
-       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
-       |FROM (SELECT * FROM w3 ORDER BY nd DESC, vec_id LIMIT 5)
-       |ORDER BY rank""".stripMargin
+       |${hnswDescentSql(0L, "")}
+       |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
+
+  private val HnswBatchQueryIds = Seq(0L, 1L, 2L)
+
+  def qAnnHnswProbeBatch(s: SparkSession, dir: String): DataFrame =
+    hnswProbeBatched(s, stagedHnswGraph(s, dir), Tables.embeddings(s, dir),
+      HnswBatchQueryIds, 5)
+
+  val qAnnHnswProbeBatchSql: String = {
+    val descents = HnswBatchQueryIds.map(q => hnswDescentSql(q, s"q${q}_"))
+    val unions = HnswBatchQueryIds.map(q =>
+      s"SELECT CAST($q AS BIGINT) AS q_id, rank, vec_id, nd FROM q${q}_res")
+    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+       |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${descents.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -1802,5 +1947,6 @@ object Similarity {
     // built during the untimed warmup pass (Staging.stagedDir), the
     // q_text_bm25_probe protocol — serving cost is the 100 TB product
     QueryDef("q_ann_hnsw_probe", qAnnHnswProbe, Some(qAnnHnswProbeSql), bench = true),
+    QueryDef("q_ann_hnsw_probe_batch", qAnnHnswProbeBatch, Some(qAnnHnswProbeBatchSql), bench = true),
   )
 }

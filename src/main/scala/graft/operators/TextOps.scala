@@ -355,17 +355,18 @@ object TextOps {
 
   def qTextBm25(s: SparkSession, dir: String): DataFrame = bm25TopK(s, dir, 10)
 
-  private def bm25TopKSql(k: Int, terms: Seq[String] = QueryTerms): String = {
-    val scores = terms.map { t =>
-      s"""(CAST(n_docs * 2 - df_$t * 2 + 1 AS DOUBLE) / CAST(df_$t * 2 + 1 AS DOUBLE))
-         | * (CAST(tf_$t * sum_dl * 22 AS DOUBLE) / CAST(tf_$t * sum_dl * 10 + sum_dl * 3 + dl * n_docs * 9 AS DOUBLE)) AS bm25_$t""".stripMargin
-    }
+  private def bm25ScoreSql(t: String): String =
+    s"""(CAST(n_docs * 2 - df_$t * 2 + 1 AS DOUBLE) / CAST(df_$t * 2 + 1 AS DOUBLE))
+       | * (CAST(tf_$t * sum_dl * 22 AS DOUBLE) / CAST(tf_$t * sum_dl * 10 + sum_dl * 3 + dl * n_docs * 9 AS DOUBLE)) AS bm25_$t""".stripMargin
+
+  private def bm25TopKSql(k: Int, terms: Seq[String] = QueryTerms,
+      where: String = ""): String = {
     s"""SELECT doc_id, dl, ${terms.map(t => s"bm25_$t").mkString(", ")},
        |  ${terms.map(t => s"bm25_$t").mkString(" + ")} AS bm25
        |FROM (
        |  SELECT doc_id, dl,
-       |  ${scores.mkString(",\n  ")}
-       |  FROM ${termStatsSql(terms)})
+       |  ${terms.map(bm25ScoreSql).mkString(",\n  ")}
+       |  FROM ${termStatsSql(terms)}$where)
        |ORDER BY bm25 DESC, doc_id
        |LIMIT $k""".stripMargin
   }
@@ -1241,6 +1242,34 @@ object TextOps {
 
   private val DocShards = 16
 
+  /** Conjunctive (every-term-matches) BM25 retrieval over the doc-sharded
+    * index — the query shape this layout is FOR: a doc qualifies iff it
+    * has a posting for every query term, and because all of a doc's
+    * postings are co-located in its shard, the qualifying count
+    * partial-aggregates shard-locally before anything crosses an
+    * exchange (the term layout must first gather each doc's postings
+    * from |terms| different buckets). IDF stays corpus-global (df from
+    * the full filtered postings, NOT the qualifying subset), so scores
+    * match the full-scan semantics exactly.
+    */
+  def conjunctiveDocSharded(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qualify = posts.groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.length).select(col("doc_id"))
+    bm25FromPosts(s, indexDir, posts.join(qualify, Seq("doc_id"), "left_semi"),
+      dfs, terms, k)
+  }
+
+  def qTextConjunctive(s: SparkSession, dir: String): DataFrame =
+    conjunctiveDocSharded(s, stagedDocShardedIndex(s, dir), QueryTerms, 10)
+
+  val qTextConjunctiveSql: String = bm25TopKSql(10,
+    where = s"\n  WHERE ${QueryTerms.map(t => s"tf_$t > 0").mkString(" AND ")}")
+
   /** PMI-ranked bigram collocations — the corpus-statistics pass behind
     * phrase vocabularies and tokenizer seeding (find "new york"-style units
     * worth fusing before training). Score is the PMI lift
@@ -1503,6 +1532,7 @@ object TextOps {
     // probe entry; same shared full-scan oracles as the term-layout probes
     QueryDef("q_text_bm25_ds_probe", qTextBm25DsProbe, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_text_bm25_ds_rare", qTextBm25DsRare, Some(qTextBm25RareProbeSql), bench = true),
+    QueryDef("q_text_conjunctive", qTextConjunctive, Some(qTextConjunctiveSql)),
     QueryDef("q_hybrid_rerank", qHybridRerank, Some(qHybridRerankSql)),
     QueryDef("q_rerank_cross", qRerankCross, Some(qRerankCrossSql)),
     QueryDef("q_hybrid_rrf", qHybridRrf, Some(qHybridRrfSql)),

@@ -183,6 +183,16 @@ class SimilarityRecallSpec extends AnyFunSuite {
       (e, q) => Similarity.hnswProbe(spark, dir, e, q, 10))
     info(f"planted hnsw PROBE recall@10 (persisted layers): $recall%.2f")
     assert(recall >= 0.9, s"hnsw probe recall $recall")
+    // the batched form is bit-identical to the per-query descent — same
+    // entries, same frontiers, same exact scaled-int distances
+    val single = queries.flatMap { q =>
+      Similarity.hnswProbe(spark, dir, planted, q, 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val batched = Similarity.hnswProbeBatched(spark, dir, planted, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batched == single,
+      s"batched vs per-query divergence: ${batched.diff(single).take(3)}")
   }
 
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
