@@ -1471,6 +1471,7 @@ object Similarity {
   private val HnswBuckets = 16
   private val HnswBuildRounds = 2
   private val HnswEf = 16
+  private val HnswLevelsMax = 3 // graph layers staged per corpus (L0..L2)
 
   /** One persisted ANN-graph layer: `(u, v, nd)` edge rows partitioned by
     * `(b, seg)` where `b = u % HnswBuckets` — the same partition-pruned
@@ -1540,20 +1541,27 @@ object Similarity {
     val emb = Paths.get(dir, "embeddings.parquet")
     val tag = s"${Files.size(emb)}_${Files.getLastModifiedTime(emb).toMillis}"
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Staging.stagedDir(Paths.get(s"/tmp/graft_hnsw_graph_${slug}_$tag")) { tmp =>
+    // v2: also stages the layer-2 graph for the 3-level descent
+    Staging.stagedDir(Paths.get(s"/tmp/graft_hnsw_graph_v2_${slug}_$tag")) { tmp =>
       val e = Tables.embeddings(s, dir)
       // 2 descent rounds, same as the q_ann_nndescent entry: the ~0.79
       // edge recall this leaves is recovered at PROBE time by a wider
       // base beam (HnswEf, the HNSW efSearch knob — 0.88 -> 0.94 recall
       // on the planted fixture, SimilarityRecallSpec), which costs
       // O(beam·R) per query instead of another all-node exchange round
-      // at build
-      writeAnnGraphLayer(nnDescent(e, HnswR1, rounds = HnswBuildRounds,
-        stride = HnswStride), tmp.resolve("layer1").toString)
+      // at build. Upper layers shrink geometrically (n/stride^l nodes,
+      // r/2^l edges), so the whole hierarchy costs barely more than L0.
+      for (l <- (HnswLevelsMax - 1) to 1 by -1)
+        writeAnnGraphLayer(
+          nnDescent(e, hnswLayerR(l), rounds = HnswBuildRounds,
+            stride = math.pow(HnswStride, l).toInt),
+          tmp.resolve(s"layer$l").toString)
       writeAnnGraphLayer(nnDescent(e, GraphR, rounds = HnswBuildRounds),
         tmp.resolve("layer0").toString)
     }
   }
+
+  private def hnswLayerR(l: Int): Int = math.max(GraphR >> l, 2)
 
   /** [[hnswSearch]] against the PERSISTED layer graphs — the serving path:
     * no graph construction at query time at all. The descent is the same
@@ -1566,29 +1574,57 @@ object Similarity {
     */
   def hnswProbe(s: SparkSession, graphDir: String, e: DataFrame,
       queryId: Long, k: Int, stride: Int = HnswStride,
-      beam: Int = HnswEf, rounds: Int = GraphBeamRounds): DataFrame = {
+      beam: Int = HnswEf, rounds: Int = GraphBeamRounds,
+      levels: Int = 2): DataFrame = {
+    require(levels >= 1 && levels < HnswLevelsMax + 1,
+      s"hnswProbe supports 1..$HnswLevelsMax graph levels, got $levels")
     val qvec = e.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val top = e.filter(col("vec_id") % (stride * stride) === 0 &&
+    // top: outright best-1 among the stride^levels members — with more
+    // levels this scan shrinks geometrically (the n/stride² term the
+    // 2-level form carries becomes n/stride³, …)
+    val topMod = math.pow(stride, levels).toLong
+    var seeds = e.filter(col("vec_id") % topMod === 0 &&
         col("vec_id") =!= queryId)
       .select(col("vec_id"),
         graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
       .orderBy(col("nd").desc, col("vec_id")).limit(1)
       .collect().map(_.getLong(0)).toSeq
-    val l1 = e.filter(col("vec_id") % stride === 0)
-    val mid = graphBeamSearch(s.emptyDataFrame, l1, queryId,
-        k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
-        entryIds = Some(top), queryVec = Some(qvec),
-        lookup = Some(annGraphLookup(s, s"$graphDir/layer1", HnswR1)))
-      .collect().map(_.getLong(1)).toSeq
+    // descend the staged upper-layer graphs, narrow beam each
+    for (l <- (levels - 1) to 1 by -1) {
+      val members = e.filter(col("vec_id") % math.pow(stride, l).toLong === 0)
+      seeds = graphBeamSearch(s.emptyDataFrame, members, queryId,
+          k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
+          entryIds = Some(seeds), queryVec = Some(qvec),
+          lookup = Some(annGraphLookup(s, s"$graphDir/layer$l", hnswLayerR(l))))
+        .collect().map(_.getLong(1)).toSeq
+    }
     graphBeamSearch(s.emptyDataFrame, e, queryId, k, beam = beam,
-      rounds = rounds, entryIds = Some(mid), queryVec = Some(qvec),
+      rounds = rounds, entryIds = Some(seeds), queryVec = Some(qvec),
       lookup = Some(annGraphLookup(s, s"$graphDir/layer0", GraphR)))
   }
 
   def qAnnHnswProbe(s: SparkSession, dir: String): DataFrame =
     hnswProbe(s, stagedHnswGraph(s, dir), Tables.embeddings(s, dir),
       queryId = 0L, k = 5)
+
+  /** The 3-level descent: the top scan drops from n/stride² to
+    * n/stride³ members — the multi-level generalization that removes
+    * the 2-level form's one corpus-proportional serving term (add
+    * levels until the top layer fits a scan; every layer graph stages
+    * the same way and shrinks geometrically).
+    */
+  def qAnnHnswProbe3(s: SparkSession, dir: String): DataFrame =
+    hnswProbe(s, stagedHnswGraph(s, dir), Tables.embeddings(s, dir),
+      queryId = 0L, k = 5, levels = 3)
+
+  val qAnnHnswProbe3Sql: String =
+    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+       |${ndReplaySql("l2", HnswStride * HnswStride, hnswLayerR(2), HnswBuildRounds)},
+       |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${hnswDescentSql(0L, "", levels = 3)}
+       |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
 
   /** Batched [[hnswProbe]] — the serving-THROUGHPUT form: |Q| queries
     * descend together, paying ONE distributed job per layer round for the
@@ -1824,10 +1860,14 @@ object Similarity {
       oldCorpus: DataFrame, seg: String = "append",
       stride: Int = HnswStride): Unit = {
     appendToAnnGraph(s, s"$graphDir/layer0", newVecs, oldCorpus, GraphR, seg)
-    val m = pmod(col("vec_id"), lit(stride)) === 0
-    val newL1 = newVecs.filter(m)
-    if (!newL1.isEmpty)
-      appendToAnnGraph(s, s"$graphDir/layer1", newL1, oldCorpus.filter(m), HnswR1, seg)
+    for (l <- 1 until HnswLevelsMax
+        if new java.io.File(s"$graphDir/layer$l").isDirectory) {
+      val m = pmod(col("vec_id"), lit(math.pow(stride, l).toLong)) === 0
+      val newL = newVecs.filter(m)
+      if (!newL.isEmpty)
+        appendToAnnGraph(s, s"$graphDir/layer$l", newL, oldCorpus.filter(m),
+          hnswLayerR(l), seg)
+    }
   }
 
   /** NN-descent replay CTEs for one layer (`vec_id % member == 0` subset,
@@ -1867,24 +1907,29 @@ object Similarity {
     * visited sets never containing the query (u side), exactly the
     * Spark-side argument.
     */
-  private def hnswDescentSql(qid: Long, p: String): String = {
-    val s2 = HnswStride * HnswStride
+  private def hnswDescentSql(qid: Long, p: String, levels: Int = 2): String = {
+    val topMod = BigInt(HnswStride).pow(levels)
     def beam(graph: String, prevV: String, curB: String, curV: String, w: Int): String =
       s"""$p$curB AS (SELECT vec_id FROM $p$prevV ORDER BY nd DESC, vec_id LIMIT $w),
          |$p$curV AS (SELECT vec_id, nd FROM $p$prevV
          |          UNION SELECT d.vec_id, d.nd
          |          FROM ${p}dist d JOIN $graph g ON g.v = d.vec_id
          |                      JOIN $p$curB b ON g.u = b.vec_id)""".stripMargin
+    val upper = ((levels - 1) to 1 by -1).map { l =>
+      val prev = if (l == levels - 1) "top" else s"mid${l + 1}"
+      s"""${beam(s"l${l}g", prev, s"ub$l", s"uv$l", HnswMidFanout)},
+         |${p}mid$l AS (SELECT vec_id, nd FROM ${p}uv$l
+         |  ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout)""".stripMargin
+    }.mkString(",\n")
     s"""${p}q AS (SELECT v AS qv FROM e WHERE vec_id = $qid),
        |${p}dist AS (SELECT e.vec_id,
        |           CAST(-list_sum(list_transform(range(1, $Dim+1),
        |             i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
        |         FROM e, ${p}q q WHERE e.vec_id <> $qid),
-       |${p}top AS (SELECT vec_id, nd FROM ${p}dist WHERE vec_id % $s2 = 0
+       |${p}top AS (SELECT vec_id, nd FROM ${p}dist WHERE vec_id % $topMod = 0
        |        ORDER BY nd DESC, vec_id LIMIT 1),
-       |${beam("l1g", "top", "b1", "v1", HnswMidFanout)},
-       |${p}mid AS (SELECT vec_id, nd FROM ${p}v1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
-       |${beam("l0g", "mid", "c1", "w1", HnswEf)},
+       |$upper,
+       |${beam("l0g", "mid1", "c1", "w1", HnswEf)},
        |${beam("l0g", "w1", "c2", "w2", HnswEf)},
        |${beam("l0g", "w2", "c3", "w3", HnswEf)},
        |${p}res AS (
@@ -1898,6 +1943,46 @@ object Similarity {
        |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
        |${hnswDescentSql(0L, "")}
        |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
+
+  /** Metadata-FILTERED ANN search over the persisted graph — the serving
+    * problem real vector stores call filtered search ("give me the
+    * nearest docs IN language X / with license Y"). The predicate admits
+    * results at EMISSION only: the descent traverses the graph
+    * unfiltered, so connectivity through non-matching nodes is preserved
+    * — the classic filtered-HNSW pitfall is pre-filtering the graph,
+    * which strands the beam in islands whenever the predicate's
+    * selectivity is high. The wide efSearch beam is what keeps the
+    * admitted top-k populated at moderate selectivity; for highly
+    * selective predicates compose the other direction (filter first,
+    * then [[knnJoinBatched]] over the qualifying subset — both shapes
+    * exist in this library).
+    */
+  def hnswProbeFiltered(s: SparkSession, graphDir: String, e: DataFrame,
+      queryId: Long, k: Int, pred: Column): DataFrame = {
+    // the full visited set of the base descent, ranked (k = all)
+    val visitedAll = hnswProbe(s, graphDir, e, queryId, Int.MaxValue)
+    visitedAll
+      .join(e.filter(pred).select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .orderBy(col("nd").desc, col("vec_id")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("nd").desc, col("vec_id"))).as("rank"),
+        col("vec_id"), col("nd"))
+      .orderBy(col("rank"))
+  }
+
+  def qAnnHnswFiltered(s: SparkSession, dir: String): DataFrame =
+    hnswProbeFiltered(s, stagedHnswGraph(s, dir), Tables.embeddings(s, dir),
+      queryId = 0L, k = 5, pred = pmod(col("vec_id"), lit(3)) === 1)
+
+  val qAnnHnswFilteredSql: String =
+    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+       |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${hnswDescentSql(0L, "")}
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM w3 WHERE vec_id % 3 = 1
+       |      ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
 
   private val HnswBatchQueryIds = Seq(0L, 1L, 2L)
 
@@ -1948,5 +2033,7 @@ object Similarity {
     // q_text_bm25_probe protocol — serving cost is the 100 TB product
     QueryDef("q_ann_hnsw_probe", qAnnHnswProbe, Some(qAnnHnswProbeSql), bench = true),
     QueryDef("q_ann_hnsw_probe_batch", qAnnHnswProbeBatch, Some(qAnnHnswProbeBatchSql), bench = true),
+    QueryDef("q_ann_hnsw_filtered", qAnnHnswFiltered, Some(qAnnHnswFilteredSql)),
+    QueryDef("q_ann_hnsw_probe3", qAnnHnswProbe3, Some(qAnnHnswProbe3Sql)),
   )
 }
