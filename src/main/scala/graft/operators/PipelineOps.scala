@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline composition operators beyond the dedup/ANN core:
@@ -1051,7 +1051,86 @@ object PipelineOps {
        |ORDER BY ir_score DESC, doc_id
        |LIMIT 100""".stripMargin
 
+  // ------------------------------------------------ quality calibration --
+
+  /** Per-domain reliability table — the calibration artifact behind a
+    * quality CLASSIFIER at corpus scale: raw scores bin per domain and
+    * each (domain, bin) cell records the empirical rate of the target
+    * label, so a downstream filter thresholds on P(label) instead of a
+    * raw score whose meaning drifts across domains (web boilerplate and
+    * academic text do not share a score scale — the classic reason
+    * per-domain calibration exists). One partial-aggregated exchange on
+    * (domain, bin); the rate is a single exact-int division.
+    */
+  def reliabilityTable(docs: DataFrame, score: Column, label: Column,
+      domain: Column, binWidth: Int): DataFrame = {
+    require(binWidth >= 1, s"bad binWidth $binWidth")
+    docs.select(domain.as("domain"),
+        (score.cast("long") / binWidth).cast("long").as("bin"),
+        label.cast("long").as("y"))
+      .groupBy(col("domain"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .withColumn("rate", col("pos").cast("double") / col("n").cast("double"))
+  }
+
+  /** Pool-adjacent-violators isotonic fix over a domain's bin rates —
+    * calibration should be MONOTONE in the raw score, but empirical bin
+    * rates wiggle; PAV pools adjacent violating bins into weighted
+    * averages (the standard isotonic-regression step, run driver-side
+    * over the bounded per-domain bin table — the bins are the artifact,
+    * never the corpus). Returns (bin, calibratedRate) with rates
+    * non-decreasing; the weighted mean over bins is preserved exactly.
+    */
+  def pavCalibrate(bins: Seq[(Long, Long, Long)]): Seq[(Long, Double)] = {
+    // (bin, n, pos) sorted by bin; pool as (sumN, sumPos, members)
+    case class Pool(n: Long, pos: Long, bins: List[Long]) {
+      def rate: Double = pos.toDouble / n.toDouble
+    }
+    var pools = List.empty[Pool] // reversed order (head = latest)
+    for ((b, n, pos) <- bins.sortBy(_._1)) {
+      var cur = Pool(n, pos, List(b))
+      // pool backwards while the monotonicity is violated; comparing
+      // pos*n cross-products keeps the violation test exact-int
+      while (pools.nonEmpty &&
+          pools.head.pos * cur.n >= cur.pos * pools.head.n) {
+        val p = pools.head; pools = pools.tail
+        cur = Pool(p.n + cur.n, p.pos + cur.pos, p.bins ++ cur.bins)
+      }
+      pools = cur :: pools
+    }
+    pools.reverse.flatMap(p => p.bins.sorted.map(b => (b, p.rate)))
+  }
+
+  /** Calibration demo on the fixture corpus: raw score = n_chars (the
+    * one honest numeric the table carries), label = "this text is an
+    * exact duplicate of another doc" (boilerplate duplicates more — the
+    * signal a dedup-aware quality filter wants), domain = source.
+    */
+  def qQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val freq = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val labeled = docs
+      .select(col("source"), col("n_chars"), md5(col("text").cast("binary")).as("h"))
+      .join(freq, Seq("h"))
+      .withColumn("dup", (col("c") > 1).cast("long"))
+    reliabilityTable(labeled, col("n_chars"), col("dup"), col("source"), 50)
+      .orderBy(col("domain"), col("bin"))
+  }
+
+  val qQualityCalibrationSql: String =
+    s"""WITH f AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1),
+       |d AS (SELECT source AS domain, n_chars // 50 AS bin,
+       |        CAST(c > 1 AS BIGINT) AS y
+       |      FROM documents JOIN f ON md5(text) = f.h)
+       |SELECT domain, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+       |  CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
+       |FROM d
+       |GROUP BY domain, bin
+       |ORDER BY domain, bin""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("q_quality_calibration", qQualityCalibration, Some(qQualityCalibrationSql)),
     QueryDef("q_importance_weights", qImportanceWeights, Some(qImportanceWeightsSql)),
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),

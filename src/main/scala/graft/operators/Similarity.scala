@@ -1037,6 +1037,50 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------- matryoshka --
+
+  /** Matryoshka / prefix-dimension search (Kusupati et al. 2022's serving
+    * trick): shortlist on the FIRST `dPrefix` dimensions' cosine — a 4×
+    * cheaper scan when embeddings are trained nested, and the form a
+    * dimension-truncated index stores — then rerank the shortlist with
+    * full-dimension exact cosine. The same scan/rerank split as the
+    * PQ/SQ ladder, on the dimension axis instead of the quantization
+    * axis; all arithmetic stays in the exact scaled-int contract.
+    */
+  def matryoshkaSearch(e: DataFrame, queryId: Long, k: Int,
+      dPrefix: Int = MatryoshkaDim, shortlist: Int = 50): DataFrame = {
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val short = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qe"),
+        cosine(slice(col("embedding"), 1, dPrefix),
+          slice(col("qe"), 1, dPrefix)).as("pcos"))
+      .orderBy(col("pcos").desc, col("vec_id")).limit(shortlist)
+    short.select(col("vec_id"), col("pcos"),
+        cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  private val MatryoshkaDim = 16
+
+  def qAnnMatryoshka(s: SparkSession, dir: String): DataFrame =
+    matryoshkaSearch(Tables.embeddings(s, dir), 0L, 10)
+
+  val qAnnMatryoshkaSql: String = {
+    def pfx(c: String) = s"list_slice($c, 1, $MatryoshkaDim)"
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT vec_id, embedding, qe,
+       |        ${cosineSql(pfx("embedding"), pfx("qe"))} AS pcos
+       |      FROM embeddings, q
+       |      WHERE vec_id <> 0
+       |      ORDER BY pcos DESC, vec_id
+       |      LIMIT 50)
+       |SELECT vec_id, pcos, ${cosineSql("embedding", "qe")} AS cos
+       |FROM s
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // ------------------------------------------------------------ knn join --
 
   /** Batched exact k-NN JOIN — the many-queries form of nearest-neighbor
@@ -2035,5 +2079,6 @@ object Similarity {
     QueryDef("q_ann_hnsw_probe_batch", qAnnHnswProbeBatch, Some(qAnnHnswProbeBatchSql), bench = true),
     QueryDef("q_ann_hnsw_filtered", qAnnHnswFiltered, Some(qAnnHnswFilteredSql)),
     QueryDef("q_ann_hnsw_probe3", qAnnHnswProbe3, Some(qAnnHnswProbe3Sql)),
+    QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
   )
 }

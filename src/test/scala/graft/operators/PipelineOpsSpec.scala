@@ -351,4 +351,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     val total = agg.map(_.getLong(1)).sum
     assert(kept > 0 && kept < total, s"degenerate split: $kept of $total kept")
   }
+
+  test("pav calibration: pools violators into a monotone fit, preserves the weighted mean") {
+    // bins with a deliberate violation: rates 0.1, 0.5, 0.3, 0.9 —
+    // PAV must pool bins 1 and 2 into (50+150)=200 obs, 100 pos = 0.5... 
+    val bins = Seq((0L, 100L, 10L), (1L, 100L, 50L), (2L, 100L, 30L), (3L, 100L, 90L))
+    val out = PipelineOps.pavCalibrate(bins)
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // monotone non-decreasing
+    assert(out.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 })
+    // bins 1 and 2 pooled to (50+30)/200 = 0.4
+    assert(out(1)._2 == 0.4 && out(2)._2 == 0.4)
+    assert(out(0)._2 == 0.1 && out(3)._2 == 0.9)
+    // weighted mean preserved exactly
+    val mean = out.zip(bins.sortBy(_._1)).map { case ((_, r), (_, n, _)) => r * n }.sum
+    assert(math.abs(mean - bins.map(_._3).sum.toDouble) < 1e-9)
+    // an already-monotone input is untouched
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+    assert(PipelineOps.pavCalibrate(mono).map(_._2) == Seq(0.1, 0.5, 0.9))
+    // total collapse: strictly decreasing input pools to one global rate
+    val dec = Seq((0L, 10L, 9L), (1L, 10L, 5L), (2L, 10L, 1L))
+    assert(PipelineOps.pavCalibrate(dec).map(_._2).distinct == Seq(0.5))
+  }
 }

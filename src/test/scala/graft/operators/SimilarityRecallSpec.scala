@@ -82,7 +82,9 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val ivf = recallAt10(planted, queries, Similarity.ivfSearch(_, _, 10))
     val pq = recallAt10(planted, queries, Similarity.pqSearch(_, _, 10))
     val sq = recallAt10(planted, queries, Similarity.sqSearch(_, _, 10))
-    info(f"planted recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f sq=$sq%.2f")
+    val mat = recallAt10(planted, queries, Similarity.matryoshkaSearch(_, _, 10))
+    info(f"planted recall@10: lsh=$lsh%.2f multiprobe=$multi%.2f ivf=$ivf%.2f pq=$pq%.2f sq=$sq%.2f matryoshka=$mat%.2f")
+    assert(mat >= 0.9, s"matryoshka recall $mat — prefix dims preserve planted separation")
     assert(ivf >= 0.99, s"ivf recall $ivf — the coarse quantizer should be exact on planted clusters")
     assert(lsh >= 0.7, s"lsh recall $lsh (measured 0.72)")
     assert(multi >= 0.99, s"multiprobe recall $multi (measured 1.00)")
