@@ -1663,7 +1663,7 @@ object Similarity {
       queryId = 0L, k = 5, levels = 3)
 
   val qAnnHnswProbe3Sql: String =
-    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
        |${ndReplaySql("l2", HnswStride * HnswStride, hnswLayerR(2), HnswBuildRounds)},
        |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
        |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
@@ -1942,7 +1942,7 @@ object Similarity {
        |    AND a.vec_id <> ((a.vec_id // $member + t.j) % n.n) * $member),
        |$midSep
        |${round(if (rounds == 1) s"${pfx}init" else s"${pfx}e${rounds - 1}", s"r$rounds")},
-       |${pfx}g AS (SELECT u, v FROM ${pfx}r$rounds WHERE rk <= $r)""".stripMargin
+       |${pfx}g AS MATERIALIZED (SELECT u, v FROM ${pfx}r$rounds WHERE rk <= $r)""".stripMargin
   }
 
   /** One query's full layered descent as prefix-namespaced CTEs over the
@@ -1966,7 +1966,7 @@ object Similarity {
          |  ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout)""".stripMargin
     }.mkString(",\n")
     s"""${p}q AS (SELECT v AS qv FROM e WHERE vec_id = $qid),
-       |${p}dist AS (SELECT e.vec_id,
+       |${p}dist AS MATERIALIZED (SELECT e.vec_id,
        |           CAST(-list_sum(list_transform(range(1, $Dim+1),
        |             i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
        |         FROM e, ${p}q q WHERE e.vec_id <> $qid),
@@ -1982,7 +1982,7 @@ object Similarity {
   }
 
   val qAnnHnswProbeSql: String =
-    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
        |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
        |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
        |${hnswDescentSql(0L, "")}
@@ -2019,7 +2019,7 @@ object Similarity {
       queryId = 0L, k = 5, pred = pmod(col("vec_id"), lit(3)) === 1)
 
   val qAnnHnswFilteredSql: String =
-    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
        |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
        |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
        |${hnswDescentSql(0L, "")}
@@ -2038,7 +2038,7 @@ object Similarity {
     val descents = HnswBatchQueryIds.map(q => hnswDescentSql(q, s"q${q}_"))
     val unions = HnswBatchQueryIds.map(q =>
       s"SELECT CAST($q AS BIGINT) AS q_id, rank, vec_id, nd FROM q${q}_res")
-    s"""WITH e AS (${eCapSql("9223372036854775807")}),
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
        |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
        |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
        |${descents.mkString(",\n")}
