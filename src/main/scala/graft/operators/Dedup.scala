@@ -1616,7 +1616,15 @@ object Dedup {
         }
       }
     }
-    s.createDataset(out).toDF("doc_id", "pos", "match_len")
+    // eager localCheckpoint so the persisted sort RDD can be released
+    // HERE — long-lived sessions running the degenerate path repeatedly
+    // would otherwise accumulate cached blocks until the ContextCleaner
+    // happens to GC the handle (a lost checkpoint block fails the query,
+    // it never corrupts it — the suffixMatchLens durability contract)
+    val res = s.createDataset(out).toDF("doc_id", "pos", "match_len")
+      .localCheckpoint()
+    rdd.unpersist(blocking = false)
+    res
   }
 
   private val SuffixMinLen = 5

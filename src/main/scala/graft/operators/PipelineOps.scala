@@ -1066,7 +1066,11 @@ object PipelineOps {
       domain: Column, binWidth: Int): DataFrame = {
     require(binWidth >= 1, s"bad binWidth $binWidth")
     docs.select(domain.as("domain"),
-        (score.cast("long") / binWidth).cast("long").as("bin"),
+        // floor division, not truncation: Spark's `/` on integrals is
+        // double division and a bare cast truncates toward zero, which
+        // for NEGATIVE scores lands in the adjacent bin vs the oracle's
+        // `//` (floor) semantics — floor() matches for all sign ranges
+        floor(score.cast("long") / binWidth).cast("long").as("bin"),
         label.cast("long").as("y"))
       .groupBy(col("domain"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))

@@ -1136,16 +1136,26 @@ object Similarity {
     // join-form parity: zero queries -> zero result rows, not a
     // driver-side aggregator exception
     if (qArr.isEmpty) return Seq.empty[(Long, String)].toDF("q_id", "knn")
-    val qBc = s.sparkContext.broadcast(qArr)
+    // prescale ONCE on the driver and broadcast the long matrix — tasks
+    // deserialize only the cheap broadcast handle and never rerun the
+    // |Q|·dim scaling loop (the raw-float form recomputed it per task)
+    val qBc = s.sparkContext.broadcast(
+      qArr.map { case (id, v) => (id, graft.plans.KnnBatchAggregator.prescale(v)) })
     val agg = udaf(new graft.plans.KnnBatchAggregator(qBc, k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Float])]())
-    e.select(col("vec_id"), col("embedding"))
+    // the result is |Q|-bounded by contract — materialize it so the
+    // broadcast can be destroyed HERE instead of leaking per invocation
+    // (bench loops and per-micro-batch callers accumulate them otherwise)
+    val out = e.select(col("vec_id"), col("embedding"))
       .agg(agg(col("vec_id"), col("embedding")).as("m"))
       .select(explode(col("m")).as(Seq("q_id", "knn")))
       // join-form parity: a query with NO neighbors (corpus of one) gets
       // no group row there; drop its empty-list entry here too
       .filter(col("knn") =!= "")
       .orderBy(col("q_id"))
+      .as[(Long, String)].collect()
+    qBc.destroy()
+    out.toSeq.toDF("q_id", "knn")
   }
 
   /** Hard |Q| cap for [[knnJoinBatched]]: 64k queries × 64 dims × 8 B of
@@ -1239,7 +1249,13 @@ object Similarity {
     // member — a raw id-ring would scatter most of its edges onto
     // non-members and start the descent from a near-empty graph
     val m = if (stride == 1) e else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-    val n = m.agg(max(col("vec_id"))).head().getLong(0) / stride + 1
+    // an irregular-id corpus (no vec_id divisible by stride) would make
+    // max() NULL and the ring init meaningless — fail by name, not NPE
+    val maxRow = m.agg(max(col("vec_id"))).head()
+    require(!maxRow.isNullAt(0),
+      s"nnDescent(stride=$stride): no vec_id divisible by $stride in the " +
+        "corpus — the layer member set is empty")
+    val n = maxRow.getLong(0) / stride + 1
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("nd").desc, col("v"))
     def scored(pool: DataFrame): DataFrame = {
@@ -1634,6 +1650,12 @@ object Similarity {
         graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
       .orderBy(col("nd").desc, col("vec_id")).limit(1)
       .collect().map(_.getLong(0)).toSeq
+    // a top layer holding only the query node (tiny/irregular-id corpus)
+    // would silently return an empty result — fail by name instead
+    require(seeds.nonEmpty,
+      s"hnswProbe: top layer (vec_id % $topMod == 0) holds no non-query " +
+        "node — corpus too small for this stride/levels, probe inline with " +
+        "hnswSearch or lower `levels`")
     // descend the staged upper-layer graphs, narrow beam each
     for (l <- (levels - 1) to 1 by -1) {
       val members = e.filter(col("vec_id") % math.pow(stride, l).toLong === 0)
@@ -1902,15 +1924,20 @@ object Similarity {
     */
   def insertIntoHnswGraph(s: SparkSession, graphDir: String, newVecs: DataFrame,
       oldCorpus: DataFrame, seg: String = "append",
-      stride: Int = HnswStride): Unit = {
-    appendToAnnGraph(s, s"$graphDir/layer0", newVecs, oldCorpus, GraphR, seg)
+      stride: Int = HnswStride, overwriteSeg: Boolean = false): Unit = {
+    // overwriteSeg rides through to every layer append so a crash-retry
+    // replaying the same batch dynamic-overwrites its own segment instead
+    // of duplicating delta rows (duplicate (u,v,nd) rows each take a
+    // row_number slot in the merge view and evict distinct edges)
+    appendToAnnGraph(s, s"$graphDir/layer0", newVecs, oldCorpus, GraphR, seg,
+      overwriteSeg)
     for (l <- 1 until HnswLevelsMax
         if new java.io.File(s"$graphDir/layer$l").isDirectory) {
       val m = pmod(col("vec_id"), lit(math.pow(stride, l).toLong)) === 0
       val newL = newVecs.filter(m)
       if (!newL.isEmpty)
         appendToAnnGraph(s, s"$graphDir/layer$l", newL, oldCorpus.filter(m),
-          hnswLayerR(l), seg)
+          hnswLayerR(l), seg, overwriteSeg)
     }
   }
 

@@ -23,35 +23,26 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering is (nd DESC, vec_id ASC), self-pairs excluded by id, finish
   * renders the same "nd:id|…" string per query.
   *
-  * Scale shape: the query matrix arrives as a BROADCAST handle (the
-  * SegmentCleanExpr pattern), so executors fetch the |Q|·dim floats once
-  * per executor instead of once per task closure, and the prescaled long
-  * matrix is computed lazily per JVM. For corpus-sized query sets use
-  * [[graft.operators.Similarity.nnDescent]].
+  * Scale shape: the query matrix is prescaled ONCE on the driver
+  * ([[KnnBatchAggregator.prescale]]) and arrives as a BROADCAST handle of
+  * the long matrix, so executors fetch it once per JVM and tasks carry
+  * only the handle — no per-task rescaling loop at all. For corpus-sized
+  * query sets use [[graft.operators.Similarity.nnDescent]].
   */
 final class KnnBatchAggregator(
-    queries: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]], k: Int)
+    queries: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]], k: Int)
     extends Aggregator[(Long, Array[Float]), Array[List[(Long, Long)]], Map[Long, String]] {
   require(queries.value.nonEmpty && k >= 1,
     s"bad knn batch params |Q|=${queries.value.length} k=$k")
 
+  import KnnBatchAggregator.scaled
+
   private val nQ = queries.value.length // a scalar; the matrix stays behind the handle
 
-  private def rnd(v: Double): Double =
-    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
-
-  private def scaled(v: Array[Float]): Array[Long] = {
-    val Scale = graft.functions.EmbeddingFunctions.Scale
-    val out = new Array[Long](v.length)
-    var i = 0
-    while (i < v.length) { out(i) = rnd(v(i).toDouble * Scale).toLong; i += 1 }
-    out
-  }
-
-  // prescaled once per executor JVM from the broadcast; @transient so the
-  // serialized aggregator carries only the cheap broadcast handle
+  // per-JVM views of the broadcast matrix; @transient so the serialized
+  // aggregator carries only the cheap broadcast handle
   @transient private lazy val qIds: Array[Long] = queries.value.map(_._1)
-  @transient private lazy val qVecs: Array[Array[Long]] = queries.value.map(q => scaled(q._2))
+  @transient private lazy val qVecs: Array[Array[Long]] = queries.value.map(_._2)
 
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -103,4 +94,26 @@ final class KnnBatchAggregator(
     Encoders.kryo[Array[List[(Long, Long)]]]
   override def outputEncoder: Encoder[Map[Long, String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, String]]()
+}
+
+object KnnBatchAggregator {
+  private def rnd(v: Double): Double =
+    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+
+  /** Half-away-from-zero scaling into the shared exact-int space — the
+    * [[NegSqDistExpr]] rounding contract. Corpus rows pay it once per row
+    * inside `reduce`; the query matrix pays it ONCE on the driver via
+    * [[prescale]] before broadcast.
+    */
+  private[plans] def scaled(v: Array[Float]): Array[Long] = {
+    val Scale = graft.functions.EmbeddingFunctions.Scale
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = rnd(v(i).toDouble * Scale).toLong; i += 1 }
+    out
+  }
+
+  /** Driver-side query prescaling — call once per query vector, then
+    * broadcast the resulting long matrix. */
+  def prescale(v: Array[Float]): Array[Long] = scaled(v)
 }
