@@ -1697,16 +1697,18 @@ object Similarity {
     * whole batch instead of ~5 jobs per query (at ~0.2 s scheduling floor
     * per job, the per-query form's cost is almost entirely job count).
     * Per round: the union of all queries' beam frontiers drives one
-    * partition-pruned edge fetch and one pruned corpus read of the newly
-    * reached vectors; the per-(query, candidate) exact scaled-int
-    * distances then evaluate driver-side over the collected candidate
-    * block — bounded by |Q|·beam·R rows a round, the same
-    * driver-boundedness [[graphBeamSearch]] already assumes, with the
-    * identical rounding contract as [[graft.plans.KnnBatchAggregator]]
-    * (parity-spec'd). Entry selection reuses [[knnJoinBatched]] over the
-    * top layer — one aggregation job for all queries. Output is
-    * bit-identical to per-query [[hnswProbe]] (SimilarityRecallSpec pins
-    * it), as rows `(q_id, rank, vec_id, nd)`.
+    * partition-pruned edge fetch and one DISTRIBUTED rescore job (the
+    * round's (query, candidate) pairs joined to the pruned corpus and the
+    * broadcast query vectors, scored by [[graft.plans.NegSqDistExpr]] —
+    * the identical rounding contract as [[graft.plans.KnnBatchAggregator]],
+    * parity-spec'd); the driver only merges the resulting bounded
+    * (q, id, nd) triples into the frontiers, never touching a vector.
+    * |Q| is capped like [[knnJoinBatched]] — the frontier bookkeeping is
+    * |Q|·beam·R ids per round, driver-bounded by the same argument.
+    * Entry selection reuses [[knnJoinBatched]] over the top layer — one
+    * aggregation job for all queries. Output is bit-identical to
+    * per-query [[hnswProbe]] (SimilarityRecallSpec pins it), as rows
+    * `(q_id, rank, vec_id, nd)`.
     */
   def hnswProbeBatched(s: SparkSession, graphDir: String, e: DataFrame,
       queryIds: Seq[Long], k: Int, stride: Int = HnswStride,
@@ -1714,26 +1716,18 @@ object Similarity {
     import s.implicits._
     require(queryIds.nonEmpty && queryIds.distinct.size == queryIds.size,
       "hnswProbeBatched needs a non-empty, duplicate-free query id set")
-    val Scale = graft.functions.EmbeddingFunctions.Scale
-    def rnd(v: Double): Double =
-      if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
-    def scaled(v: Array[Float]): Array[Long] =
-      v.map(x => rnd(x.toDouble * Scale).toLong)
-    def fetchScaled(ids: Seq[Long]): Map[Long, Array[Long]] =
-      if (ids.isEmpty) Map.empty
-      else e.filter(col("vec_id").isin(ids: _*))
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect()
-        .map { case (id, v) => id -> scaled(v) }.toMap
-    val qVec = fetchScaled(queryIds)
-    def nd(a: Array[Long], b: Array[Long]): Long = {
-      var d = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-      -d
-    }
+    require(queryIds.size <= MaxBatchQueries,
+      s"hnswProbeBatched query set exceeds $MaxBatchQueries — split the " +
+        "batch; the per-round frontier bookkeeping is |Q|-proportional")
+    // query vectors live in ONE reusable frame; every rescore job
+    // broadcast-joins it, so no query vector is ever collected
+    val qIdsDf = broadcast(queryIds.toDF("vec_id"))
+    val qEmb = e.join(qIdsDf, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint() // |Q| rows; private to this invocation
     // top layer: ONE batched exact top-1 over the stride^2 members
     val l2 = e.filter(col("vec_id") % (stride * stride) === 0)
-    val qDf = e.filter(col("vec_id").isin(queryIds: _*))
+    val qDf = e.join(qIdsDf, Seq("vec_id"), "left_semi")
     val entry: Map[Long, (Long, Long)] = // q -> (entry id, nd)
       knnJoinBatched(l2, qDf, 1).collect().map { r =>
         val p = r.getString(1).split(":")
@@ -1759,10 +1753,11 @@ object Similarity {
           q -> beams(q).filter(_ != q).flatMap(edges.getOrElse(_, Nil))
             .distinct.filter(id => id != q && !visited(q).contains(id))
         }.toMap
-        // ONE pruned corpus read of everything newly reached this round
-        val vecs = fetchScaled(wanted.values.flatten.toSeq.distinct)
-        for (q <- queryIds; id <- wanted(q); v <- vecs.get(id))
-          visited(q)(id) = nd(qVec(q), v)
+        // ONE distributed rescore job for everything newly reached this
+        // round — the driver gets back only (q, id, nd) triples
+        val pairs = wanted.toSeq.flatMap { case (q, ids) => ids.map((q, _)) }
+        for ((q, id, d) <- rescorePairs(e, qEmb, pairs))
+          visited(q)(id) = d
       }
     layerRounds(s"$graphDir/layer1", HnswR1, HnswMidFanout, 1)
     // keep only each query's mid fan-out as seeds for the base descent
@@ -1778,6 +1773,45 @@ object Similarity {
     }.toDF("q_id", "rank", "vec_id", "nd")
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** The batched probe's per-round rescore as ONE Spark job: the round's
+    * (query, candidate) pairs join the corpus (isin-pruned while the
+    * candidate set is small — the common serving frontier — a plain
+    * scan-join beyond that, which is the honest plan at large |Q|) and
+    * the broadcast query-vector frame, and every distance is a
+    * codegen'd [[graft.plans.NegSqDistExpr]] on the EXECUTORS. The
+    * driver never sees a vector or runs a distance loop — PlanShapeSpec
+    * pins the plan shape at |Q|=500.
+    */
+  private[graft] def rescorePairs(e: DataFrame, qEmb: DataFrame,
+      pairs: Seq[(Long, Long)]): Array[(Long, Long, Long)] = {
+    if (pairs.isEmpty) return Array.empty
+    rescorePlan(e, qEmb, pairs)
+      .as(org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+  }
+
+  private[graft] def rescorePlan(e: DataFrame, qEmb: DataFrame,
+      pairs: Seq[(Long, Long)]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val pDf = pairs.toDF("q_id", "vec_id")
+    val cands = pairs.map(_._2).distinct
+    val corpus = if (cands.size <= RescoreIsinCap)
+      e.filter(col("vec_id").isin(cands: _*)) else e
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(pDf, Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("embedding"), col("qe")).as("nd"))
+  }
+
+  /** Above this many distinct round candidates the rescore stops
+    * enumerating an isin literal (row-group pruning pays until here) and
+    * joins against the full corpus scan instead.
+    */
+  private val RescoreIsinCap = 8192
 
   // --------------------------------------------- ann graph maintenance --
 

@@ -85,6 +85,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(files == 3L, s"lookup scanned $files bucket files, wanted 3 of $nBuckets")
   }
 
+  test("batched hnsw probe rescores on executors at |Q|=500 — no driver distance loop") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-batch-500").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    Similarity.writeAnnGraphLayer(
+      Similarity.nnDescent(e, 4, stride = 4), s"$dir/layer1")
+    Similarity.writeAnnGraphLayer(Similarity.nnDescent(e, 8), s"$dir/layer0")
+    // the rescore is a Spark PLAN, not a driver loop: pairs ⋈ corpus ⋈
+    // broadcast query vectors, distances as the codegen'd native expr
+    val qEmb = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val pairs = (0L until 10L).flatMap(q => (100L until 110L).map((q, _)))
+    val rp = Similarity.rescorePlan(e, qEmb, pairs)
+    assert(rp.collect().length == 100, "rescore must score every pair")
+    val p = rp.queryExecution.executedPlan.toString
+    assert(p.contains("neg_sq_dist_scaled"),
+      s"rescore plan lacks the native distance expression:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"rescore plan lacks the broadcast query-vector join:\n$p")
+    // the full serving-throughput shape: every corpus vector is a query
+    val queries = (0L until 500L).toSeq
+    val out = Similarity.hnswProbeBatched(spark, dir, e, queries, 5).collect()
+    assert(out.length == 500 * 5, s"|Q|=500 probe returned ${out.length} rows")
+    assert(out.map(_.getLong(0)).distinct.length == 500)
+    // the |Q| guard fails by name, before any job runs
+    val tooMany = (0L to 65536L).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.hnswProbeBatched(spark, dir, e, tooMany, 5)
+    }
+    assert(ex.getMessage.contains("exceeds"))
+  }
+
   test("no query plan contains a cartesian product or nested-loop join on big sides") {
     // BroadcastNestedLoopJoin with a one-row build side is fine (the ivf
     // argmin); CartesianProduct is never fine
