@@ -1692,6 +1692,116 @@ object Similarity {
        |${hnswDescentSql(0L, "", levels = 3)}
        |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
 
+  // ------------------------------------------ corpus-flat auto hierarchy --
+
+  /** Top-layer size the auto-strided hierarchy guarantees: the entry
+    * table never exceeds this many rows, at any corpus size. */
+  private[graft] val HnswTopTarget = 64L
+
+  /** Corpus-adaptive stride: the smallest s ≥ 2 with s³·HnswTopTarget ≥ n,
+    * by exact integer search (so the SQL oracle recomputes the identical
+    * value from count(*)). Fixing the LEVEL count at 3 and solving for
+    * the stride bounds the top layer at HnswTopTarget members for ANY
+    * corpus size — the dual (fixed stride, corpus-chosen level count) is
+    * the same geometry but a per-corpus CTE depth no static oracle can
+    * replay; the meta table carries `levels` so a deployment that
+    * outgrows stride growth can add layers with the same machinery.
+    */
+  private[graft] def autoHnswStride(n: Long): Int =
+    Iterator.from(2).find(s => s.toLong * s * s * HnswTopTarget >= n).get
+
+  /** Write the auto-strided 3-level artifact: nnDescent layer graphs for
+    * the %s and %s² member sets, the base layer, a ≤[[HnswTopTarget]]-row
+    * ENTRY table holding the %s³ members' vectors (the probe's whole top
+    * stage — persisted so serving never scans the corpus), and a one-row
+    * meta table (stride, levels, n). Returns the chosen stride.
+    */
+  def writeHnswAutoArtifact(e: DataFrame, outDir: String): Int = {
+    val s = e.sparkSession
+    import s.implicits._
+    val n = e.select(col("vec_id")).count()
+    val st = autoHnswStride(n)
+    for (l <- 2 to 1 by -1)
+      writeAnnGraphLayer(nnDescent(e, hnswLayerR(l), rounds = HnswBuildRounds,
+        stride = math.pow(st.toDouble, l.toDouble).toInt), s"$outDir/layer$l")
+    writeAnnGraphLayer(nnDescent(e, GraphR, rounds = HnswBuildRounds),
+      s"$outDir/layer0")
+    e.filter(pmod(col("vec_id"), lit(st.toLong * st * st)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.parquet(s"$outDir/entry")
+    Seq((st.toLong, 3L, n)).toDF("stride", "levels", "n")
+      .coalesce(1).write.parquet(s"$outDir/meta")
+    st
+  }
+
+  /** Auto-strided artifact staged once per corpus ([[stagedHnswGraph]]
+    * protocol, its own identity key). */
+  private[graft] def stagedHnswGraphAuto(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val emb = Paths.get(dir, "embeddings.parquet")
+    val tag = s"${Files.size(emb)}_${Files.getLastModifiedTime(emb).toMillis}"
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Staging.stagedDir(Paths.get(s"/tmp/graft_hnsw_auto_v1_${slug}_$tag")) { tmp =>
+      writeHnswAutoArtifact(Tables.embeddings(s, dir), tmp.toString): Unit
+    }
+  }
+
+  /** [[hnswProbe]] against the auto-strided artifact — the fully
+    * corpus-FLAT serving path: the top stage reads the persisted
+    * ≤[[HnswTopTarget]]-row entry table (never the corpus), each edge
+    * expansion is a partition-pruned bucket read of the frontier, and
+    * each distance pass is a vec_id-pruned corpus lookup of O(beam·R)
+    * rows. No stage's input grows with n — the fixed-stride probe's one
+    * corpus-proportional term (its n/stride^levels top scan) is gone.
+    * Descent shape is identical to [[hnswProbe]] at `levels = 3`; only
+    * the seed source differs (and holds the same rows by construction).
+    */
+  def hnswProbeAuto(s: SparkSession, graphDir: String, e: DataFrame,
+      queryId: Long, k: Int, beam: Int = HnswEf,
+      rounds: Int = GraphBeamRounds): DataFrame = {
+    val qvec = e.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    var seeds = s.read.parquet(s"$graphDir/entry")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
+      .orderBy(col("nd").desc, col("vec_id")).limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    require(seeds.nonEmpty,
+      "hnswProbeAuto: entry table holds no non-query node")
+    for (l <- 2 to 1 by -1)
+      seeds = graphBeamSearch(s.emptyDataFrame, e, queryId,
+          k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
+          entryIds = Some(seeds), queryVec = Some(qvec),
+          lookup = Some(annGraphLookup(s, s"$graphDir/layer$l", hnswLayerR(l))))
+        .collect().map(_.getLong(1)).toSeq
+    graphBeamSearch(s.emptyDataFrame, e, queryId, k, beam = beam,
+      rounds = rounds, entryIds = Some(seeds), queryVec = Some(qvec),
+      lookup = Some(annGraphLookup(s, s"$graphDir/layer0", GraphR)))
+  }
+
+  def qAnnHnswAuto(s: SparkSession, dir: String): DataFrame =
+    hnswProbeAuto(s, stagedHnswGraphAuto(s, dir), Tables.embeddings(s, dir),
+      queryId = 0L, k = 5)
+
+  val qAnnHnswAutoSql: String = {
+    // the oracle recomputes the stride from count(*) with the same exact
+    // integer search, then replays all three layer builds with the
+    // stride as a scalar subquery — one static string, correct at every
+    // scale (s = 2 at sf0.01, 4 at sf0.1, 7 at sf1)
+    val stCte =
+      s"""nn AS (SELECT count(*) AS n FROM e),
+         |st AS (SELECT min(s) AS s FROM range(2, 4097) t(s), nn
+         |       WHERE s*s*s*$HnswTopTarget >= nn.n)""".stripMargin
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
+       |$stCte,
+       |${ndReplaySqlExpr("l2", "(SELECT s*s FROM st)", hnswLayerR(2), HnswBuildRounds)},
+       |${ndReplaySqlExpr("l1", "(SELECT s FROM st)", hnswLayerR(1), HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${hnswDescentSql(0L, "", levels = 3, topModExpr = "(SELECT s*s*s FROM st)")}
+       |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
+  }
+
   /** Batched [[hnswProbe]] — the serving-THROUGHPUT form: |Q| queries
     * descend together, paying ONE distributed job per layer round for the
     * whole batch instead of ~5 jobs per query (at ~0.2 s scheduling floor
@@ -1980,7 +2090,15 @@ object Similarity {
     * twin of [[nnDescent]]'s stride form, prefix-namespaced so two layers
     * compose in one WITH. Emits `${pfx}g(u, v)`, the converged edge list.
     */
-  private def ndReplaySql(pfx: String, member: Int, r: Int, rounds: Int): String = {
+  private def ndReplaySql(pfx: String, member: Int, r: Int, rounds: Int): String =
+    ndReplaySqlExpr(pfx, member.toString, r, rounds)
+
+  /** [[ndReplaySql]] with the member modulus as a SQL EXPRESSION — the
+    * auto-strided artifact computes its stride from the corpus size
+    * inside the query (a scalar subquery over the `st` CTE), so the same
+    * static oracle string replays correctly at every scale.
+    */
+  private def ndReplaySqlExpr(pfx: String, member: String, r: Int, rounds: Int): String = {
     def round(prev: String, cur: String): String =
       s"""${pfx}und_$cur AS (SELECT u, v FROM $prev UNION SELECT v AS u, u AS v FROM $prev),
          |${pfx}fof_$cur AS (SELECT DISTINCT a.u, b.v
@@ -2012,8 +2130,10 @@ object Similarity {
     * visited sets never containing the query (u side), exactly the
     * Spark-side argument.
     */
-  private def hnswDescentSql(qid: Long, p: String, levels: Int = 2): String = {
-    val topMod = BigInt(HnswStride).pow(levels)
+  private def hnswDescentSql(qid: Long, p: String, levels: Int = 2,
+      topModExpr: String = ""): String = {
+    val topMod = if (topModExpr.nonEmpty) topModExpr
+      else BigInt(HnswStride).pow(levels).toString
     def beam(graph: String, prevV: String, curB: String, curV: String, w: Int): String =
       s"""$p$curB AS (SELECT vec_id FROM $p$prevV ORDER BY nd DESC, vec_id LIMIT $w),
          |$p$curV AS (SELECT vec_id, nd FROM $p$prevV
@@ -2140,6 +2260,7 @@ object Similarity {
     QueryDef("q_ann_hnsw_probe_batch", qAnnHnswProbeBatch, Some(qAnnHnswProbeBatchSql), bench = true),
     QueryDef("q_ann_hnsw_filtered", qAnnHnswFiltered, Some(qAnnHnswFilteredSql)),
     QueryDef("q_ann_hnsw_probe3", qAnnHnswProbe3, Some(qAnnHnswProbe3Sql)),
+    QueryDef("q_ann_hnsw_auto", qAnnHnswAuto, Some(qAnnHnswAutoSql), bench = true),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
   )
 }

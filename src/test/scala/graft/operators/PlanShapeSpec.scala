@@ -117,6 +117,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("exceeds"))
   }
 
+  test("auto-strided hnsw: the entry table is bounded at any corpus size") {
+    // 500-vector corpus vs the 4×-larger 2000-vector corpus: the stride
+    // adapts (2 vs 4) and the persisted entry table — the probe's WHOLE
+    // top stage — stays ≤ HnswTopTarget rows. This is the corpus-flat
+    // claim: no serving stage's input grows with n.
+    val sizes = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").map { d =>
+      val dir = Similarity.stagedHnswGraphAuto(spark, d)
+      val n = graft.Tables.embeddings(spark, d).count()
+      val entries = spark.read.parquet(s"$dir/entry").count()
+      assert(entries > 0 && entries <= Similarity.HnswTopTarget,
+        s"$d: entry table $entries rows exceeds ${Similarity.HnswTopTarget}")
+      (n, entries)
+    }
+    assert(sizes.map(_._1).distinct.size == 2, "need two distinct corpus sizes")
+    info(s"corpus→entry rows: ${sizes.map { case (n, e) => s"$n→$e" }.mkString(", ")}")
+  }
+
   test("no query plan contains a cartesian product or nested-loop join on big sides") {
     // BroadcastNestedLoopJoin with a one-row build side is fine (the ivf
     // argmin); CartesianProduct is never fine

@@ -197,6 +197,22 @@ class SimilarityRecallSpec extends AnyFunSuite {
       s"batched vs per-query divergence: ${batched.diff(single).take(3)}")
   }
 
+  test("auto-strided hnsw probe: corpus-flat serving keeps planted recall") {
+    // the auto artifact on the planted corpus (n=500 → stride 2): the
+    // top stage reads the persisted ≤64-row entry table instead of
+    // scanning the corpus, and planted structure still comes back
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-auto-recall").toString
+    val st = Similarity.writeHnswAutoArtifact(planted, dir)
+    info(s"auto stride on 500-vector planted corpus: $st")
+    val entries = spark.read.parquet(s"$dir/entry").count()
+    assert(entries <= Similarity.HnswTopTarget, s"entry table $entries rows")
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val recall = recallAt10(planted, queries,
+      (e, q) => Similarity.hnswProbeAuto(spark, dir, e, q, 10))
+    info(f"planted hnsw AUTO probe recall@10: $recall%.2f")
+    assert(recall >= 0.9, s"auto probe recall $recall")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
