@@ -2169,6 +2169,99 @@ object Similarity {
        |${hnswDescentSql(0L, "")}
        |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
 
+  // ----------------------------------------------------- ivf-graph hybrid --
+
+  /** IVF-graph hybrid search — the sharded-serving composition: the
+    * coarse quantizer picks the query's cell (exact scaled-int centroid
+    * argmin, the [[ivfSearch]] construction), ONE cell-partition scan
+    * seeds the beam with the in-cell top-[[HnswMidFanout]], and the
+    * PERSISTED base graph refines across cell boundaries — the beam buys
+    * back exactly the recall plain IVF loses at cell edges (nprobe=1 IVF
+    * measures 0.18 recall@10 on the uniform corpus; the hybrid's walk
+    * escapes the cell through graph edges). At 100 TB: the entry search
+    * reads one label partition (n/K rows, the IVF pruning), the walk
+    * touches O(beam·R·rounds) partition-pruned bucket files — cells
+    * prune the entry, the graph serves the recall.
+    */
+  def ivfGraphSearch(s: SparkSession, graphDir: String, e: DataFrame,
+      queryId: Long, k: Int, beam: Int = HnswEf,
+      rounds: Int = GraphBeamRounds,
+      entries: Int = IvfGraphEntries): DataFrame = {
+    val qvec = e.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // nearest centroid by exact scaled-int distance (ivfSearch's cent)
+    val comp = e.withColumn("v", scaled(col("embedding")))
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = comp.groupBy(col("label"), col("i"))
+      .agg(round(sum(col("x")) / count(lit(1))).as("c"))
+      .groupBy(col("label")).agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("label").as("c_label"), expr("transform(ic, p -> p.c)").as("cv"))
+    val probeLabel = cent
+      .withColumn("qv", scaled(typedLit(qvec)))
+      .withColumn("dist", dotScaled(zip_with(col("qv"), col("cv"), (a, b) => a - b),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b)))
+      .orderBy(col("dist"), col("c_label")).limit(1)
+      .select(col("c_label")).head().get(0)
+    // entry seeds: the probed cell's exact in-cell top-`entries` — wider
+    // than the hnsw descent's 2-seed hand-off because the cell scan has
+    // already PAID for every in-cell distance; more seeds are free here
+    // and they are what lifts planted recall above the plain probe's
+    val seeds = e.filter(col("label") === lit(probeLabel) &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
+      .orderBy(col("nd").desc, col("vec_id")).limit(entries)
+      .collect().map(_.getLong(0)).toSeq
+    require(seeds.nonEmpty,
+      s"ivfGraphSearch: probed cell $probeLabel holds no non-query node")
+    graphBeamSearch(s.emptyDataFrame, e, queryId, k, beam = beam,
+      rounds = rounds, entryIds = Some(seeds), queryVec = Some(qvec),
+      lookup = Some(annGraphLookup(s, graphDir, GraphR)))
+  }
+
+  private val IvfGraphEntries = 4
+
+  def qAnnIvfGraph(s: SparkSession, dir: String): DataFrame =
+    ivfGraphSearch(s, s"${stagedHnswGraph(s, dir)}/layer0",
+      Tables.embeddings(s, dir), queryId = 0L, k = 5)
+
+  val qAnnIvfGraphSql: String = {
+    def beam(prevV: String, curB: String, curV: String, w: Int): String =
+      s"""$curB AS (SELECT vec_id FROM $prevV ORDER BY nd DESC, vec_id LIMIT $w),
+         |$curV AS (SELECT vec_id, nd FROM $prevV
+         |          UNION SELECT d.vec_id, d.nd
+         |          FROM dist d JOIN l0g g ON g.v = d.vec_id
+         |                      JOIN $curB b ON g.u = b.vec_id)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, $Dim+1), i -> ${scaledElemSql("embedding", "i")}) AS v
+       |  FROM embeddings),
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dist AS MATERIALIZED (SELECT e.vec_id,
+       |       CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |         i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
+       |     FROM e, q WHERE e.vec_id <> 0),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM e),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |probe AS (
+       |  SELECT c_label FROM cent, q
+       |  ORDER BY list_sum(list_transform(range(1, $Dim+1), i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), c_label
+       |  LIMIT 1),
+       |ent AS (SELECT d.vec_id, d.nd FROM dist d JOIN e ON d.vec_id = e.vec_id
+       |        JOIN probe p ON e.label = p.c_label
+       |        ORDER BY d.nd DESC, d.vec_id LIMIT $IvfGraphEntries),
+       |${beam("ent", "c1", "w1", HnswEf)},
+       |${beam("w1", "c2", "w2", HnswEf)},
+       |${beam("w2", "c3", "w3", HnswEf)}
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM w3 ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Metadata-FILTERED ANN search over the persisted graph — the serving
     * problem real vector stores call filtered search ("give me the
     * nearest docs IN language X / with license Y"). The predicate admits
@@ -2261,6 +2354,7 @@ object Similarity {
     QueryDef("q_ann_hnsw_filtered", qAnnHnswFiltered, Some(qAnnHnswFilteredSql)),
     QueryDef("q_ann_hnsw_probe3", qAnnHnswProbe3, Some(qAnnHnswProbe3Sql)),
     QueryDef("q_ann_hnsw_auto", qAnnHnswAuto, Some(qAnnHnswAutoSql), bench = true),
+    QueryDef("q_ann_ivf_graph", qAnnIvfGraph, Some(qAnnIvfGraphSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
   )
 }

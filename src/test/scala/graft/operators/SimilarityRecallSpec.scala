@@ -213,6 +213,21 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"auto probe recall $recall")
   }
 
+  test("ivf-graph hybrid: cell-seeded beam over the persisted graph beats plain ivf entries") {
+    // the composition's claim: IVF prunes the ENTRY search to one cell,
+    // the graph walk recovers cross-cell neighbors — planted recall must
+    // hold the plain probe's floor (0.94), and it does one better here
+    // because the seeds start inside the query's own cluster
+    val dir = java.nio.file.Files.createTempDirectory("ivf-graph-recall").toString
+    Similarity.writeAnnGraphLayer(
+      Similarity.nnDescent(planted, 8), s"$dir/layer0")
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val recall = recallAt10(planted, queries,
+      (e, q) => Similarity.ivfGraphSearch(spark, s"$dir/layer0", e, q, 10))
+    info(f"planted ivf-graph hybrid recall@10: $recall%.2f")
+    assert(recall >= 0.94, s"hybrid recall $recall below the plain probe's 0.94")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
