@@ -1085,11 +1085,17 @@ object PipelineOps {
     * never the corpus). Returns (bin, calibratedRate) with rates
     * non-decreasing; the weighted mean over bins is preserved exactly.
     */
-  def pavCalibrate(bins: Seq[(Long, Long, Long)]): Seq[(Long, Double)] = {
+  def pavCalibrate(bins: Seq[(Long, Long, Long)]): Seq[(Long, Double)] =
+    pavPools(bins).map { case (b, n, pos) => (b, pos.toDouble / n.toDouble) }
+
+  /** The PAV fit with each bin's POOL TOTALS exposed — (bin, poolN,
+    * poolPos) — so a consumer can derive the fitted value in exact
+    * integer space (poolPos·10⁶ / poolN) instead of re-rounding a
+    * double; [[calibratedFilter]] thresholds on exactly that.
+    */
+  def pavPools(bins: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
     // (bin, n, pos) sorted by bin; pool as (sumN, sumPos, members)
-    case class Pool(n: Long, pos: Long, bins: List[Long]) {
-      def rate: Double = pos.toDouble / n.toDouble
-    }
+    case class Pool(n: Long, pos: Long, bins: List[Long])
     var pools = List.empty[Pool] // reversed order (head = latest)
     for ((b, n, pos) <- bins.sortBy(_._1)) {
       var cur = Pool(n, pos, List(b))
@@ -1102,8 +1108,91 @@ object PipelineOps {
       }
       pools = cur :: pools
     }
-    pools.reverse.flatMap(p => p.bins.sorted.map(b => (b, p.rate)))
+    pools.reverse.flatMap(p => p.bins.sorted.map(b => (b, p.n, p.pos)))
   }
+
+  /** The calibration loop CLOSED: per-domain reliability table →
+    * driver-side PAV over the bounded bin artifact → fitted P(label) as
+    * an exact-int ppm (floor(poolPos·10⁶ / poolN)) → broadcast-joined
+    * back onto the corpus → threshold. This is how a production quality
+    * filter consumes a classifier: never the raw score (whose meaning
+    * drifts across domains), always the per-domain calibrated
+    * probability. The corpus is touched exactly twice (the one
+    * partial-aggregated bin exchange, then the broadcast-join filter
+    * scan); the PAV itself runs over |domains|·|bins| rows on the
+    * driver.
+    *
+    * Determinism note: the fitted ppm floor commutes with PAV's minimax
+    * characterization (floor is monotone, so max-min of floored segment
+    * means equals the floored max-min), which is what lets the DuckDB
+    * oracle replay the fit as an exact-int minimax over prefix sums
+    * rather than re-running the pooling loop.
+    */
+  def calibratedFilter(docs: DataFrame, score: Column, label: Column,
+      domain: Column, binWidth: Int, thresholdPpm: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bins = reliabilityTable(docs, score, label, domain, binWidth)
+      .select(col("domain"), col("bin"), col("n"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fitted = bins.groupBy(_._1).toSeq.flatMap { case (dom, rows) =>
+      pavPools(rows.toSeq.map(t => (t._2, t._3, t._4)))
+        .map { case (b, pn, pp) => (dom, b, pp * 1000000L / pn) }
+    }
+    val fitDf = broadcast(fitted.toDF("domain", "bin", "cal_ppm"))
+    docs.select(col("doc_id"), domain.as("domain"),
+        floor(score.cast("long") / binWidth).cast("long").as("bin"))
+      .join(fitDf, Seq("domain", "bin"))
+      .filter(col("cal_ppm") >= thresholdPpm)
+      .select(col("doc_id"), col("domain"), col("bin"), col("cal_ppm"))
+  }
+
+  /** Calibrated-filter demo with a genuinely monotone signal: score =
+    * n_chars, label = "the doc contains the token `merge`" (P(contains)
+    * rises with length — the per-domain empirical rates wiggle, PAV
+    * smooths them), domain = lang. The threshold keeps docs whose
+    * calibrated label probability is ≥ 0.7 — the shape of "keep docs the
+    * calibrated quality model scores high", with the fit consumed from
+    * [[pavPools]], not re-derived.
+    */
+  def qQualityCalibratedFilter(s: SparkSession, dir: String): DataFrame =
+    calibratedFilter(Tables.documents(s, dir),
+      score = col("n_chars"),
+      label = array_contains(split(col("text"), " "), "merge").cast("long"),
+      domain = col("lang"), binWidth = 100, thresholdPpm = 700000L)
+      .orderBy(col("doc_id"))
+
+  val qQualityCalibratedFilterSql: String =
+    s"""WITH d AS (SELECT doc_id, lang AS domain, n_chars // 100 AS bin,
+       |             CAST(list_contains(string_split(text, ' '), 'merge') AS BIGINT) AS y
+       |           FROM documents),
+       |bins AS (SELECT domain, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |         FROM d GROUP BY domain, bin),
+       |idx AS (SELECT domain, bin, n, pos,
+       |          row_number() OVER (PARTITION BY domain ORDER BY bin) AS i
+       |        FROM bins),
+       |cum AS (SELECT domain, bin, i, n, pos,
+       |          sum(n) OVER w AS cn, sum(pos) OVER w AS cp,
+       |          sum(n) OVER w - n AS pn, sum(pos) OVER w - pos AS pp
+       |        FROM idx WINDOW w AS (PARTITION BY domain ORDER BY i)),
+       |-- exact-int segment means: floor((cp[k]-pp[j])*1e6 / (cn[k]-pn[j]))
+       |seg AS (SELECT j.domain, j.i AS j, k.i AS k,
+       |          CAST((k.cp - j.pp) * 1000000 // (k.cn - j.pn) AS BIGINT) AS mppm
+       |        FROM cum j JOIN cum k ON j.domain = k.domain AND j.i <= k.i),
+       |-- isotonic regression via its minimax characterization:
+       |-- fit(i) = max over j<=i of (min over k>=i of mean(j..k)); the
+       |-- floor commutes with max/min, so this equals the floored PAV fit
+       |mn AS (SELECT s.domain AS domain, x.i AS i, s.j AS j, min(s.mppm) AS m
+       |       FROM seg s JOIN idx x ON s.domain = x.domain
+       |                             AND s.j <= x.i AND x.i <= s.k
+       |       GROUP BY s.domain, x.i, s.j),
+       |fit AS (SELECT domain, i, max(m) AS cal_ppm FROM mn GROUP BY domain, i),
+       |fb AS (SELECT fit.domain AS domain, x.bin AS bin, fit.cal_ppm AS cal_ppm
+       |       FROM fit JOIN idx x ON fit.domain = x.domain AND fit.i = x.i)
+       |SELECT d.doc_id, d.domain, d.bin, fb.cal_ppm
+       |FROM d JOIN fb ON d.domain = fb.domain AND d.bin = fb.bin
+       |WHERE fb.cal_ppm >= 700000
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Calibration demo on the fixture corpus: raw score = n_chars (the
     * one honest numeric the table carries), label = "this text is an
@@ -1135,6 +1224,8 @@ object PipelineOps {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("q_quality_calibration", qQualityCalibration, Some(qQualityCalibrationSql)),
+    QueryDef("q_quality_calibrated_filter", qQualityCalibratedFilter,
+      Some(qQualityCalibratedFilterSql)),
     QueryDef("q_importance_weights", qImportanceWeights, Some(qImportanceWeightsSql)),
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),

@@ -373,4 +373,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dec = Seq((0L, 10L, 9L), (1L, 10L, 5L), (2L, 10L, 1L))
     assert(PipelineOps.pavCalibrate(dec).map(_._2).distinct == Seq(0.5))
   }
+
+  test("pav pooling equals the minimax characterization in exact-int ppm") {
+    // the theorem the oracle SQL relies on: the PAV pooling loop's fit
+    // equals fit(i) = max_{j<=i} min_{k>=i} mean(j..k), and flooring the
+    // segment means to ppm commutes with the max/min — verified here by
+    // exhaustive cross-product on randomized bin tables, so the pooled
+    // and minimax forms can never drift apart silently
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val b = (0 until (2 + rnd.nextInt(8))).map { i =>
+        val n = 1L + rnd.nextInt(50)
+        (i.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val pooled = PipelineOps.pavPools(b).map { case (bin, pn, pp) =>
+        (bin, pp * 1000000L / pn) }
+      val minimax = b.indices.map { i =>
+        val v = (0 to i).map { j =>
+          (i until b.size).map { k =>
+            val n = (j to k).map(b(_)._2).sum
+            val p = (j to k).map(b(_)._3).sum
+            p * 1000000L / n
+          }.min
+        }.max
+        (b(i)._1, v)
+      }
+      assert(pooled == minimax, s"pooled $pooled != minimax $minimax for $b")
+    }
+  }
+
+  test("calibrated filter consumes the pav fit and thresholds on exact-int ppm") {
+    val out = PipelineOps.qQualityCalibratedFilter(spark, sfDir).collect()
+    assert(out.nonEmpty, "calibrated filter kept nothing")
+    assert(out.forall(_.getLong(3) >= 700000L), "a kept doc is under threshold")
+    // every kept (domain, bin) fitted value must equal the driver PAV fit
+    val docs = graft.Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val bins = PipelineOps.reliabilityTable(docs,
+        col("n_chars"), array_contains(split(col("text"), " "), "merge").cast("long"),
+        col("lang"), 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fit = bins.groupBy(_._1).flatMap { case (dom, rows) =>
+      PipelineOps.pavPools(rows.toSeq.map(t => (t._2, t._3, t._4)))
+        .map { case (b, pn, pp) => (dom, b) -> pp * 1000000L / pn }
+    }
+    out.foreach { r =>
+      assert(fit((r.getString(1), r.getLong(2))) == r.getLong(3),
+        s"row $r diverges from the pav fit")
+    }
+  }
 }
