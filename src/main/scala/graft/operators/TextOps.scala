@@ -1212,6 +1212,34 @@ object TextOps {
     (Layout.compact(s, s"$dir/postings", targetBytes, Seq("ds")),
       Layout.compact(s, s"$dir/stats", targetBytes))
 
+  /** Delete documents from a doc-sharded index — completing the layout's
+    * maintenance triple (write/append/compact/delete), and the layout's
+    * CHEAPEST erasure: the ids alone determine the affected shards
+    * (`ds = doc_id % DocShards`, static partition pruning with NO
+    * discovery scan — the term layout must either derive buckets from
+    * the deleted docs' terms or scan a postings column). Corpus stats
+    * stay correct through the same additive negative row as
+    * [[deleteFromTermIndex]], computed from the docs' text so docs with
+    * no postings still surrender their n_docs count; per-term df needs
+    * no correction (it is always the live posting-list length). Not
+    * atomic across the two writes — rerunning the delete is idempotent
+    * for the same doc set.
+    */
+  def deleteFromDocShardedIndex(s: SparkSession, dir: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val w = words(col(textCol))
+    val neg = docs.agg((-count(lit(1))).as("n_docs"),
+      (-coalesce(sum(size(w)), lit(0L))).cast("long").as("sum_dl"))
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    // bounded (<= DocShards) literal shard filter, derived from the ids
+    val shards = ids.select(pmod(col("doc_id"), lit(DocShards)).as("ds"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (shards.nonEmpty)
+      Layout.deleteByKey(s, s"$dir/postings", "doc_id", ids, Seq("ds"),
+        col("ds").isin(shards: _*)): Unit
+    neg.write.mode("append").parquet(s"$dir/stats")
+  }
+
   /** Doc-sharded index staged once per corpus ([[stagedTermIndex]]
     * protocol, its own identity key).
     */

@@ -148,6 +148,35 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "fully-deleted partitions must leave no parquet files behind")
   }
 
+  test("deleteFromDocShardedIndex equals an index built without the deleted docs") {
+    // the doc-sharded twin of the term-index contract: append a batch,
+    // delete it, probe — indistinguishable from never having indexed it.
+    // The delete's shard pruning comes from the ids alone (ds = id % 16).
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val keep = docs.filter(col("doc_id") % 4 =!= 1)
+    val del = docs.filter(col("doc_id") % 4 === 1)
+    val terms = TextOps.QueryTerms
+    def probe(dir: String): Seq[(Long, String)] =
+      TextOps.bm25DocSharded(spark, dir, terms, 10)
+        .select("doc_id", "bm25").collect()
+        .map(r => (r.getLong(0), r.get(1).toString)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ds-index-del").toString
+    TextOps.writeDocShardedIndex(keep, dir)
+    TextOps.appendDocShardedIndex(del, dir)
+    val refDir = java.nio.file.Files.createTempDirectory("ds-index-delref").toString
+    TextOps.writeDocShardedIndex(keep, refDir)
+    val full = probe(dir)
+
+    TextOps.deleteFromDocShardedIndex(spark, dir, del)
+
+    assert(probe(dir) == probe(refDir),
+      "deleted doc-sharded index diverges from rebuilt-without")
+    assert(probe(dir) != full, "deletion not observable — fixture too weak")
+    val delIdsDf = del.select(col("doc_id").cast("long").as("doc_id"))
+    assert(spark.read.parquet(s"$dir/postings")
+      .join(delIdsDf, "doc_id").count() == 0)
+  }
+
   test("deleteFromTermIndex equals an index built without the deleted docs") {
     val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val keep = docs.filter(col("doc_id") % 4 =!= 1)
