@@ -1627,9 +1627,319 @@ object Dedup {
     res
   }
 
+  // declared ABOVE the SQL vals that interpolate them — a Scala object
+  // initializes vals top-down, so a builder string defined earlier would
+  // silently capture 0
   private val SuffixMinLen = 5
   private val SuffixCap = 32
   private val SuffixDegenCap = 1024
+
+  // ---------------------------------- uncapped LRS via prefix doubling --
+
+  /** UNCAPPED exact match lengths — [[suffixMatchLens]] without the
+    * [[SuffixCap]] truncation, built on the classic suffix-array
+    * prefix-doubling construction instead of materialized suffix slices:
+    *
+    *  1. rank₁ orders every token position by its token (a vocabulary
+    *     rank — |V| is sublinear in any natural corpus, broadcast-joined);
+    *  2. each doubling round sorts by (rank_w, rank_w@pos+w) — ONE
+    *     range-sort exchange plus a shift join — and assigns the new
+    *     rank as the sorted RUN-START index ([[runStartRank]]: run
+    *     adjacency across partition cuts is restored by the same
+    *     2-rows-per-partition driver exchange as [[sortedNeighborLens]],
+    *     so no task ever holds a rank class). Rounds stop when ranks go
+    *     fully distinct or stop separating — a no-progress round proves
+    *     every remaining collision is a pair of IDENTICAL suffixes
+    *     (rank_w-equal ⟹ rank_2w-equal ⟹ equal at every multiple of w).
+    *  3. candidates (repeated minLen-grams, as in the capped form) sort
+    *     by final rank — scalar keys, so the neighbor walk is the
+    *     degenerate-safe range-sort path UNCONDITIONALLY — and each
+    *     neighbor pair's LCP is recovered from the retained rank tables:
+    *     top-width equality means the suffixes are identical (match =
+    *     min remaining length, the plateau theorem above); otherwise a
+    *     greedy descent over widths W/2…1 adds w whenever rank_w matches
+    *     at the advanced offsets — 2 pruned joins per level over the
+    *     bounded pair table, never a token re-read.
+    *
+    * Scale shape: O(log maxRepeat) rounds (~8 here), each one sort of
+    * the corpus positions; the LCP walk touches only candidate pairs.
+    * The 60-bit gram-hash collision floor argument carries over verbatim
+    * (foreign neighbors share < minLen tokens, removed by the final
+    * filter). DedupSpec pins this equal to a no-cap brute force on a
+    * planted 40-token repeat the capped form truncates.
+    */
+  def suffixMatchLensFull(docs: DataFrame, minLen: Int = SuffixMinLen): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wins = docs.select(col("doc_id"),
+      posexplode(graft.plans.SegmentsExpr.shingleHashes(col("text"), minLen))
+        .as(Seq("pos", "h")))
+    val occs = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select(col("h"))
+      .localCheckpoint()
+    val cand = wins.join(occs, Seq("h"), "left_semi")
+      .select(col("h"), col("doc_id"), col("pos").cast("long").as("pos"))
+    // all token positions of docs that hold at least one candidate — a
+    // suffix never crosses a doc boundary, so out-of-scope docs cannot
+    // influence any comparison
+    val scoped = docs.join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val positions = scoped
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .localCheckpoint()
+    val total = positions.count()
+    val docLen = positions.groupBy(col("doc_id")).agg((max(col("pos")) + 1L).as("len"))
+      .localCheckpoint()
+    // rank₁: vocabulary order (distinct tokens, sorted, broadcast back)
+    val vocab = positions.select(col("tok")).distinct().orderBy(col("tok"))
+      .rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
+      .toDF("tok", "rank")
+    var cur = positions.join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .localCheckpoint()
+    var levels = List((1L, cur)) // (width, rank table), head = widest
+    var distinct = cur.agg(countDistinct(col("rank"))).head().getLong(0)
+    var off = 1L
+    var converged = distinct == total
+    while (!converged) {
+      val sh = cur.select(col("doc_id"), (col("pos") - off).as("pos"),
+        col("rank").as("r2"))
+      val paired = cur.withColumnRenamed("rank", "r1")
+        .join(sh, Seq("doc_id", "pos"), "left")
+        .na.fill(-1L, Seq("r2")) // past-end sorts first: prefix < extension
+      val next = runStartRank(paired)
+      val nd = next.agg(countDistinct(col("rank"))).head().getLong(0)
+      if (nd == distinct) {
+        // plateau: every surviving collision is an identical-suffix pair
+        converged = true
+      } else {
+        cur = next; off *= 2
+        levels = (off, cur) :: levels
+        distinct = nd
+        converged = distinct == total
+      }
+    }
+    // candidates in final suffix order; neighbors within the same gram
+    val cr = cand.join(cur, Seq("doc_id", "pos"))
+      .select(col("h"), col("rank"), col("doc_id"), col("pos"))
+    var pairs = sortedNeighborPairs(cr)
+      .join(docLen.select(col("doc_id").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
+      .join(docLen.select(col("doc_id").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
+    // LCP walk over the retained rank tables
+    val (topW, topRank) = levels.head
+    val _ = topW
+    pairs = pairs
+      .join(topRank.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("rank").as("ra")), Seq("doc_a", "pos_a"))
+      .join(topRank.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("rank").as("rb")), Seq("doc_b", "pos_b"))
+      .withColumn("done", col("ra") === col("rb"))
+      .withColumn("lcp", lit(0L))
+      .drop("ra", "rb")
+      .localCheckpoint()
+    // greedy descent over widths W/2…1: rank_w equality at the advanced
+    // offsets proves the next w tokens equal, so lcp advances by w; a
+    // past-end offset joins to nothing (null ≠ anything) and blocks.
+    // Each level is 2 joins of the BOUNDED pair table against a
+    // checkpointed rank table — the corpus text is never re-read.
+    for ((w, rk) <- levels.tail) {
+      val ra = rk.select(col("doc_id").as("_da"), col("pos").as("_pa"),
+        col("rank").as("_ra"))
+      val rb = rk.select(col("doc_id").as("_db"), col("pos").as("_pb"),
+        col("rank").as("_rb"))
+      pairs = pairs
+        .join(ra, col("doc_a") === col("_da") &&
+          col("pos_a") + col("lcp") === col("_pa"), "left")
+        .join(rb, col("doc_b") === col("_db") &&
+          col("pos_b") + col("lcp") === col("_pb"), "left")
+        .withColumn("lcp", when(!col("done") && col("_ra").isNotNull &&
+          col("_ra") === col("_rb"), col("lcp") + w).otherwise(col("lcp")))
+        .drop("_da", "_pa", "_ra", "_db", "_pb", "_rb")
+        .localCheckpoint()
+    }
+    pairs
+      // done = identical suffixes (the plateau theorem): match is the
+      // full remaining length; otherwise the walked lcp, capped to the
+      // remaining lengths (a final block matching THROUGH both suffixes'
+      // identical endings overshoots by construction — the cap is exact
+      // there because overshoot ⟺ the suffixes ended equal)
+      .withColumn("match_len",
+        when(col("done"), least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")))
+          .otherwise(least(col("lcp"),
+            col("len_a") - col("pos_a"), col("len_b") - col("pos_b"))))
+      .select(col("doc_a").as("doc_id"), col("pos_a").as("pos"), col("match_len"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("match_len")).as("match_len"))
+      // the collision floor, exactly as the capped form
+      .filter(col("match_len") >= minLen)
+  }
+
+  /** Directed SA-neighbor pairs of the candidate stream — the
+    * [[sortedNeighborLens]] boundary-exchange walk over SCALAR sort keys
+    * `(h, rank, doc_id, pos)`: every candidate pairs with its adjacent
+    * same-gram rows in global suffix order, groups split freely across
+    * partitions, and adjacency across the cuts rides on 2 boundary rows
+    * per partition through the driver.
+    */
+  private def sortedNeighborPairs(cr: DataFrame): DataFrame = {
+    val s = cr.sparkSession
+    import s.implicits._
+    val ds = cr.select(col("h"), col("rank"), col("doc_id"), col("pos"))
+      .as[(Long, Long, Long, Long)]
+      .repartitionByRange(col("h"), col("rank"), col("doc_id"), col("pos"))
+      .sortWithinPartitions(col("h"), col("rank"), col("doc_id"), col("pos"))
+    val rdd = ds.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next(); var last = first
+        while (it.hasNext) last = it.next()
+        Iterator.single((i, first, last))
+      }
+    }.collect().sortBy(_._1)
+    val nParts = rdd.getNumPartitions
+    val prevOf = new Array[(Long, Long, Long, Long)](nParts)
+    val nextOf = new Array[(Long, Long, Long, Long)](nParts)
+    for (((i, firstRow, lastRow), bi) <- bounds.zipWithIndex) {
+      if (bi + 1 < bounds.length) prevOf(bounds(bi + 1)._1) = lastRow
+      if (bi > 0) nextOf(bounds(bi - 1)._1) = firstRow
+      val _ = i
+    }
+    val prevB = s.sparkContext.broadcast(prevOf)
+    val nextB = s.sparkContext.broadcast(nextOf)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val pPrev = Option(prevB.value(pi))
+      val pNext = Option(nextB.value(pi))
+      new Iterator[(Long, Long, Long, Long)] {
+        private var prev = pPrev
+        private var cur: Option[(Long, Long, Long, Long)] =
+          if (it.hasNext) Some(it.next()) else None
+        private var pending: List[(Long, Long, Long, Long)] = Nil
+        private def advance(): Unit = while (pending.isEmpty && cur.isDefined) {
+          val c = cur.get
+          val nxt = if (it.hasNext) { val n = it.next(); cur = Some(n); Some(n) }
+            else { cur = None; pNext }
+          def pairOf(nb: Option[(Long, Long, Long, Long)]) = nb match {
+            case Some(n) if n._1 == c._1 => List((c._3, c._4, n._3, n._4))
+            case _ => Nil
+          }
+          pending = pairOf(prev) ++ pairOf(nxt)
+          prev = Some(c)
+        }
+        def hasNext: Boolean = { advance(); pending.nonEmpty }
+        def next(): (Long, Long, Long, Long) = {
+          advance(); val h = pending.head; pending = pending.tail; h
+        }
+      }
+    }
+    val res = s.createDataset(out).toDF("doc_a", "pos_a", "doc_b", "pos_b")
+      .localCheckpoint()
+    rdd.unpersist(blocking = false)
+    res
+  }
+
+  /** Order-preserving rank of `(r1, r2)` keys as the sorted RUN-START
+    * row index — prefix doubling needs equal-keys-equal-rank and
+    * order-consistency, not density, so one range sort plus the
+    * 2-rows-per-partition boundary exchange assigns ranks without any
+    * per-key grouping: a rank class (however degenerate) is never held
+    * by one task.
+    */
+  private def runStartRank(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ds = df.select(col("doc_id"), col("pos"), col("r1"), col("r2"))
+      .as[(Long, Long, Long, Long)]
+      .repartitionByRange(col("r1"), col("r2"))
+      .sortWithinPartitions(col("r1"), col("r2"))
+    val rdd = ds.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per nonempty partition: row count, first/last key, local index of
+    // the last run's first row
+    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var n = 0L
+        var first: (Long, Long) = null
+        var last: (Long, Long) = null
+        var lastRunStart = 0L
+        while (it.hasNext) {
+          val r = it.next(); val k = (r._3, r._4)
+          if (n == 0) first = k
+          if (last == null || k != last) lastRunStart = n
+          last = k; n += 1
+        }
+        Iterator.single((i, n, first, last, lastRunStart))
+      }
+    }.collect().sortBy(_._1)
+    val nParts = rdd.getNumPartitions
+    val startIdx = new Array[Long](nParts) // global index of partition's first row
+    val carry = new Array[Long](nParts) // global run start if first key chains; -1
+    var cum = 0L
+    var prevLast: (Long, Long) = null
+    var prevLastRunStart = -1L
+    for ((i, n, first, last, lrs) <- bounds) {
+      startIdx(i) = cum
+      carry(i) = if (prevLast != null && first == prevLast) prevLastRunStart else -1L
+      // this partition's last run may itself be a continuation when the
+      // whole partition is one key
+      prevLastRunStart =
+        if (lrs == 0L && carry(i) >= 0L && first == last) carry(i)
+        else cum + lrs
+      prevLast = last
+      cum += n
+    }
+    val startB = s.sparkContext.broadcast(startIdx)
+    val carryB = s.sparkContext.broadcast(carry)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var idx = startB.value(pi)
+      var runStart = -1L
+      var prevKey: (Long, Long) = null
+      it.map { r =>
+        val k = (r._3, r._4)
+        if (prevKey == null)
+          runStart = if (carryB.value(pi) >= 0L) carryB.value(pi) else idx
+        else if (k != prevKey) runStart = idx
+        prevKey = k
+        idx += 1
+        (r._1, r._2, runStart)
+      }
+    }
+    val res = s.createDataset(out).toDF("doc_id", "pos", "rank")
+      .localCheckpoint()
+    rdd.unpersist(blocking = false)
+    res
+  }
+
+  def qSuffixLrsFull(s: SparkSession, dir: String): DataFrame =
+    suffixMatchLensFull(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val qSuffixLrsFullSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
+       |      FROM ws WHERE len(w) >= $SuffixMinLen),
+       |wins AS (SELECT doc_id, pos,
+       |           array_to_string(w[(pos + 1):(pos + $SuffixMinLen)], ' ') AS win,
+       |           w[(pos + 1):] AS sfx
+       |         FROM p),
+       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |cand AS (SELECT doc_id, pos, win, sfx FROM wins
+       |         WHERE win IN (SELECT win FROM rep)),
+       |nb AS (SELECT doc_id, pos, sfx,
+       |         lag(sfx) OVER (PARTITION BY win ORDER BY sfx) AS prv,
+       |         lead(sfx) OVER (PARTITION BY win ORDER BY sfx) AS nxt
+       |       FROM cand)
+       |SELECT doc_id, pos, greatest(
+       |  CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, prv),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(prv))) END,
+       |  CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, nxt),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(nxt))) END) AS match_len
+       |FROM nb
+       |ORDER BY doc_id, pos""".stripMargin
 
   def qSuffixLrs(s: SparkSession, dir: String): DataFrame =
     suffixMatchLens(Tables.documents(s, dir))
@@ -1685,6 +1995,7 @@ object Dedup {
     QueryDef("q_dedup_segments", qSegmentDedup, Some(qSegmentDedupSql), bench = true),
     QueryDef("q_dedup_spans", qRepeatedSpans, Some(qRepeatedSpansSql)),
     QueryDef("q_dedup_suffix_lrs", qSuffixLrs, Some(qSuffixLrsSql), bench = true),
+    QueryDef("q_dedup_suffix_lrs_full", qSuffixLrsFull, Some(qSuffixLrsFullSql)),
     QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),
   )
 }

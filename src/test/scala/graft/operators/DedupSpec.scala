@@ -231,6 +231,54 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(expect -- viaSorted).take(3)} extra=${(viaSorted -- expect).take(3)}")
   }
 
+  test("prefix-doubling LRS: uncapped lengths equal a no-cap brute force; the cap is gone") {
+    import spark.implicits._
+    // a planted 40-token repeat — past the capped form's 32 — plus noise
+    // docs with shorter repeats at several lengths and full-dup docs
+    // (the identical-suffix plateau path)
+    val run40 = (1 to 40).map(i => s"r$i").mkString(" ")
+    val rnd = new java.util.Random(11)
+    val vocab = Array("a", "b", "c", "d")
+    val noise = (100L until 115L).map { id =>
+      val n = 6 + rnd.nextInt(18)
+      (id, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val docs = (Seq(
+      (1L, s"intro $run40 tail one"),
+      (2L, s"x y z $run40 other end"),
+      (3L, "dup dup body exactly equal here now"),
+      (4L, "dup dup body exactly equal here now")) ++ noise)
+      .toDF("doc_id", "text")
+    val minLen = 3
+    // UNCAPPED brute force: per position, max word-LCP vs every other
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val positions = for ((id, w) <- toks.toSeq; p <- w.indices) yield (id, p, w)
+    def lcpAt(a: Array[String], i: Int, b: Array[String], j: Int): Int = {
+      var l = 0
+      while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+      l
+    }
+    val expect = positions.flatMap { case (id, p, w) =>
+      val best = positions.collect {
+        case (id2, p2, w2) if (id2, p2) != (id, p) => lcpAt(w, p, w2, p2)
+      }.max
+      if (best >= minLen) Some((id, p.toLong, best.toLong)) else None
+    }.toSet
+    val got = Dedup.suffixMatchLensFull(docs, minLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // the planted repeat reports its TRUE 40 at the run start — the
+    // capped form clamps the same row to 32
+    assert(got.contains((1L, 1L, 40L)), s"40-token repeat not exact: $got")
+    val capped = Dedup.suffixMatchLens(docs, minLen, cap = 32)
+      .filter(col("doc_id") === 1L && col("pos") === 1L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(capped == Seq(32L), s"capped form should clamp to 32, got $capped")
+    // full-dup docs: every position matches to end-of-doc (plateau path)
+    assert(got.contains((3L, 0L, 7L)) && got.contains((4L, 2L, 5L)), s"$got")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
