@@ -1941,6 +1941,98 @@ object Dedup {
        |FROM nb
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** Per-document boilerplate mask — the training-pipeline CONSUMER of
+    * the uncapped lens table: every position whose suffix shares ≥
+    * `minLen` tokens with some other position is part of a repeated
+    * region, so merging the overlapping `[pos, pos+match_len)` intervals
+    * per doc yields the doc's boilerplate coverage (disclaimers,
+    * headers, templated spans — the text a pretraining pipeline strips
+    * or downweights). Interval merging is the gaps-and-islands window
+    * over the (doc-bounded) lens rows: an interval starts a new island
+    * iff it begins past the running max end. Output per doc:
+    * `(n_tokens, boiler_tokens, n_spans, boiler_ppm)` with the ppm an
+    * exact integral division — docs with no repeats report zeros.
+    * Because the lens table is UNCAPPED, a 99-token duplicated document
+    * masks as 100% boilerplate; the capped form would undercount any
+    * span past 32 tokens.
+    */
+  def boilerplateMask(docs: DataFrame, minLen: Int = SuffixMinLen): DataFrame = {
+    val lens = suffixMatchLensFull(docs, minLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = lens
+      .withColumn("prev_end", max(col("pos") + col("match_len"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(w))
+    val spans = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("st"), max(col("pos") + col("match_len")).as("en"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(sum(col("en") - col("st")).as("boiler_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("boiler_tokens", "n_spans"))
+      .withColumn("boiler_ppm",
+        expr("boiler_tokens * 1000000 div n_tokens"))
+  }
+
+  def qBoilerplateMask(s: SparkSession, dir: String): DataFrame =
+    boilerplateMask(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val qBoilerplateMaskSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
+       |      FROM ws WHERE len(w) >= $SuffixMinLen),
+       |wins AS (SELECT doc_id, pos,
+       |           array_to_string(w[(pos + 1):(pos + $SuffixMinLen)], ' ') AS win,
+       |           w[(pos + 1):] AS sfx
+       |         FROM p),
+       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |cand AS (SELECT doc_id, pos, win, sfx FROM wins
+       |         WHERE win IN (SELECT win FROM rep)),
+       |nb AS (SELECT doc_id, pos, sfx,
+       |         lag(sfx) OVER (PARTITION BY win ORDER BY sfx) AS prv,
+       |         lead(sfx) OVER (PARTITION BY win ORDER BY sfx) AS nxt
+       |       FROM cand),
+       |lens AS (SELECT doc_id, pos, greatest(
+       |  CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, prv),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(prv))) END,
+       |  CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, nxt),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(nxt))) END) AS match_len
+       |FROM nb),
+       |isl AS (SELECT doc_id, pos, match_len,
+       |          CASE WHEN max(pos + match_len) OVER
+       |                 (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |               IS NULL OR pos > max(pos + match_len) OVER
+       |                 (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          THEN 1 ELSE 0 END AS new_isl
+       |        FROM lens),
+       |isl2 AS (SELECT doc_id, pos, match_len,
+       |           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |         FROM isl),
+       |spans AS (SELECT doc_id, isl, min(pos) AS st, max(pos + match_len) AS en
+       |          FROM isl2 GROUP BY doc_id, isl),
+       |per AS (SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS boiler_tokens,
+       |          count(*) AS n_spans
+       |        FROM spans GROUP BY doc_id)
+       |SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_tokens,
+       |  coalesce(per.boiler_tokens, 0) AS boiler_tokens,
+       |  coalesce(per.n_spans, 0) AS n_spans,
+       |  coalesce(per.boiler_tokens, 0) * 1000000 // CAST(len(ws.w) AS BIGINT) AS boiler_ppm
+       |FROM ws LEFT JOIN per ON ws.doc_id = per.doc_id
+       |ORDER BY ws.doc_id""".stripMargin
+
   def qSuffixLrs(s: SparkSession, dir: String): DataFrame =
     suffixMatchLens(Tables.documents(s, dir))
       .orderBy(col("doc_id"), col("pos"))
@@ -1996,6 +2088,7 @@ object Dedup {
     QueryDef("q_dedup_spans", qRepeatedSpans, Some(qRepeatedSpansSql)),
     QueryDef("q_dedup_suffix_lrs", qSuffixLrs, Some(qSuffixLrsSql), bench = true),
     QueryDef("q_dedup_suffix_lrs_full", qSuffixLrsFull, Some(qSuffixLrsFullSql)),
+    QueryDef("q_dedup_boilerplate", qBoilerplateMask, Some(qBoilerplateMaskSql)),
     QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),
   )
 }

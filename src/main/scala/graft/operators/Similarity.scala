@@ -1726,12 +1726,44 @@ object Similarity {
         stride = math.pow(st.toDouble, l.toDouble).toInt), s"$outDir/layer$l")
     writeAnnGraphLayer(nnDescent(e, GraphR, rounds = HnswBuildRounds),
       s"$outDir/layer0")
+    // the entry table is seg-partitioned like the layer graphs so
+    // incremental inserts are replay-idempotent (dynamic overwrite of
+    // the batch's own segment)
     e.filter(pmod(col("vec_id"), lit(st.toLong * st * st)) === 0)
       .select(col("vec_id"), col("embedding"))
-      .coalesce(1).write.parquet(s"$outDir/entry")
+      .withColumn("seg", lit("base"))
+      .coalesce(1).write.partitionBy("seg").parquet(s"$outDir/entry")
     Seq((st.toLong, 3L, n)).toDF("stride", "levels", "n")
       .coalesce(1).write.parquet(s"$outDir/meta")
     st
+  }
+
+  /** Incremental insert into an auto-strided artifact: the batch wires
+    * into every layer graph via [[insertIntoHnswGraph]] at the
+    * artifact's OWN stride (read from meta — never the fixed default),
+    * and its `vec_id % s³ == 0` members append to the entry table in a
+    * batch-keyed segment (replay = dynamic overwrite of that segment).
+    * The stride stays what the build solved — the ≤[[HnswTopTarget]]
+    * entry bound therefore holds until the corpus grows past s³·64,
+    * after which a rebuild re-solves it (standard index-rebuild hygiene;
+    * probe CORRECTNESS never depends on the bound, only probe cost).
+    */
+  def insertIntoHnswAutoGraph(s: SparkSession, graphDir: String,
+      newVecs: DataFrame, oldCorpus: DataFrame, seg: String = "append",
+      overwriteSeg: Boolean = false): Unit = {
+    val st = s.read.parquet(s"$graphDir/meta").head().getAs[Long]("stride")
+    insertIntoHnswGraph(s, graphDir, newVecs, oldCorpus, seg, st.toInt,
+      overwriteSeg)
+    val newEntries = newVecs
+      .filter(pmod(col("vec_id"), lit(st * st * st)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("seg", lit(seg))
+    if (!newEntries.isEmpty) {
+      val w = newEntries.write.partitionBy("seg")
+      (if (overwriteSeg)
+        w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      else w.mode("append")).parquet(s"$graphDir/entry")
+    }
   }
 
   /** Auto-strided artifact staged once per corpus ([[stagedHnswGraph]]
@@ -1741,7 +1773,8 @@ object Similarity {
     val emb = Paths.get(dir, "embeddings.parquet")
     val tag = s"${Files.size(emb)}_${Files.getLastModifiedTime(emb).toMillis}"
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    Staging.stagedDir(Paths.get(s"/tmp/graft_hnsw_auto_v1_${slug}_$tag")) { tmp =>
+    // v2: entry table gained its seg partition (idempotent inserts)
+    Staging.stagedDir(Paths.get(s"/tmp/graft_hnsw_auto_v2_${slug}_$tag")) { tmp =>
       writeHnswAutoArtifact(Tables.embeddings(s, dir), tmp.toString): Unit
     }
   }
@@ -1822,7 +1855,39 @@ object Similarity {
     */
   def hnswProbeBatched(s: SparkSession, graphDir: String, e: DataFrame,
       queryIds: Seq[Long], k: Int, stride: Int = HnswStride,
-      beam: Int = HnswEf, rounds: Int = GraphBeamRounds): DataFrame = {
+      beam: Int = HnswEf, rounds: Int = GraphBeamRounds): DataFrame =
+    hnswProbeBatchedCore(s, e, queryIds, k, beam, rounds,
+      entrySource = e.filter(col("vec_id") % (stride * stride) === 0),
+      upper = Seq((s"$graphDir/layer1", HnswR1)),
+      base = (s"$graphDir/layer0", GraphR))
+
+  /** [[hnswProbeBatched]] against the AUTO-strided artifact — batched
+    * serving over the corpus-flat hierarchy: entry selection is one
+    * aggregation over the persisted ≤[[HnswTopTarget]]-row entry table
+    * for the WHOLE batch (never a corpus scan), then the shared
+    * layer-round machinery descends the staged L2/L1/L0 graphs.
+    * Bit-identical to per-query [[hnswProbeAuto]] (spec-pinned).
+    */
+  def hnswProbeBatchedAuto(s: SparkSession, graphDir: String, e: DataFrame,
+      queryIds: Seq[Long], k: Int, beam: Int = HnswEf,
+      rounds: Int = GraphBeamRounds): DataFrame =
+    hnswProbeBatchedCore(s, e, queryIds, k, beam, rounds,
+      entrySource = s.read.parquet(s"$graphDir/entry"),
+      upper = Seq((s"$graphDir/layer2", hnswLayerR(2)),
+        (s"$graphDir/layer1", hnswLayerR(1))),
+      base = (s"$graphDir/layer0", GraphR))
+
+  /** The shared batched descent: entry = one [[knnJoinBatched]] top-1
+    * over `entrySource` (the fixed form's stride² member subset, or the
+    * auto artifact's persisted entry table), then per upper layer one
+    * round at the mid fan-out, then the base layer at full beam. Every
+    * round is one partition-pruned edge fetch plus one distributed
+    * rescore job for the whole batch.
+    */
+  private def hnswProbeBatchedCore(s: SparkSession, e: DataFrame,
+      queryIds: Seq[Long], k: Int, beam: Int, rounds: Int,
+      entrySource: DataFrame, upper: Seq[(String, Int)],
+      base: (String, Int)): DataFrame = {
     import s.implicits._
     require(queryIds.nonEmpty && queryIds.distinct.size == queryIds.size,
       "hnswProbeBatched needs a non-empty, duplicate-free query id set")
@@ -1835,15 +1900,16 @@ object Similarity {
     val qEmb = e.join(qIdsDf, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .localCheckpoint() // |Q| rows; private to this invocation
-    // top layer: ONE batched exact top-1 over the stride^2 members
-    val l2 = e.filter(col("vec_id") % (stride * stride) === 0)
+    // ONE batched exact top-1 over the entry source for the whole batch
     val qDf = e.join(qIdsDf, Seq("vec_id"), "left_semi")
     val entry: Map[Long, (Long, Long)] = // q -> (entry id, nd)
-      knnJoinBatched(l2, qDf, 1).collect().map { r =>
+      knnJoinBatched(entrySource, qDf, 1).collect().map { r =>
         val p = r.getString(1).split(":")
         r.getLong(0) -> (p(1).toLong, p(0).toLong)
       }.toMap
-    // visited(q): id -> nd, seeded from the top-layer entry
+    require(queryIds.forall(entry.contains),
+      "hnswProbeBatched: a query found no non-query entry node")
+    // visited(q): id -> nd, seeded from the entry
     val visited = queryIds.map(q => q ->
       scala.collection.mutable.Map[Long, Long](
         entry(q)._1 -> entry(q)._2)).toMap
@@ -1869,14 +1935,16 @@ object Similarity {
         for ((q, id, d) <- rescorePairs(e, qEmb, pairs))
           visited(q)(id) = d
       }
-    layerRounds(s"$graphDir/layer1", HnswR1, HnswMidFanout, 1)
-    // keep only each query's mid fan-out as seeds for the base descent
-    for (q <- queryIds) {
-      val mid = visited(q).toSeq.sortBy { case (id, d) => (-d, id) }
-        .take(HnswMidFanout)
-      visited(q).clear(); visited(q) ++= mid
+    def trim(w: Int): Unit = for (q <- queryIds) {
+      val keep = visited(q).toSeq.sortBy { case (id, d) => (-d, id) }.take(w)
+      visited(q).clear(); visited(q) ++= keep
     }
-    layerRounds(s"$graphDir/layer0", GraphR, beam, rounds)
+    for ((dir, r) <- upper) {
+      layerRounds(dir, r, HnswMidFanout, 1)
+      // keep only each query's mid fan-out as seeds for the next level
+      trim(HnswMidFanout)
+    }
+    layerRounds(base._1, base._2, beam, rounds)
     queryIds.flatMap { q =>
       visited(q).toSeq.sortBy { case (id, d) => (-d, id) }.take(k)
         .zipWithIndex.map { case ((id, d), i) => (q, i + 1L, id, d) }
@@ -2169,6 +2237,33 @@ object Similarity {
        |${hnswDescentSql(0L, "")}
        |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
 
+  // defined ABOVE the SQL vals that interpolate it (object init order)
+  private val HnswBatchQueryIds = Seq(0L, 1L, 2L)
+
+  def qAnnHnswAutoBatch(s: SparkSession, dir: String): DataFrame =
+    hnswProbeBatchedAuto(s, stagedHnswGraphAuto(s, dir),
+      Tables.embeddings(s, dir), HnswBatchQueryIds, 5)
+
+  val qAnnHnswAutoBatchSql: String = {
+    val stCte =
+      s"""nn AS (SELECT count(*) AS n FROM e),
+         |st AS (SELECT min(s) AS s FROM range(2, 4097) t(s), nn
+         |       WHERE s*s*s*$HnswTopTarget >= nn.n)""".stripMargin
+    val descents = HnswBatchQueryIds.map(q =>
+      hnswDescentSql(q, s"q${q}_", levels = 3,
+        topModExpr = "(SELECT s*s*s FROM st)"))
+    val unions = HnswBatchQueryIds.map(q =>
+      s"SELECT CAST($q AS BIGINT) AS q_id, rank, vec_id, nd FROM q${q}_res")
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
+       |$stCte,
+       |${ndReplaySqlExpr("l2", "(SELECT s*s FROM st)", hnswLayerR(2), HnswBuildRounds)},
+       |${ndReplaySqlExpr("l1", "(SELECT s FROM st)", hnswLayerR(1), HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${descents.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------- ivf-graph hybrid --
 
   /** IVF-graph hybrid search — the sharded-serving composition: the
@@ -2302,8 +2397,6 @@ object Similarity {
        |      ORDER BY nd DESC, vec_id LIMIT 5)
        |ORDER BY rank""".stripMargin
 
-  private val HnswBatchQueryIds = Seq(0L, 1L, 2L)
-
   def qAnnHnswProbeBatch(s: SparkSession, dir: String): DataFrame =
     hnswProbeBatched(s, stagedHnswGraph(s, dir), Tables.embeddings(s, dir),
       HnswBatchQueryIds, 5)
@@ -2355,6 +2448,7 @@ object Similarity {
     QueryDef("q_ann_hnsw_probe3", qAnnHnswProbe3, Some(qAnnHnswProbe3Sql)),
     QueryDef("q_ann_hnsw_auto", qAnnHnswAuto, Some(qAnnHnswAutoSql), bench = true),
     QueryDef("q_ann_ivf_graph", qAnnIvfGraph, Some(qAnnIvfGraphSql)),
+    QueryDef("q_ann_hnsw_auto_batch", qAnnHnswAutoBatch, Some(qAnnHnswAutoBatchSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
   )
 }

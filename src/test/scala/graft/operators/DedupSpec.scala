@@ -279,6 +279,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((3L, 0L, 7L)) && got.contains((4L, 2L, 5L)), s"$got")
   }
 
+  test("boilerplate mask: merged repeated intervals, full-dup docs mask 100%") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // the 10-token disclaimer at both ends, unique middle: two islands
+      (1L, s"$boiler u1 u2 u3 u4 $boiler"),
+      (2L, s"start $boiler mid1 mid2 $boiler"),
+      (3L, "totally unique words with no repeats at all whatsoever"),
+      (4L, "dup dup full body equal here"),
+      (5L, "dup dup full body equal here")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateMask(docs, minLen = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // doc 1: 24 tokens, islands [0,10) and [14,24) -> 20 boiler tokens
+    assert(got(0) == (1L, 24L, 20L, 2L, 20L * 1000000 / 24), s"${got(0)}")
+    // doc 2: 23 tokens, islands [1,11) and [13,23) -> 20
+    assert(got(1) == (2L, 23L, 20L, 2L, 20L * 1000000 / 23), s"${got(1)}")
+    // doc 3: nothing repeats -> zeros
+    assert(got(2) == (3L, 9L, 0L, 0L, 0L), s"${got(2)}")
+    // docs 4/5: exact duplicates -> one island covering everything
+    assert(got(3) == (4L, 6L, 6L, 1L, 1000000L), s"${got(3)}")
+    assert(got(4) == (5L, 6L, 6L, 1L, 1000000L), s"${got(4)}")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -309,4 +309,43 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(out.size == 5 && out.distinct.size == 5)
   }
+
+  test("insertIntoHnswAutoGraph: meta stride drives every layer; entry inserts replay-idempotent") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val old = e.filter(col("vec_id") < 480)
+    val batch = e.filter(col("vec_id") >= 480) // holds 480 = 0 mod 8 (s=2, s^3=8)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-auto-insert").toString
+    val st = Similarity.writeHnswAutoArtifact(old, dir)
+    assert(st == 2, s"480-vector corpus should solve stride 2, got $st")
+    val entriesBefore = spark.read.parquet(s"$dir/entry").count()
+
+    Similarity.insertIntoHnswAutoGraph(spark, dir, batch, old, seg = "b0")
+    // every batch node landed in layer 0; the % s members in layer 1,
+    // the % s^2 members in layer 2, the % s^3 members in the entry table
+    val l0 = Similarity.readAnnGraphLayer(spark, s"$dir/layer0", 8)
+      .filter(col("u") >= 480).select("u").distinct().count()
+    assert(l0 == 20, s"expected 20 inserted layer-0 nodes, saw $l0")
+    val l2 = Similarity.readAnnGraphLayer(spark, s"$dir/layer2", 2)
+      .filter(col("u") >= 480).select("u").distinct().count()
+    assert(l2 == 5, s"expected 5 inserted layer-2 nodes (%4), saw $l2")
+    val entries = spark.read.parquet(s"$dir/entry")
+    assert(entries.count() == entriesBefore + 3, // 480, 488, 496
+      s"expected 3 new entry rows over $entriesBefore")
+    // a crash-retry replaying the same batch duplicates NOTHING
+    Similarity.insertIntoHnswAutoGraph(spark, dir, batch, old, seg = "b0",
+      overwriteSeg = true)
+    assert(spark.read.parquet(s"$dir/entry").count() == entriesBefore + 3,
+      "entry replay duplicated rows")
+    val l0b = spark.read.parquet(s"$dir/layer0")
+      .filter(col("u") >= 480 && col("seg") === "b0").count()
+    Similarity.insertIntoHnswAutoGraph(spark, dir, batch, old, seg = "b0",
+      overwriteSeg = true)
+    assert(spark.read.parquet(s"$dir/layer0")
+      .filter(col("u") >= 480 && col("seg") === "b0").count() == l0b,
+      "layer replay duplicated delta rows")
+    // the probe serves the maintained artifact, including a new node
+    val out = Similarity.hnswProbeAuto(spark, dir, e, queryId = 1L, k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out.size == 5 && out.distinct.size == 5)
+  }
 }

@@ -211,6 +211,17 @@ class SimilarityRecallSpec extends AnyFunSuite {
       (e, q) => Similarity.hnswProbeAuto(spark, dir, e, q, 10))
     info(f"planted hnsw AUTO probe recall@10: $recall%.2f")
     assert(recall >= 0.9, s"auto probe recall $recall")
+    // the batched form over the auto artifact is bit-identical to the
+    // per-query descent — same entry table, same frontiers, same
+    // exact scaled-int distances
+    val single = queries.flatMap { q =>
+      Similarity.hnswProbeAuto(spark, dir, planted, q, 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val batched = Similarity.hnswProbeBatchedAuto(spark, dir, planted, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batched == single,
+      s"auto batched vs per-query divergence: ${batched.diff(single).take(3)}")
   }
 
   test("ivf-graph hybrid: cell-seeded beam over the persisted graph beats plain ivf entries") {
