@@ -2264,6 +2264,186 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------- pq-compressed walk --
+
+  /** PQ codes sidecar for the persisted graph — (vec_id, code_0..code_3)
+    * partitioned by the SAME `b = vec_id % 16` buckets as the layer
+    * graphs, plus the codebook centroids. 8 bytes of codes replace 256
+    * bytes of vector in every walk step's read — the DiskANN-style
+    * serving trade: at 100 TB the graph walk's I/O is candidate VECTOR
+    * reads, and the sidecar cuts them 32× while the exact rerank at
+    * emission keeps the final ranking honest.
+    */
+  def writePqCodes(e0: DataFrame, outDir: String): Unit = {
+    val e = e0.withColumn("v", scaled(col("embedding")))
+    val codes = (0 until PqM).map { j =>
+      array_min(transform(col("cents"), c =>
+        struct(subDist(col("v"), c.getField("cv"), j).as("dist"),
+          c.getField("c_label").as("l")))).getField("l").as(s"code_$j")
+    }
+    e.crossJoin(broadcast(pqCentArr(e)))
+      .select(col("vec_id") +: codes: _*)
+      .withColumn("b", pmod(col("vec_id"), lit(HnswBuckets)))
+      .repartition(col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(s"$outDir/codes")
+    pqCentArr(e).select(explode(col("cents")).as("c"))
+      .select(col("c.c_label").as("c_label"), col("c.cv").as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cents")
+  }
+
+  private[graft] def stagedPqCodes(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val emb = Paths.get(dir, "embeddings.parquet")
+    val tag = s"${Files.size(emb)}_${Files.getLastModifiedTime(emb).toMillis}"
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Staging.stagedDir(Paths.get(s"/tmp/graft_pq_codes_v1_${slug}_$tag")) { tmp =>
+      writePqCodes(Tables.embeddings(s, dir), tmp.toString)
+    }
+  }
+
+  /** Graph walk on PQ codes with exact rerank at emission — the
+    * compressed serving composition: the descent's every distance is the
+    * ADC lookup Σ_j dq(j, code_j(v)) computed from the candidate's
+    * 8-byte sidecar row (partition-pruned read of the SAME buckets as
+    * the edge fetch — the walk never touches a full vector), and only
+    * the final `rerank` candidates pay one exact pruned vector read.
+    * The per-query dq table is |codebook|·M ints, one tiny job against
+    * the persisted centroids. Recall is governed by the codebook (the
+    * same coarseness [[pqSearch]] pins); the rerank depth is the knob
+    * that buys it back — at emission the top-`rerank` ADC candidates are
+    * re-ranked by exact distance, so anything the walk VISITED is
+    * recoverable.
+    */
+  def pqGraphProbe(s: SparkSession, graphDir: String, codesDir: String,
+      e: DataFrame, queryId: Long, k: Int, stride: Int = HnswStride,
+      beam: Int = HnswEf, rounds: Int = GraphBeamRounds,
+      rerank: Int = PqWalkRerank): DataFrame = {
+    import s.implicits._
+    // per-query ADC table from the PERSISTED centroids — (j, c_label) -> distq
+    val q = e.filter(col("vec_id") === queryId)
+      .select(scaled(col("embedding")).as("qv"))
+    val dq: Map[(Int, Long), Long] =
+      s.read.parquet(s"$codesDir/cents").crossJoin(broadcast(q))
+        .select(col("c_label").cast("long"),
+          array((0 until PqM).map(j => subDist(col("qv"), col("cv"), j)): _*).as("dqs"))
+        .as[(Long, Array[Double])].collect()
+        .flatMap { case (l, ds) => ds.zipWithIndex.map { case (d, j) => (j, l) -> d.toLong } }
+        .toMap
+    val codes = s.read.parquet(s"$codesDir/codes")
+    def adcOf(ids: Seq[Long]): Seq[(Long, Long)] = // (id, nd = -adist)
+      if (ids.isEmpty) Nil
+      else codes
+        .filter(col("b").isin(ids.map(_ % HnswBuckets).distinct: _*) &&
+          col("vec_id").isin(ids: _*))
+        .collect().map { r =>
+          val id = r.getAs[Long]("vec_id")
+          var a = 0L
+          for (j <- 0 until PqM) a += dq((j, r.getAs[Number](s"code_$j").longValue))
+          (id, -a)
+        }.toSeq
+    // top: best-1 ADC among the stride² members (they all live in ONE
+    // codes bucket: vec_id % 16 == 0 => b = 0 — a single-partition read)
+    val s2 = stride * stride
+    val memberIds = codes.filter(col("vec_id") % s2 === 0 &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    require(memberIds.nonEmpty, "pqGraphProbe: empty top layer")
+    val visited = scala.collection.mutable.Map[Long, Long]()
+    visited ++= adcOf(memberIds).sortBy { case (id, nd) => (-nd, id) }.take(1)
+    def walk(layerDir: String, r: Int, w: Int, n: Int): Unit =
+      for (_ <- 1 to n) {
+        val beamIds = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
+          .take(w).map(_._1)
+        val nbrs = annGraphLookup(s, layerDir, r)(beamIds)
+          .filter(col("u") =!= queryId && col("v") =!= queryId)
+          .select(col("v")).distinct().collect().map(_.getLong(0))
+          .filterNot(id => id == queryId || visited.contains(id)).toSeq
+        visited ++= adcOf(nbrs)
+      }
+    walk(s"$graphDir/layer1", HnswR1, HnswMidFanout, 1)
+    val mid = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
+      .take(HnswMidFanout)
+    visited.clear(); visited ++= mid
+    walk(s"$graphDir/layer0", GraphR, beam, rounds)
+    // emission: exact rerank of the top-`rerank` ADC candidates — the
+    // ONLY full-vector read of the whole probe
+    val cand = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
+      .take(rerank).map(_._1)
+    val qvec = e.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    e.filter(col("vec_id").isin(cand: _*))
+      .select(col("vec_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
+      .orderBy(col("nd").desc, col("vec_id")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("nd").desc, col("vec_id"))).as("rank"),
+        col("vec_id"), col("nd"))
+      .orderBy(col("rank"))
+  }
+
+  private val PqWalkRerank = 50
+
+  def qAnnPqGraphWalk(s: SparkSession, dir: String): DataFrame =
+    pqGraphProbe(s, stagedHnswGraph(s, dir), stagedPqCodes(s, dir),
+      Tables.embeddings(s, dir), queryId = 0L, k = 5)
+
+  val qAnnPqGraphWalkSql: String = {
+    def beam(graph: String, prevV: String, curB: String, curV: String, w: Int): String =
+      s"""$curB AS (SELECT vec_id FROM $prevV ORDER BY nd DESC, vec_id LIMIT $w),
+         |$curV AS (SELECT vec_id, nd FROM $prevV
+         |          UNION SELECT d.vec_id, d.nd
+         |          FROM adc d JOIN $graph g ON g.v = d.vec_id
+         |                     JOIN $curB b ON g.u = b.vec_id
+         |          WHERE g.u <> 0 AND g.v <> 0)""".stripMargin
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
+       |el AS (SELECT e.vec_id, e.v, emb.label
+       |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+       |${ndReplaySql("l1", HnswStride, HnswR1, HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM el),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (v[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(v[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS dist
+       |  FROM e, cent c, (SELECT unnest(range(0, $PqM)) AS j) js
+       |  WHERE e.vec_id <> 0),
+       |dq AS (
+       |  SELECT c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS distq
+       |  FROM cent c, q, (SELECT unnest(range(0, $PqM)) AS j) js),
+       |best AS (
+       |  SELECT vec_id, j, c_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c_label) AS rk
+       |    FROM d)
+       |  WHERE rk = 1),
+       |adc AS MATERIALIZED (
+       |  SELECT vec_id, CAST(-sum(distq) AS BIGINT) AS nd
+       |  FROM best JOIN dq USING (c_label, j)
+       |  GROUP BY vec_id),
+       |top AS (SELECT vec_id, nd FROM adc
+       |        WHERE vec_id % ${HnswStride * HnswStride} = 0
+       |        ORDER BY nd DESC, vec_id LIMIT 1),
+       |${beam("l1g", "top", "ub1", "uv1", HnswMidFanout)},
+       |mid1 AS (SELECT vec_id, nd FROM uv1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
+       |${beam("l0g", "mid1", "c1", "w1", HnswEf)},
+       |${beam("l0g", "w1", "c2", "w2", HnswEf)},
+       |${beam("l0g", "w2", "c3", "w3", HnswEf)},
+       |cand AS (SELECT vec_id FROM w3 ORDER BY nd DESC, vec_id LIMIT $PqWalkRerank),
+       |ex AS (SELECT e.vec_id,
+       |         CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |           i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
+       |       FROM e JOIN cand USING (vec_id), q)
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM ex ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
+  }
+
   // ----------------------------------------------------- ivf-graph hybrid --
 
   /** IVF-graph hybrid search — the sharded-serving composition: the
@@ -2449,6 +2629,7 @@ object Similarity {
     QueryDef("q_ann_hnsw_auto", qAnnHnswAuto, Some(qAnnHnswAutoSql), bench = true),
     QueryDef("q_ann_ivf_graph", qAnnIvfGraph, Some(qAnnIvfGraphSql)),
     QueryDef("q_ann_hnsw_auto_batch", qAnnHnswAutoBatch, Some(qAnnHnswAutoBatchSql)),
+    QueryDef("q_ann_pq_graph_walk", qAnnPqGraphWalk, Some(qAnnPqGraphWalkSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
   )
 }
