@@ -1957,6 +1957,22 @@ object Dedup {
     * span past 32 tokens.
     */
   def boilerplateMask(docs: DataFrame, minLen: Int = SuffixMinLen): DataFrame = {
+    val per = boilerplateSpans(docs, minLen).groupBy(col("doc_id"))
+      .agg(sum(col("en") - col("st")).as("boiler_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("boiler_tokens", "n_spans"))
+      .withColumn("boiler_ppm",
+        expr("boiler_tokens * 1000000 div n_tokens"))
+  }
+
+  /** Merged boilerplate intervals `(doc_id, isl, st, en)` — the shared
+    * spine of the mask and strip forms: uncapped lens rows → per-doc
+    * gaps-and-islands merge of overlapping `[pos, pos+match_len)`.
+    */
+  private def boilerplateSpans(docs: DataFrame, minLen: Int): DataFrame = {
     val lens = suffixMatchLensFull(docs, minLen)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1967,18 +1983,91 @@ object Dedup {
         when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
           .otherwise(0L))
       .withColumn("isl", sum(col("new_isl")).over(w))
-    val spans = isl.groupBy(col("doc_id"), col("isl"))
+    isl.groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).as("st"), max(col("pos") + col("match_len")).as("en"))
-    val per = spans.groupBy(col("doc_id"))
-      .agg(sum(col("en") - col("st")).as("boiler_tokens"),
-        count(lit(1)).as("n_spans"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(per, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("boiler_tokens", "n_spans"))
-      .withColumn("boiler_ppm",
-        expr("boiler_tokens * 1000000 div n_tokens"))
   }
+
+  /** Boilerplate STRIP — the mask applied: reconstruct each document's
+    * text with every masked token removed, the form a pretraining
+    * pipeline actually feeds downstream. Fully relational (no
+    * index-lambda reconstruction): covered positions explode from the
+    * merged spans, an anti-join keeps the rest, and the cleaned text
+    * re-assembles position-ordered — identical mechanics on both
+    * engines, so the STRINGS hash-compare. A fully-duplicated doc
+    * strips to empty.
+    */
+  def boilerplateStrip(docs: DataFrame, minLen: Int = SuffixMinLen): DataFrame = {
+    val covered = boilerplateSpans(docs, minLen)
+      .select(col("doc_id"), explode(sequence(col("st"), col("en") - 1)).as("pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)"),
+        " ").as("clean_text"))
+    docs.select(col("doc_id")).join(clean, Seq("doc_id"), "left")
+      .na.fill("", Seq("clean_text"))
+  }
+
+  def qBoilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    boilerplateStrip(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val qBoilerplateStripSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
+       |      FROM ws WHERE len(w) >= $SuffixMinLen),
+       |wins AS (SELECT doc_id, pos,
+       |           array_to_string(w[(pos + 1):(pos + $SuffixMinLen)], ' ') AS win,
+       |           w[(pos + 1):] AS sfx
+       |         FROM p),
+       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |cand AS (SELECT doc_id, pos, win, sfx FROM wins
+       |         WHERE win IN (SELECT win FROM rep)),
+       |nb AS (SELECT doc_id, pos, sfx,
+       |         lag(sfx) OVER (PARTITION BY win ORDER BY sfx) AS prv,
+       |         lead(sfx) OVER (PARTITION BY win ORDER BY sfx) AS nxt
+       |       FROM cand),
+       |lens AS (SELECT doc_id, pos, greatest(
+       |  CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, prv),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(prv))) END,
+       |  CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, nxt),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(nxt))) END) AS match_len
+       |FROM nb),
+       |isl AS (SELECT doc_id, pos, match_len,
+       |          CASE WHEN max(pos + match_len) OVER
+       |                 (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |               IS NULL OR pos > max(pos + match_len) OVER
+       |                 (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          THEN 1 ELSE 0 END AS new_isl
+       |        FROM lens),
+       |isl2 AS (SELECT doc_id, pos, match_len,
+       |           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |         FROM isl),
+       |spans AS (SELECT doc_id, isl, min(pos) AS st, max(pos + match_len) AS en
+       |          FROM isl2 GROUP BY doc_id, isl),
+       |covered AS (SELECT doc_id, unnest(generate_series(st, en - 1)) AS pos
+       |            FROM spans),
+       |toks AS (SELECT doc_id, unnest(w) AS tok,
+       |           unnest(generate_series(0, len(w) - 1)) AS pos
+       |         FROM ws),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok
+       |         FROM toks t LEFT JOIN covered c
+       |           ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |         WHERE c.pos IS NULL),
+       |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |          FROM kept GROUP BY doc_id)
+       |SELECT ws.doc_id, coalesce(clean.clean_text, '') AS clean_text
+       |FROM ws LEFT JOIN clean ON ws.doc_id = clean.doc_id
+       |ORDER BY ws.doc_id""".stripMargin
 
   def qBoilerplateMask(s: SparkSession, dir: String): DataFrame =
     boilerplateMask(Tables.documents(s, dir))
@@ -2089,6 +2178,7 @@ object Dedup {
     QueryDef("q_dedup_suffix_lrs", qSuffixLrs, Some(qSuffixLrsSql), bench = true),
     QueryDef("q_dedup_suffix_lrs_full", qSuffixLrsFull, Some(qSuffixLrsFullSql)),
     QueryDef("q_dedup_boilerplate", qBoilerplateMask, Some(qBoilerplateMaskSql)),
+    QueryDef("q_dedup_boilerplate_strip", qBoilerplateStrip, Some(qBoilerplateStripSql)),
     QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),
   )
 }

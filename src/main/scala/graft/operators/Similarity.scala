@@ -2238,6 +2238,45 @@ object Similarity {
        |SELECT rank, vec_id, nd FROM res ORDER BY rank""".stripMargin
 
   // defined ABOVE the SQL vals that interpolate it (object init order)
+  /** [[hnswProbeFiltered]] over the AUTO artifact — emission-admission
+    * filtered search on the corpus-flat hierarchy (same traversal-stays-
+    * unfiltered contract; the probe-family matrix is now complete:
+    * per-query / batched / filtered × fixed-stride / auto-strided).
+    */
+  def hnswProbeAutoFiltered(s: SparkSession, graphDir: String, e: DataFrame,
+      queryId: Long, k: Int, pred: Column): DataFrame = {
+    val visitedAll = hnswProbeAuto(s, graphDir, e, queryId, Int.MaxValue)
+    visitedAll
+      .join(e.filter(pred).select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .orderBy(col("nd").desc, col("vec_id")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("nd").desc, col("vec_id"))).as("rank"),
+        col("vec_id"), col("nd"))
+      .orderBy(col("rank"))
+  }
+
+  def qAnnHnswAutoFiltered(s: SparkSession, dir: String): DataFrame =
+    hnswProbeAutoFiltered(s, stagedHnswGraphAuto(s, dir),
+      Tables.embeddings(s, dir), queryId = 0L, k = 5,
+      pred = pmod(col("vec_id"), lit(3)) === 1)
+
+  val qAnnHnswAutoFilteredSql: String = {
+    val stCte =
+      s"""nn AS (SELECT count(*) AS n FROM e),
+         |st AS (SELECT min(s) AS s FROM range(2, 4097) t(s), nn
+         |       WHERE s*s*s*$HnswTopTarget >= nn.n)""".stripMargin
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
+       |$stCte,
+       |${ndReplaySqlExpr("l2", "(SELECT s*s FROM st)", hnswLayerR(2), HnswBuildRounds)},
+       |${ndReplaySqlExpr("l1", "(SELECT s FROM st)", hnswLayerR(1), HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${hnswDescentSql(0L, "", levels = 3, topModExpr = "(SELECT s*s*s FROM st)")}
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM w3 WHERE vec_id % 3 = 1
+       |      ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
+  }
+
   private val HnswBatchQueryIds = Seq(0L, 1L, 2L)
 
   def qAnnHnswAutoBatch(s: SparkSession, dir: String): DataFrame =
@@ -2630,6 +2669,8 @@ object Similarity {
     QueryDef("q_ann_ivf_graph", qAnnIvfGraph, Some(qAnnIvfGraphSql)),
     QueryDef("q_ann_hnsw_auto_batch", qAnnHnswAutoBatch, Some(qAnnHnswAutoBatchSql)),
     QueryDef("q_ann_pq_graph_walk", qAnnPqGraphWalk, Some(qAnnPqGraphWalkSql)),
+    QueryDef("q_ann_hnsw_auto_filtered", qAnnHnswAutoFiltered,
+      Some(qAnnHnswAutoFilteredSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
   )
 }

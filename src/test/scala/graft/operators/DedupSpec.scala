@@ -302,6 +302,15 @@ class DedupSpec extends AnyFunSuite {
     // docs 4/5: exact duplicates -> one island covering everything
     assert(got(3) == (4L, 6L, 6L, 1L, 1000000L), s"${got(3)}")
     assert(got(4) == (5L, 6L, 6L, 1L, 1000000L), s"${got(4)}")
+    // the strip form applies the mask: kept tokens re-assemble in
+    // position order; full-dup docs strip to EMPTY
+    val stripped = Dedup.boilerplateStrip(docs, minLen = 5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(stripped(0) == (1L, "u1 u2 u3 u4"), s"${stripped(0)}")
+    assert(stripped(1) == (2L, "start mid1 mid2"), s"${stripped(1)}")
+    assert(stripped(2)._2 ==
+      "totally unique words with no repeats at all whatsoever", s"${stripped(2)}")
+    assert(stripped(3) == (4L, "") && stripped(4) == (5L, ""), s"$stripped")
   }
 
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
