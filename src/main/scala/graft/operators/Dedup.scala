@@ -1710,7 +1710,9 @@ object Dedup {
       val next = runStartRank(paired)
       val nd = next.agg(countDistinct(col("rank"))).head().getLong(0)
       if (nd == distinct) {
-        // plateau: every surviving collision is an identical-suffix pair
+        // plateau: every surviving collision is an identical-suffix pair;
+        // the unretained rank table's checkpoint blocks are dead
+        Staging.releaseLocalCheckpoint(next)
         converged = true
       } else {
         cur = next; off *= 2
@@ -1747,7 +1749,7 @@ object Dedup {
         col("rank").as("_ra"))
       val rb = rk.select(col("doc_id").as("_db"), col("pos").as("_pb"),
         col("rank").as("_rb"))
-      pairs = pairs
+      val stepped = pairs
         .join(ra, col("doc_a") === col("_da") &&
           col("pos_a") + col("lcp") === col("_pa"), "left")
         .join(rb, col("doc_b") === col("_db") &&
@@ -1756,7 +1758,17 @@ object Dedup {
           col("_ra") === col("_rb"), col("lcp") + w).otherwise(col("lcp")))
         .drop("_da", "_pa", "_ra", "_db", "_pb", "_rb")
         .localCheckpoint()
+      // each eager checkpoint supersedes the previous level's — without
+      // the release a deep descent accumulates O(levels) dead pair tables
+      Staging.releaseLocalCheckpoint(pairs)
+      pairs = stepped
     }
+    // the returned plan reads ONLY the final pair checkpoint: the retained
+    // rank tables, token positions, doc lengths and occ filter are all dead
+    for ((_, rk) <- levels) Staging.releaseLocalCheckpoint(rk)
+    Staging.releaseLocalCheckpoint(positions)
+    Staging.releaseLocalCheckpoint(docLen)
+    Staging.releaseLocalCheckpoint(occs)
     pairs
       // done = identical suffixes (the plateau theorem): match is the
       // full remaining length; otherwise the walked lcp, capped to the
@@ -2002,6 +2014,11 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    // per-doc reassembly buffer: ONE aggregation buffer holds one
+    // document's surviving (pos, tok) structs — O(doc tokens) memory,
+    // bounded by the longest single document, never by the corpus. Fine
+    // for web/training documents; a caller feeding book-length texts
+    // should chunk first (docChunks) or raise executor memory to match.
     val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(expr(

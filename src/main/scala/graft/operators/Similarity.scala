@@ -1707,8 +1707,16 @@ object Similarity {
     * replay; the meta table carries `levels` so a deployment that
     * outgrows stride growth can add layers with the same machinery.
     */
-  private[graft] def autoHnswStride(n: Long): Int =
-    Iterator.from(2).find(s => s.toLong * s * s * HnswTopTarget >= n).get
+  private[graft] def autoHnswStride(n: Long): Int = {
+    val st = Iterator.from(2).find(s => s.toLong * s * s * HnswTopTarget >= n).get
+    // Shared envelope with the SQL oracle's range(2, 4097) stride scan —
+    // fail by name where the oracle would silently return NULL. 4096 also
+    // keeps the layer moduli (st^l, l <= 2) inside Int exactly. Unreachable
+    // below ~4.4e15 rows; past it, add a level (meta carries `levels`).
+    require(st <= 4096,
+      s"autoHnswStride: $n rows needs stride $st > 4096 — add a 4th level")
+    st
+  }
 
   /** Write the auto-strided 3-level artifact: nnDescent layer graphs for
     * the %s and %s² member sets, the base layer, a ≤[[HnswTopTarget]]-row
@@ -1945,6 +1953,10 @@ object Similarity {
       trim(HnswMidFanout)
     }
     layerRounds(base._1, base._2, beam, rounds)
+    // the result below is built from driver-side triples — qEmb's
+    // checkpoint blocks are dead; a long-lived serving session issuing
+    // many batches must not accumulate |Q|-row blocks per call
+    Staging.releaseLocalCheckpoint(qEmb)
     queryIds.flatMap { q =>
       visited(q).toSeq.sortBy { case (id, d) => (-d, id) }.take(k)
         .zipWithIndex.map { case ((id, d), i) => (q, i + 1L, id, d) }
@@ -2320,14 +2332,19 @@ object Similarity {
         struct(subDist(col("v"), c.getField("cv"), j).as("dist"),
           c.getField("c_label").as("l")))).getField("l").as(s"code_$j")
     }
-    e.crossJoin(broadcast(pqCentArr(e)))
+    // ONE corpus-wide centroid aggregation feeds both writes (and the two
+    // artifacts cannot drift even if the computation ever becomes
+    // order-sensitive)
+    val cents = pqCentArr(e).localCheckpoint()
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id") +: codes: _*)
       .withColumn("b", pmod(col("vec_id"), lit(HnswBuckets)))
       .repartition(col("b"))
       .write.partitionBy("b").mode("overwrite").parquet(s"$outDir/codes")
-    pqCentArr(e).select(explode(col("cents")).as("c"))
+    cents.select(explode(col("cents")).as("c"))
       .select(col("c.c_label").as("c_label"), col("c.cv").as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cents")
+    Staging.releaseLocalCheckpoint(cents)
   }
 
   private[graft] def stagedPqCodes(s: SparkSession, dir: String): String = {

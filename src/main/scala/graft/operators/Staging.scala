@@ -80,6 +80,21 @@ object Staging {
     s"/tmp/${prefix}_p$self"
   }
 
+  /** Free the blocks behind a `localCheckpoint`ed frame once it is dead
+    * (superseded by a later checkpoint, or the caller's result no longer
+    * reads it). `Dataset.unpersist` only clears CacheManager entries —
+    * checkpoint blocks live on the internal RDD inside the frame's
+    * LogicalRDD, so that is what must be unpersisted. A non-checkpoint
+    * frame is a no-op. Never call this on a frame a returned LAZY plan
+    * still depends on — a lost checkpoint block fails the query.
+    */
+  private[graft] def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)

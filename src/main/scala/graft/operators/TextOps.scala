@@ -639,8 +639,11 @@ object TextOps {
     * rows, so (-n, -Σdl) erases the docs' contribution to n_docs/avg-dl
     * exactly, no stats rebuild. Per-term df needs no correction at all —
     * it is always the live posting-list length. Not atomic across the two
-    * writes: a crash in between leaves stats adjusted ahead of postings
-    * (rerun the delete; both steps are idempotent for the same doc set).
+    * writes: a crash BETWEEN them (postings deleted, stats not yet
+    * corrected) is repaired by rerunning the delete — the posting
+    * re-delete is a no-op and the stats row lands. Do NOT rerun after a
+    * successful delete: the stats append is unconditional, so a second
+    * run double-subtracts n_docs/sum_dl.
     */
   def deleteFromTermIndex(s: SparkSession, dir: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -1222,8 +1225,11 @@ object TextOps {
     * [[deleteFromTermIndex]], computed from the docs' text so docs with
     * no postings still surrender their n_docs count; per-term df needs
     * no correction (it is always the live posting-list length). Not
-    * atomic across the two writes — rerunning the delete is idempotent
-    * for the same doc set.
+    * atomic across the two writes: a crash BETWEEN them (postings gone,
+    * stats not yet corrected) is repaired by rerunning the delete — the
+    * posting re-delete is a no-op and the stats row lands. Do NOT rerun
+    * after a successful delete: the stats append is unconditional, so a
+    * second run double-subtracts n_docs/sum_dl and skews avgdl.
     */
   def deleteFromDocShardedIndex(s: SparkSession, dir: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
