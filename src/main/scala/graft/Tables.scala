@@ -17,6 +17,21 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
 
+  /** Cached reader for a STAGED artifact path (band/posting/graph
+    * indexes): a serving process holds its index open, so the partition
+    * listing is paid once per (session, path), not once per probe — for a
+    * 1024-dir partitioned index the re-list is a real per-query tax.
+    * Only safe for immutable staged dirs (the [[graft.operators.Staging]]
+    * atomic-rename protocol); a mutating index (append/compact/delete)
+    * must invalidate via [[dropCached]].
+    */
+  def at(spark: SparkSession, path: String): DataFrame =
+    cache.computeIfAbsent((spark, path), { case (s, p) => s.read.parquet(p) })
+
+  /** Invalidate a cached reader after its path's content changed. */
+  def dropCached(spark: SparkSession, path: String): Unit =
+    cache.remove((spark, path)): Unit
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -162,13 +162,30 @@ object Dedup {
       idCol: String, textCol: String, shingleK: Int, maxBucket: Int): DataFrame = {
     val in = incoming.select((guardId(col(idCol).cast("long")) + NewTag).as(idCol),
       col(textCol))
-    val inRows = bandRowsGeneric(in, idCol, textCol, shingleK)
-    val touched = inRows.select(col("band"), col("key")).distinct()
+    probeIncrementalRows(exRows, bandRowsGeneric(in, idCol, textCol, shingleK),
+      incoming, idCol, maxBucket, broadcastBatchSides = false)
+  }
+
+  /** The probe body over ALREADY-BANDED batch rows. With
+    * `broadcastBatchSides` the batch-derived sides ride broadcast joins —
+    * touched buckets into the index semi-join (the index rows never
+    * shuffle; bounded by batch x 4 distinct keys) and the drop set into
+    * the final anti-join — correct whenever the BATCH is bounded (the
+    * ingest contract; the corpus never broadcasts anywhere). The live
+    * full-corpus path keeps shuffle joins: there `inRows` is a lazy
+    * subtree whose duplication under two broadcast exchanges would
+    * re-signature the batch.
+    */
+  private def probeIncrementalRows(exRows: DataFrame, inRows: DataFrame,
+      incoming: DataFrame, idCol: String, maxBucket: Int,
+      broadcastBatchSides: Boolean): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastBatchSides) broadcast(df) else df
+    val touched = bc(inRows.select(col("band"), col("key")).distinct())
     val exPruned = exRows.join(touched, Seq("band", "key"), "left_semi")
     val pairs = bucketPairs(exPruned.unionByName(inRows),
       "__id", "ak", "id_a", "id_b", 4, mhBandMatch, maxBucket)
-    val drops = pairs.filter(col("id_b") >= NewTag)
-      .select((col("id_b") - NewTag).as(idCol)).distinct()
+    val drops = bc(pairs.filter(col("id_b") >= NewTag)
+      .select((col("id_b") - NewTag).as(idCol)).distinct())
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -210,6 +227,7 @@ object Dedup {
       rows.mode("overwrite").option("partitionOverwriteMode", "dynamic")
     else rows.mode(mode)
     w.parquet(indexDir)
+    graft.Tables.dropCached(corpus.sparkSession, indexDir)
   }
 
   /** Append a batch's band rows to a persisted index — call with the
@@ -261,6 +279,7 @@ object Dedup {
     require(fs.rename(hPath, bak), s"could not move $indexDir aside")
     require(fs.rename(tmp, hPath), s"could not move compacted index into place")
     fs.delete(bak, true): Unit
+    graft.Tables.dropCached(s, indexDir)
   }
 
   /** Delete documents from a persisted band index — the removal path a
@@ -305,6 +324,7 @@ object Dedup {
     Layout.deleteByKey(s, indexDir, "__id",
       delIds.select(col(delIds.columns.head).cast("long")),
       Seq("band", "kp", "seg"), partFilter): Unit
+    graft.Tables.dropCached(s, indexDir)
   }
 
   /** [[incrementalKept]] against a PERSISTED band index ([[writeBandIndex]])
@@ -329,10 +349,17 @@ object Dedup {
   def incrementalKeptIndexed(s: SparkSession, indexDir: String,
       incoming: DataFrame, idCol: String, textCol: String,
       shingleK: Int = ShingleK, maxBucket: Int = MaxBucket,
-      excludeSeg: Option[String] = None): DataFrame = {
+      excludeSeg: Option[String] = None,
+      cachedIndexReader: Boolean = false): DataFrame = {
     val in = incoming.select((guardId(col(idCol).cast("long")) + NewTag).as(idCol),
       col(textCol))
-    val probed = bandRowsGeneric(in, idCol, textCol, shingleK)
+    // the batch is signatured ONCE: the eager checkpoint feeds the bounded
+    // prefix collect AND the probe plan (the r12 form recomputed the
+    // MinHash signatures across both — the probe's dominant batch-side
+    // cost). The blocks live until the returned lazy frame is GC'd
+    // (ContextCleaner); they hold batch x 4 band rows, never corpus rows.
+    val inRows = bandRowsGeneric(in, idCol, textCol, shingleK).localCheckpoint()
+    val probed = inRows
       .select(col("band"), keyPrefix(col("key")).as("kp")).distinct()
       .collect().map(r => (r.getInt(0), r.getString(1)))
     val partFilter = probed.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
@@ -341,9 +368,17 @@ object Dedup {
     // excludeSeg: a replaying stream batch must not see its OWN partial
     // rows from a crashed earlier attempt — it would collide with itself
     val segGuard = excludeSeg.map(col("seg") =!= _).getOrElse(lit(true))
-    val exRows = s.read.parquet(indexDir).filter(partFilter && segGuard)
+    // cachedIndexReader: a long-lived serving session holds its index
+    // open (the partition re-list of a 1024-dir index is a per-probe
+    // tax) — ONLY for immutable staged indexes; every mutator below
+    // invalidates the cache, and streaming ingest keeps a fresh read
+    // because its own appends land between probes
+    val idx = if (cachedIndexReader) graft.Tables.at(s, indexDir)
+      else s.read.parquet(indexDir)
+    val exRows = idx.filter(partFilter && segGuard)
       .select(col("__id"), col("ak"), col("band").cast("int").as("band"), col("key"))
-    probeIncremental(exRows, incoming, idCol, textCol, shingleK, maxBucket)
+    probeIncrementalRows(exRows, inRows, incoming, idCol, maxBucket,
+      broadcastBatchSides = true)
   }
 
   /** One row per (id, band, key) over the 4 MinHash bands of any corpus
@@ -665,7 +700,8 @@ object Dedup {
     }
     val incoming = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"))
-    incrementalKeptIndexed(s, idx, incoming, "doc_id", "text")
+    incrementalKeptIndexed(s, idx, incoming, "doc_id", "text",
+        cachedIndexReader = true)
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
