@@ -2347,6 +2347,28 @@ object Similarity {
     Staging.releaseLocalCheckpoint(cents)
   }
 
+  /** PQ codes sidecar from EXTERNALLY-TRAINED per-subspace codebooks —
+    * [[pqTrain]]'s (j, c_id, cv) shape. This is the production path (a
+    * Lloyd-trained book beats the label-centroid book the SQL oracle can
+    * replay); it lives behind the spec-pinned boundary the trained
+    * encoder already uses (PqTrainSpec pins the training, the recall
+    * spec pins the walk over trained books). Cents persist per-subspace
+    * as (j, c_label, cv) — [[pqWalkCore]] branches on that schema.
+    */
+  def writePqCodesTrained(e0: DataFrame, books: DataFrame, outDir: String): Unit = {
+    val asg = pqAssign(pqSubRows(e0, "vec_id", "embedding", PqM), books)
+    val aggs = (0 until PqM).map(j =>
+      max(when(col("j") === j, col("code"))).as(s"code_$j"))
+    asg.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id").as("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
+      .withColumn("b", pmod(col("vec_id"), lit(HnswBuckets)))
+      .repartition(col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(s"$outDir/codes")
+    books.select(col("j"), col("c_id").cast("long").as("c_label"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/cents")
+  }
+
   private[graft] def stagedPqCodes(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val emb = Paths.get(dir, "embeddings.parquet")
@@ -2374,17 +2396,76 @@ object Similarity {
       e: DataFrame, queryId: Long, k: Int, stride: Int = HnswStride,
       beam: Int = HnswEf, rounds: Int = GraphBeamRounds,
       rerank: Int = PqWalkRerank): DataFrame = {
+    // top seeds: the stride² members (they all live in ONE codes bucket:
+    // vec_id % 16 == 0 => b = 0 — a single-partition read). This scan is
+    // n/stride² rows — corpus-PROPORTIONAL; [[pqGraphProbeAuto]] is the
+    // corpus-flat form (persisted ≤64-row entry table).
+    val s2 = stride * stride
+    val memberIds = s.read.parquet(s"$codesDir/codes")
+      .filter(col("vec_id") % s2 === 0 && col("vec_id") =!= queryId)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    pqWalkCore(s, codesDir, e, queryId, k, rerank, memberIds,
+      Seq((s"$graphDir/layer1", HnswR1, HnswMidFanout, 1)),
+      (s"$graphDir/layer0", GraphR, beam, rounds))
+  }
+
+  /** [[pqGraphProbe]] seeded from the AUTO artifact's persisted entry
+    * table — the corpus-flat compressed walk: the seed read is the
+    * ≤[[HnswTopTarget]]-row entry table (ids only; their distances are
+    * ADC like every other step), the descent walks the auto hierarchy's
+    * L2/L1/L0 graphs, and NO stage's input grows with n — the fixed-form
+    * walk's n/stride² seed scan (its one corpus-proportional term) is
+    * gone, completing for the compressed path what
+    * [[writeHnswAutoArtifact]] did for the exact probes.
+    */
+  def pqGraphProbeAuto(s: SparkSession, autoDir: String, codesDir: String,
+      e: DataFrame, queryId: Long, k: Int, beam: Int = HnswEf,
+      rounds: Int = GraphBeamRounds, rerank: Int = PqWalkRerank): DataFrame = {
+    val entryIds = s.read.parquet(s"$autoDir/entry")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    pqWalkCore(s, codesDir, e, queryId, k, rerank, entryIds,
+      Seq((s"$autoDir/layer2", hnswLayerR(2), HnswMidFanout, 1),
+        (s"$autoDir/layer1", hnswLayerR(1), HnswMidFanout, 1)),
+      (s"$autoDir/layer0", GraphR, beam, rounds))
+  }
+
+  /** Shared compressed-walk body: best-1 ADC over the seed ids, then per
+    * upper layer `rounds` beam rounds at its width with a trim between
+    * layers, the base layer at full beam, exact rerank at emission. Every
+    * descent distance is an 8-byte ADC lookup from the partition-pruned
+    * codes sidecar; the ONLY full-vector read is the final rerank's
+    * isin-pruned `rerank`-row corpus lookup.
+    */
+  private def pqWalkCore(s: SparkSession, codesDir: String, e: DataFrame,
+      queryId: Long, k: Int, rerank: Int, seedIds: Seq[Long],
+      upper: Seq[(String, Int, Int, Int)],
+      base: (String, Int, Int, Int)): DataFrame = {
     import s.implicits._
     // per-query ADC table from the PERSISTED centroids — (j, c_label) -> distq
     val q = e.filter(col("vec_id") === queryId)
       .select(scaled(col("embedding")).as("qv"))
+    val centsDf = s.read.parquet(s"$codesDir/cents")
     val dq: Map[(Int, Long), Long] =
-      s.read.parquet(s"$codesDir/cents").crossJoin(broadcast(q))
-        .select(col("c_label").cast("long"),
-          array((0 until PqM).map(j => subDist(col("qv"), col("cv"), j)): _*).as("dqs"))
-        .as[(Long, Array[Double])].collect()
-        .flatMap { case (l, ds) => ds.zipWithIndex.map { case (d, j) => (j, l) -> d.toLong } }
-        .toMap
+      if (centsDf.columns.contains("j")) {
+        // trained-book shape: per-subspace (j, c_label, cv) rows
+        centsDf.crossJoin(broadcast(q))
+          .select(col("j").cast("int"), col("c_label").cast("long"),
+            aggregate(
+              zip_with(slice(col("qv"), col("j") * lit(PqSub) + 1, lit(PqSub)),
+                col("cv"), (x, c) => (x - c) * (x - c)),
+              lit(0.0d), (acc, x) => acc + x).as("distq"))
+          .as[(Int, Long, Double)].collect()
+          .map { case (j, l, d) => (j, l) -> d.toLong }.toMap
+      } else {
+        // label-centroid shape: full-dim (c_label, cv), sliced per j
+        centsDf.crossJoin(broadcast(q))
+          .select(col("c_label").cast("long"),
+            array((0 until PqM).map(j => subDist(col("qv"), col("cv"), j)): _*).as("dqs"))
+          .as[(Long, Array[Double])].collect()
+          .flatMap { case (l, ds) => ds.zipWithIndex.map { case (d, j) => (j, l) -> d.toLong } }
+          .toMap
+      }
     val codes = s.read.parquet(s"$codesDir/codes")
     def adcOf(ids: Seq[Long]): Seq[(Long, Long)] = // (id, nd = -adist)
       if (ids.isEmpty) Nil
@@ -2397,15 +2478,9 @@ object Similarity {
           for (j <- 0 until PqM) a += dq((j, r.getAs[Number](s"code_$j").longValue))
           (id, -a)
         }.toSeq
-    // top: best-1 ADC among the stride² members (they all live in ONE
-    // codes bucket: vec_id % 16 == 0 => b = 0 — a single-partition read)
-    val s2 = stride * stride
-    val memberIds = codes.filter(col("vec_id") % s2 === 0 &&
-        col("vec_id") =!= queryId)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-    require(memberIds.nonEmpty, "pqGraphProbe: empty top layer")
+    require(seedIds.nonEmpty, "pqWalkCore: empty seed set")
     val visited = scala.collection.mutable.Map[Long, Long]()
-    visited ++= adcOf(memberIds).sortBy { case (id, nd) => (-nd, id) }.take(1)
+    visited ++= adcOf(seedIds).sortBy { case (id, nd) => (-nd, id) }.take(1)
     def walk(layerDir: String, r: Int, w: Int, n: Int): Unit =
       for (_ <- 1 to n) {
         val beamIds = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
@@ -2416,11 +2491,12 @@ object Similarity {
           .filterNot(id => id == queryId || visited.contains(id)).toSeq
         visited ++= adcOf(nbrs)
       }
-    walk(s"$graphDir/layer1", HnswR1, HnswMidFanout, 1)
-    val mid = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
-      .take(HnswMidFanout)
-    visited.clear(); visited ++= mid
-    walk(s"$graphDir/layer0", GraphR, beam, rounds)
+    for ((dir, r, w, n) <- upper) {
+      walk(dir, r, w, n)
+      val mid = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }.take(w)
+      visited.clear(); visited ++= mid
+    }
+    walk(base._1, base._2, base._3, base._4)
     // emission: exact rerank of the top-`rerank` ADC candidates — the
     // ONLY full-vector read of the whole probe
     val cand = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
@@ -2486,6 +2562,75 @@ object Similarity {
        |        WHERE vec_id % ${HnswStride * HnswStride} = 0
        |        ORDER BY nd DESC, vec_id LIMIT 1),
        |${beam("l1g", "top", "ub1", "uv1", HnswMidFanout)},
+       |mid1 AS (SELECT vec_id, nd FROM uv1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
+       |${beam("l0g", "mid1", "c1", "w1", HnswEf)},
+       |${beam("l0g", "w1", "c2", "w2", HnswEf)},
+       |${beam("l0g", "w2", "c3", "w3", HnswEf)},
+       |cand AS (SELECT vec_id FROM w3 ORDER BY nd DESC, vec_id LIMIT $PqWalkRerank),
+       |ex AS (SELECT e.vec_id,
+       |         CAST(-list_sum(list_transform(range(1, $Dim+1),
+       |           i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT) AS nd
+       |       FROM e JOIN cand USING (vec_id), q)
+       |SELECT row_number() OVER (ORDER BY nd DESC, vec_id) AS rank, vec_id, nd
+       |FROM (SELECT * FROM ex ORDER BY nd DESC, vec_id LIMIT 5)
+       |ORDER BY rank""".stripMargin
+  }
+
+  def qAnnPqGraphWalkAuto(s: SparkSession, dir: String): DataFrame =
+    pqGraphProbeAuto(s, stagedHnswGraphAuto(s, dir), stagedPqCodes(s, dir),
+      Tables.embeddings(s, dir), queryId = 0L, k = 5)
+
+  val qAnnPqGraphWalkAutoSql: String = {
+    def beam(graph: String, prevV: String, curB: String, curV: String, w: Int): String =
+      s"""$curB AS (SELECT vec_id FROM $prevV ORDER BY nd DESC, vec_id LIMIT $w),
+         |$curV AS (SELECT vec_id, nd FROM $prevV
+         |          UNION SELECT d.vec_id, d.nd
+         |          FROM adc d JOIN $graph g ON g.v = d.vec_id
+         |                     JOIN $curB b ON g.u = b.vec_id
+         |          WHERE g.u <> 0 AND g.v <> 0)""".stripMargin
+    val stCte =
+      s"""nn AS (SELECT count(*) AS n FROM e),
+         |st AS (SELECT min(s) AS s FROM range(2, 4097) t(s), nn
+         |       WHERE s*s*s*$HnswTopTarget >= nn.n)""".stripMargin
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
+       |$stCte,
+       |el AS (SELECT e.vec_id, e.v, emb.label
+       |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+       |${ndReplaySqlExpr("l2", "(SELECT s*s FROM st)", hnswLayerR(2), HnswBuildRounds)},
+       |${ndReplaySqlExpr("l1", "(SELECT s FROM st)", hnswLayerR(1), HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |comp AS (SELECT label, unnest(range(1, $Dim+1)) AS i, unnest(v) AS x FROM el),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv
+       |  FROM (SELECT label, i, round(sum(x)/count(*)) AS c FROM comp GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (v[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(v[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS dist
+       |  FROM e, cent c, (SELECT unnest(range(0, $PqM)) AS j) js
+       |  WHERE e.vec_id <> 0),
+       |dq AS (
+       |  SELECT c.c_label, js.j,
+       |    list_sum(list_transform(range(1, $PqSub+1),
+       |      i -> (qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i])*(qv[js.j*$PqSub+i]-cv[js.j*$PqSub+i]))) AS distq
+       |  FROM cent c, q, (SELECT unnest(range(0, $PqM)) AS j) js),
+       |best AS (
+       |  SELECT vec_id, j, c_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c_label) AS rk
+       |    FROM d)
+       |  WHERE rk = 1),
+       |adc AS MATERIALIZED (
+       |  SELECT vec_id, CAST(-sum(distq) AS BIGINT) AS nd
+       |  FROM best JOIN dq USING (c_label, j)
+       |  GROUP BY vec_id),
+       |top AS (SELECT vec_id, nd FROM adc
+       |        WHERE vec_id % (SELECT s*s*s FROM st) = 0
+       |        ORDER BY nd DESC, vec_id LIMIT 1),
+       |${beam("l2g", "top", "ub2", "uv2", HnswMidFanout)},
+       |mid2 AS (SELECT vec_id, nd FROM uv2 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
+       |${beam("l1g", "mid2", "ub1", "uv1", HnswMidFanout)},
        |mid1 AS (SELECT vec_id, nd FROM uv1 ORDER BY nd DESC, vec_id LIMIT $HnswMidFanout),
        |${beam("l0g", "mid1", "c1", "w1", HnswEf)},
        |${beam("l0g", "w1", "c2", "w2", HnswEf)},
@@ -2686,6 +2831,8 @@ object Similarity {
     QueryDef("q_ann_ivf_graph", qAnnIvfGraph, Some(qAnnIvfGraphSql)),
     QueryDef("q_ann_hnsw_auto_batch", qAnnHnswAutoBatch, Some(qAnnHnswAutoBatchSql)),
     QueryDef("q_ann_pq_graph_walk", qAnnPqGraphWalk, Some(qAnnPqGraphWalkSql)),
+    QueryDef("q_ann_pq_graph_walk_auto", qAnnPqGraphWalkAuto,
+      Some(qAnnPqGraphWalkAutoSql)),
     QueryDef("q_ann_hnsw_auto_filtered", qAnnHnswAutoFiltered,
       Some(qAnnHnswAutoFilteredSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),

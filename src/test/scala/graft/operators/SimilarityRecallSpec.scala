@@ -258,6 +258,37 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"pq walk recall $recall")
   }
 
+  test("auto-seeded pq walk: corpus-flat seeding holds the fixed-form walk's recall") {
+    // the auto variant swaps the n/stride² codes seed scan for the
+    // persisted ≤64-row entry table and descends the auto hierarchy's
+    // three layer graphs — the recall contract must survive the seed
+    // change (the rerank-at-emission recovery argument is seed-agnostic)
+    val dir = java.nio.file.Files.createTempDirectory("pq-walk-auto").toString
+    val st = Similarity.writeHnswAutoArtifact(planted, dir)
+    assert(st == 2, s"500-vector planted corpus should solve stride 2, got $st")
+    val entryRows = spark.read.parquet(s"$dir/entry").count()
+    assert(entryRows > 0 && entryRows <= Similarity.HnswTopTarget,
+      s"entry table $entryRows rows exceeds ${Similarity.HnswTopTarget}")
+    val codesDir = java.nio.file.Files.createTempDirectory("pq-walk-auto-codes").toString
+    Similarity.writePqCodes(planted, codesDir)
+    val queries = Seq(0L, 50L, 150L, 300L, 450L)
+    val recall = recallAt10(planted, queries,
+      (e, q) => Similarity.pqGraphProbeAuto(spark, dir, codesDir, e, q, 10))
+    info(f"planted auto-seeded pq walk recall@10: $recall%.2f")
+    assert(recall >= 0.8, s"auto pq walk recall $recall")
+
+    // trained-codebook sidecar (the production path the SQL oracle can't
+    // replay — Lloyd-iterated books behind the PqTrainSpec boundary):
+    // the same walk over pqTrain books must hold the same recall floor
+    val books = Similarity.pqTrain(planted, "vec_id", "embedding", k = 16)
+    val trainedDir = java.nio.file.Files.createTempDirectory("pq-walk-trained").toString
+    Similarity.writePqCodesTrained(planted, books, trainedDir)
+    val trained = recallAt10(planted, queries,
+      (e, q) => Similarity.pqGraphProbeAuto(spark, dir, trainedDir, e, q, 10))
+    info(f"planted auto walk over TRAINED books recall@10: $trained%.2f")
+    assert(trained >= 0.8, s"trained-book walk recall $trained")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
