@@ -1704,7 +1704,24 @@ object Dedup {
     * filter). DedupSpec pins this equal to a no-cap brute force on a
     * planted 40-token repeat the capped form truncates.
     */
-  def suffixMatchLensFull(docs: DataFrame, minLen: Int = SuffixMinLen): DataFrame = {
+  def suffixMatchLensFull(docs: DataFrame, minLen: Int = SuffixMinLen): DataFrame =
+    suffixMatchPairsFull(docs, minLen)
+      .select(col("doc_a").as("doc_id"), col("pos_a").as("pos"), col("match_len"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("match_len")).as("match_len"))
+      // the collision floor, exactly as the capped form
+      .filter(col("match_len") >= minLen)
+
+  /** The uncapped machinery's PAIR table — one row per SA-adjacent
+    * same-gram candidate pair `(doc_a, pos_a, doc_b, pos_b, match_len)`,
+    * both directions. [[suffixMatchLensFull]] is its per-position max;
+    * [[spanSharingClusters]] consumes the pair identities directly.
+    * Adjacency is a connectivity-preserving thinning of the all-pairs
+    * ≥-threshold graph (suffix-order lcp is the min of adjacent lcps), so
+    * closures over these edges equal closures over all qualifying pairs.
+    */
+  private[operators] def suffixMatchPairsFull(docs: DataFrame,
+      minLen: Int = SuffixMinLen): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val wins = docs.select(col("doc_id"),
@@ -1815,11 +1832,8 @@ object Dedup {
         when(col("done"), least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")))
           .otherwise(least(col("lcp"),
             col("len_a") - col("pos_a"), col("len_b") - col("pos_b"))))
-      .select(col("doc_a").as("doc_id"), col("pos_a").as("pos"), col("match_len"))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(max(col("match_len")).as("match_len"))
-      // the collision floor, exactly as the capped form
-      .filter(col("match_len") >= minLen)
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("match_len"))
   }
 
   /** Directed SA-neighbor pairs of the candidate stream — the
@@ -1988,6 +2002,102 @@ object Dedup {
        |    least(len(sfx), len(nxt))) END) AS match_len
        |FROM nb
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Documents sharing a repeated span of at least this many tokens
+    * cluster together — passage granularity, well above the 5-token
+    * collision floor: a shared sentence is not shared provenance, a
+    * shared 20-token passage is.
+    */
+  val SpanShareMin = 20
+
+  /** Longest-match document clustering — the passage-granularity analog
+    * of [[componentLabels]] over LSH candidates: docs are connected iff
+    * they share a repeated span of ≥ `minShare` tokens ANYWHERE (the
+    * uncapped suffix machinery finds every such span; whole-doc
+    * near-dup misses a long quote inside otherwise-different documents).
+    * Edges are the SA-adjacent pair table filtered to cross-doc matches
+    * ≥ `minShare` — a connectivity-preserving thinning of the all-pairs
+    * graph (lcp(x,z) = min of adjacent lcps), so the components equal
+    * the all-qualifying-pairs closure without materializing O(occ²)
+    * pairs per repeated passage. Returns (doc_id, label) for every doc;
+    * singletons label themselves.
+    */
+  def spanSharingClusters(docs: DataFrame, minLen: Int = SuffixMinLen,
+      minShare: Int = SpanShareMin): DataFrame = {
+    val edges = suffixMatchPairsFull(docs, minLen)
+      .filter(col("match_len") >= minShare && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    componentLabels(docs.select(col("doc_id")), "doc_id", edges, "doc_a", "doc_b")
+  }
+
+  /** Span-sharing clusters over the documents table with the keeper
+    * machinery applied: per multi-doc cluster, its members and the
+    * richest member (most words, ties → smaller id) as keeper — the
+    * passage-dedup policy a training pipeline applies to quote/template
+    * families the whole-doc dedups cannot see.
+    */
+  def qDedupSpanClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val quality = docs.select(col("doc_id"), size(words(col("text"))).as("n_words"))
+    spanSharingClusters(docs)
+      .join(quality, "doc_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        min(struct((-col("n_words")).as("neg"), col("doc_id").as("d"))).as("best"))
+      .filter(col("cluster_size") > 1)
+      .select(col("label").as("component"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"), col("best.d").as("keeper"))
+      .orderBy(col("component"))
+  }
+
+  val qDedupSpanClustersSql: String =
+    s"""WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
+       |      FROM ws WHERE len(w) >= $SuffixMinLen),
+       |wins AS (SELECT doc_id, pos,
+       |           array_to_string(w[(pos + 1):(pos + $SuffixMinLen)], ' ') AS win,
+       |           w[(pos + 1):] AS sfx
+       |         FROM p),
+       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |cand AS (SELECT doc_id, pos, win, sfx FROM wins
+       |         WHERE win IN (SELECT win FROM rep)),
+       |nb AS (SELECT doc_id, sfx,
+       |         lag(sfx) OVER w AS prv, lag(doc_id) OVER w AS prv_doc,
+       |         lead(sfx) OVER w AS nxt, lead(doc_id) OVER w AS nxt_doc
+       |       FROM cand WINDOW w AS (PARTITION BY win ORDER BY sfx)),
+       |pe AS (
+       |  SELECT doc_id AS da, prv_doc AS db, coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, prv),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(prv))) AS ml
+       |  FROM nb WHERE prv IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id AS da, nxt_doc AS db, coalesce(
+       |    nullif(list_position(list_transform(list_zip(sfx, nxt),
+       |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+       |    least(len(sfx), len(nxt))) AS ml
+       |  FROM nb WHERE nxt IS NOT NULL),
+       |ed AS (SELECT least(da, db) AS da, greatest(da, db) AS db
+       |       FROM pe WHERE ml >= $SpanShareMin AND da <> db GROUP BY 1, 2),
+       |edges AS (SELECT da, db FROM ed UNION ALL SELECT db AS da, da AS db FROM ed),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.da AS doc_id, r.label
+       |  FROM edges e JOIN reach r ON e.db = r.doc_id),
+       |labels AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+       |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents),
+       |g AS (SELECT label, count(*) AS cluster_size,
+       |        array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
+       |      FROM labels GROUP BY label HAVING count(*) > 1),
+       |ranked AS (
+       |  SELECT l.label, l.doc_id,
+       |    row_number() OVER (PARTITION BY l.label ORDER BY q.n_words DESC, l.doc_id) AS rk
+       |  FROM labels l JOIN q USING (doc_id))
+       |SELECT g.label AS component, g.cluster_size, g.members, r.doc_id AS keeper
+       |FROM g JOIN ranked r ON g.label = r.label AND r.rk = 1
+       |ORDER BY component""".stripMargin
 
   /** Per-document boilerplate mask — the training-pipeline CONSUMER of
     * the uncapped lens table: every position whose suffix shares ≥
@@ -2230,6 +2340,8 @@ object Dedup {
     QueryDef("q_dedup_spans", qRepeatedSpans, Some(qRepeatedSpansSql)),
     QueryDef("q_dedup_suffix_lrs", qSuffixLrs, Some(qSuffixLrsSql), bench = true),
     QueryDef("q_dedup_suffix_lrs_full", qSuffixLrsFull, Some(qSuffixLrsFullSql)),
+    QueryDef("q_dedup_span_clusters", qDedupSpanClusters,
+      Some(qDedupSpanClustersSql)),
     QueryDef("q_dedup_boilerplate", qBoilerplateMask, Some(qBoilerplateMaskSql)),
     QueryDef("q_dedup_boilerplate_strip", qBoilerplateStrip, Some(qBoilerplateStripSql)),
     QueryDef("q_dedup_semantic", qDedupSemantic, Some(qDedupSemanticSql), bench = true),

@@ -313,6 +313,35 @@ class DedupSpec extends AnyFunSuite {
     assert(stripped(3) == (4L, "") && stripped(4) == (5L, ""), s"$stripped")
   }
 
+  test("span clusters: docs chain through shared passages; sub-threshold shares stay apart") {
+    import spark.implicits._
+    // two distinct >=20-token passages; A-B share p1, B-C share p2 (so
+    // {A,B,C} must chain transitively through B), D-E share p3; F shares
+    // only a 6-token fragment with A (over the 5-token suffix floor,
+    // under the 20-token span threshold) and must stay a singleton
+    def toks(pfx: String, n: Int): String = (0 until n).map(i => s"$pfx$i").mkString(" ")
+    val p1 = toks("alpha", 25)
+    val p2 = toks("beta", 25)
+    val p3 = toks("gamma", 25)
+    val frag = toks("alpha", 6) // prefix of p1: a 6-token shared run
+    val docs = Seq(
+      (0L, s"${toks("fa", 30)} $p1"), // A
+      (1L, s"$p1 ${toks("fb", 10)} $p2"), // B (richest of its cluster)
+      (2L, s"$p2 ${toks("fc", 30)}"), // C
+      (3L, s"${toks("fd", 8)} $p3"), // D
+      (4L, s"$p3 ${toks("fe", 40)}"), // E (richest)
+      (5L, s"${toks("ff", 12)} $frag ${toks("fg", 12)}") // F
+    ).toDF("doc_id", "text")
+    val labels = Dedup.spanSharingClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(2L) == 0L,
+      s"A,B,C should chain into component 0: $labels")
+    assert(labels(3L) == 3L && labels(4L) == 3L,
+      s"D,E should form component 3: $labels")
+    assert(labels(5L) == 5L,
+      s"F's 6-token fragment is below the ${Dedup.SpanShareMin}-token span threshold: $labels")
+  }
+
   test("incremental dedup: existing wins, batch order breaks new-new ties, pruning changes nothing") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
