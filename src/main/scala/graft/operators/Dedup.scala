@@ -2178,22 +2178,28 @@ object Dedup {
     boilerplateStrip(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
-  val qBoilerplateStripSql: String =
-    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
-       |      FROM ws WHERE len(w) >= $SuffixMinLen),
-       |wins AS (SELECT doc_id, pos,
+  /** The strip replay as a reusable CTE chain over any `(doc_id, text)`
+    * relation `src`, every CTE name prefixed with `pfx` so a composing
+    * oracle (the training-funnel v2) can embed it without collisions.
+    * Terminal CTEs: `${pfx}ws` (all src docs, tokenized) and
+    * `${pfx}clean` (doc_id, clean_text — only docs with ≥1 kept token).
+    */
+  private[operators] def boilerplateStripCtesSql(src: String, pfx: String): String =
+    s"""${pfx}ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${pfx}p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - $SuffixMinLen)) AS pos
+       |      FROM ${pfx}ws WHERE len(w) >= $SuffixMinLen),
+       |${pfx}wins AS (SELECT doc_id, pos,
        |           array_to_string(w[(pos + 1):(pos + $SuffixMinLen)], ' ') AS win,
        |           w[(pos + 1):] AS sfx
-       |         FROM p),
-       |rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
-       |cand AS (SELECT doc_id, pos, win, sfx FROM wins
-       |         WHERE win IN (SELECT win FROM rep)),
-       |nb AS (SELECT doc_id, pos, sfx,
+       |         FROM ${pfx}p),
+       |${pfx}rep AS (SELECT win FROM ${pfx}wins GROUP BY win HAVING count(*) > 1),
+       |${pfx}cand AS (SELECT doc_id, pos, win, sfx FROM ${pfx}wins
+       |         WHERE win IN (SELECT win FROM ${pfx}rep)),
+       |${pfx}nb AS (SELECT doc_id, pos, sfx,
        |         lag(sfx) OVER (PARTITION BY win ORDER BY sfx) AS prv,
        |         lead(sfx) OVER (PARTITION BY win ORDER BY sfx) AS nxt
-       |       FROM cand),
-       |lens AS (SELECT doc_id, pos, greatest(
+       |       FROM ${pfx}cand),
+       |${pfx}lens AS (SELECT doc_id, pos, greatest(
        |  CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
        |    nullif(list_position(list_transform(list_zip(sfx, prv),
        |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
@@ -2202,8 +2208,8 @@ object Dedup {
        |    nullif(list_position(list_transform(list_zip(sfx, nxt),
        |      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
        |    least(len(sfx), len(nxt))) END) AS match_len
-       |FROM nb),
-       |isl AS (SELECT doc_id, pos, match_len,
+       |FROM ${pfx}nb),
+       |${pfx}isl AS (SELECT doc_id, pos, match_len,
        |          CASE WHEN max(pos + match_len) OVER
        |                 (PARTITION BY doc_id ORDER BY pos
        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -2211,23 +2217,26 @@ object Dedup {
        |                 (PARTITION BY doc_id ORDER BY pos
        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
        |          THEN 1 ELSE 0 END AS new_isl
-       |        FROM lens),
-       |isl2 AS (SELECT doc_id, pos, match_len,
+       |        FROM ${pfx}lens),
+       |${pfx}isl2 AS (SELECT doc_id, pos, match_len,
        |           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-       |         FROM isl),
-       |spans AS (SELECT doc_id, isl, min(pos) AS st, max(pos + match_len) AS en
-       |          FROM isl2 GROUP BY doc_id, isl),
-       |covered AS (SELECT doc_id, unnest(generate_series(st, en - 1)) AS pos
-       |            FROM spans),
-       |toks AS (SELECT doc_id, unnest(w) AS tok,
+       |         FROM ${pfx}isl),
+       |${pfx}spans AS (SELECT doc_id, isl, min(pos) AS st, max(pos + match_len) AS en
+       |          FROM ${pfx}isl2 GROUP BY doc_id, isl),
+       |${pfx}covered AS (SELECT doc_id, unnest(generate_series(st, en - 1)) AS pos
+       |            FROM ${pfx}spans),
+       |${pfx}toks AS (SELECT doc_id, unnest(w) AS tok,
        |           unnest(generate_series(0, len(w) - 1)) AS pos
-       |         FROM ws),
-       |kept AS (SELECT t.doc_id, t.pos, t.tok
-       |         FROM toks t LEFT JOIN covered c
+       |         FROM ${pfx}ws),
+       |${pfx}kept AS (SELECT t.doc_id, t.pos, t.tok
+       |         FROM ${pfx}toks t LEFT JOIN ${pfx}covered c
        |           ON t.doc_id = c.doc_id AND t.pos = c.pos
        |         WHERE c.pos IS NULL),
-       |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
-       |          FROM kept GROUP BY doc_id)
+       |${pfx}clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |          FROM ${pfx}kept GROUP BY doc_id)""".stripMargin
+
+  val qBoilerplateStripSql: String =
+    s"""WITH ${boilerplateStripCtesSql("documents", "")}
        |SELECT ws.doc_id, coalesce(clean.clean_text, '') AS clean_text
        |FROM ws LEFT JOIN clean ON ws.doc_id = clean.doc_id
        |ORDER BY ws.doc_id""".stripMargin

@@ -685,6 +685,91 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The v2 funnel: [[trainingPrepFull]] with the UNCAPPED boilerplate
+    * strip ([[Dedup.boilerplateStrip]]) composed in as the stage between
+    * the split and the segment dedup — repeated ≥5-token spans across the
+    * train corpus (disclaimers, templated headers, long quotes) are
+    * removed at exact extents BEFORE line-granularity dedup and token
+    * budgeting, the order a real pretraining pipeline runs them. A doc
+    * stripped to nothing drops, like the n_kept = 0 rule downstream.
+    * Unlike v1 this composition is not one lazy plan: the strip stage is
+    * action-bearing (the suffix machinery's data-dependent prefix-
+    * doubling rounds, [[Dedup.componentLabels]]-style) — the lazy stages
+    * around it still fuse, and ONE oracle checks the whole composition.
+    */
+  def trainingPrepFullV2(docs: DataFrame, budget: Long = TokenBudget): DataFrame =
+    trainingPrepFullV2From(trainingPrep(docs), budget)
+
+  private def trainingPrepFullV2From(prep: DataFrame, budget: Long): DataFrame = {
+    val train = prep.filter(col("split") === "train")
+    val stripped = Dedup.boilerplateStrip(train.select(col("doc_id"), col("text")))
+      .filter(length(col("clean_text")) > 0)
+    val cleaned = Dedup.segmentDedup(
+        stripped.select(col("doc_id"), col("clean_text").as("text")),
+        broadcastMaxSet = 0)
+      .filter(col("n_kept") > 0)
+    val withSrc = cleaned.join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+    tokenBudget(withSrc.select(col("doc_id"), col("source"),
+      col("clean_text").as("text")), "doc_id", "source", budget)
+  }
+
+  def qPipelineFullV2(s: SparkSession, dir: String): DataFrame =
+    trainingPrepFullV2From(sharedPrep(s, dir), TokenBudget).orderBy(col("doc_id"))
+
+  val qPipelineFullV2Sql: String = {
+    val pairsInner = Dedup.qJaccardPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    val sh = shinglesSql("ws", ContamK)
+    val b = hashBucketSql("doc_id", 100)
+    val pr = hashBucketSql("doc_id", PrBuckets)
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |near AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($pairsInner) WHERE jaccard >= 0.5),
+       |kept_train AS (
+       |  SELECT k.doc_id FROM keepers k
+       |  WHERE k.doc_id NOT IN (SELECT doc_id FROM near) AND k.doc_id % 97 <> 0),
+       |grams AS (SELECT doc_id, list_distinct($sh) AS g
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |ev AS (SELECT DISTINCT unnest(g) AS eg FROM grams WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, unnest(g) AS tg FROM grams
+       |       WHERE doc_id IN (SELECT doc_id FROM kept_train)),
+       |dfc AS (SELECT eg, count(*) AS df FROM tr JOIN ev ON tg = eg GROUP BY eg),
+       |rare AS (SELECT eg FROM dfc WHERE df <= $ContamMaxDf),
+       |flagged AS (SELECT doc_id FROM tr JOIN rare ON tg = eg
+       |            GROUP BY doc_id HAVING count(*) >= $ContamMinShared),
+       |clean AS (SELECT doc_id FROM kept_train
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |train AS (SELECT d.doc_id, d.source, d.text
+       |          FROM clean JOIN documents d USING (doc_id)
+       |          WHERE $b < 80),
+       |${Dedup.boilerplateStripCtesSql("train", "bp_")},
+       |stripped AS (SELECT doc_id, clean_text AS text FROM bp_clean
+       |             WHERE len(clean_text) > 0),
+       |sbase AS (SELECT doc_id, string_split(text, ' ') AS ws FROM stripped),
+       |sidx AS (SELECT doc_id, ws,
+       |           unnest(generate_series(0, CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS pos
+       |         FROM sbase),
+       |ssegs AS (SELECT doc_id, pos,
+       |            array_to_string(ws[(pos * 3 + 1):(pos * 3 + 3)], ' ') AS seg
+       |          FROM sidx),
+       |sboiler AS (SELECT seg FROM ssegs GROUP BY seg HAVING count(*) > 2),
+       |sre AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(seg, ' ' ORDER BY pos) AS clean_text
+       |        FROM ssegs WHERE seg NOT IN (SELECT seg FROM sboiler)
+       |        GROUP BY doc_id),
+       |kept AS (SELECT t.doc_id, t.source, r.clean_text
+       |         FROM train t JOIN sre r USING (doc_id)),
+       |sel AS (SELECT doc_id, source, n_tokens,
+       |          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id) AS BIGINT) AS cum_tokens
+       |        FROM (SELECT doc_id, source,
+       |                len(string_split(clean_text, ' ')) AS n_tokens,
+       |                $pr AS pr
+       |              FROM kept))
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def qPipelinePrep(s: SparkSession, dir: String): DataFrame =
     sharedPrep(s, dir)
       .groupBy(col("split"), col("source"))
@@ -1230,6 +1315,7 @@ object PipelineOps {
     QueryDef("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     QueryDef("q_pipeline_prep", qPipelinePrep, Some(qPipelinePrepSql), bench = true),
     QueryDef("q_pipeline_full", qPipelineFull, Some(qPipelineFullSql), bench = true),
+    QueryDef("q_pipeline_full_v2", qPipelineFullV2, Some(qPipelineFullV2Sql)),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
