@@ -70,4 +70,87 @@ class StreamingAnnSpec extends AnyFunSuite {
     // the streamed corpus is the full vector set
     assert(spark.read.parquet(corpus).count() == 500L)
   }
+
+  test("auto-artifact ingest: stream == sequential inserts, replay-idempotent, bound expiry surfaced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") < 400).select(col("vec_id"), col("embedding"))
+    def rows(lo: Long, hi: Long): Seq[(Long, Array[Float])] =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+    val b1 = rows(400, 450)
+    val b2 = rows(450, 500)
+    // synthetic third batch pushes the corpus past the entry bound
+    // (400 rows solve stride 2 -> bound 2^3*64 = 512; 550 > 512)
+    val b3 = rows(0, 50).map { case (id, v) => (id + 500L, v) }
+
+    val tmp = java.nio.file.Files.createTempDirectory("stream-ann-auto")
+    val streamed = s"$tmp/g_stream"; val seqd = s"$tmp/g_seq"
+    val corpus = s"$tmp/corpus"
+    val st = Similarity.writeHnswAutoArtifact(base, streamed)
+    assert(st == 2, s"400-vector base should solve stride 2, got $st")
+    Similarity.writeHnswAutoArtifact(base, seqd)
+    base.write.parquet(s"$corpus/ingest_batch=base")
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.autoGraphIngestStream(
+        input.toDF().toDF("vec_id", "embedding"), streamed, corpus).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    assert(!new java.io.File(s"$streamed/${StreamingAnn.RebuildMarker}").exists(),
+      "bound marker appeared below the entry bound (450 <= 512)")
+    input.addData(b2: _*); q.processAllAvailable()
+    assert(!new java.io.File(s"$streamed/${StreamingAnn.RebuildMarker}").exists(),
+      "bound marker appeared below the entry bound (500 <= 512)")
+    input.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    // bound expiry surfaced: 550 > 512
+    val marker = s"$streamed/${StreamingAnn.RebuildMarker}"
+    assert(new java.io.File(marker).exists(), "bound crossing left no marker")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(marker)), "UTF-8")
+    assert(body.contains("n=550") && body.contains("bound=512"),
+      s"marker should carry n and bound: $body")
+
+    // twin: the same three batches applied as sequential batch inserts
+    var acc = base
+    for ((batch, seg) <- Seq((b1, "b0"), (b2, "b1"), (b3, "b2"))) {
+      val bdf = batch.toDF("vec_id", "embedding")
+      Similarity.insertIntoHnswAutoGraph(spark, seqd, bdf, acc, seg = seg)
+      acc = acc.unionByName(bdf)
+    }
+    for ((layer, r) <- Seq(("layer0", 8), ("layer1", 4), ("layer2", 2))) {
+      val a = edgeSet(Similarity.readAnnGraphLayer(spark, s"$streamed/$layer", r))
+      val b = edgeSet(Similarity.readAnnGraphLayer(spark, s"$seqd/$layer", r))
+      assert(a == b, s"$layer: streamed view != sequential-insert view")
+    }
+    def entrySet(dir: String): Set[(Long, String)] =
+      spark.read.parquet(s"$dir/entry").select("vec_id", "seg").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(entrySet(streamed) == entrySet(seqd),
+      "entry tables diverged between stream and sequential inserts")
+
+    // crash-retry: replay batch 2's insert verbatim — dynamic overwrite
+    // of its own segments leaves every view unchanged
+    val old = spark.read.parquet(corpus)
+      .filter(col("ingest_batch") =!= "b2")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.insertIntoHnswAutoGraph(spark, streamed,
+      b3.toDF("vec_id", "embedding"), old, seg = "b2", overwriteSeg = true)
+    for ((layer, r) <- Seq(("layer0", 8), ("layer1", 4), ("layer2", 2))) {
+      val a = edgeSet(Similarity.readAnnGraphLayer(spark, s"$streamed/$layer", r))
+      val b = edgeSet(Similarity.readAnnGraphLayer(spark, s"$seqd/$layer", r))
+      assert(a == b, s"$layer: replayed batch changed the merged view")
+    }
+    assert(entrySet(streamed) == entrySet(seqd),
+      "replayed batch changed the entry table")
+
+    // the probe still serves over the grown corpus
+    val full = spark.read.parquet(corpus).select(col("vec_id"), col("embedding"))
+    val got = Similarity.hnswProbeAuto(spark, streamed, full, 0L, 5)
+    assert(got.count() == 5L, "auto probe failed over the streamed artifact")
+  }
 }
