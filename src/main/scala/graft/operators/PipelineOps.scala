@@ -1178,22 +1178,81 @@ object PipelineOps {
     * integer space (poolPos·10⁶ / poolN) instead of re-rounding a
     * double; [[calibratedFilter]] thresholds on exactly that.
     */
-  def pavPools(bins: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
-    // (bin, n, pos) sorted by bin; pool as (sumN, sumPos, members)
-    case class Pool(n: Long, pos: Long, bins: List[Long])
-    var pools = List.empty[Pool] // reversed order (head = latest)
-    for ((b, n, pos) <- bins.sortBy(_._1)) {
-      var cur = Pool(n, pos, List(b))
-      // pool backwards while the monotonicity is violated; comparing
-      // pos*n cross-products keeps the violation test exact-int
-      while (pools.nonEmpty &&
-          pools.head.pos * cur.n >= cur.pos * pools.head.n) {
+  def pavPools(bins: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    pavStack(bins.sortBy(_._1).iterator.map { case (b, n, pos) =>
+      (List(b), n, pos)
+    }).flatMap { case (bs, n, pos) => bs.map(b => (b, n, pos)) }
+
+  /** The pooling fold over (members, n, pos) ATOMS — shared by the
+    * driver fit (atoms = single bins) and the distributed merge (atoms =
+    * per-partition pools). Feeding already-pooled isotonic runs is sound:
+    * adjacent-violator pooling converges to the same unique fit in any
+    * pooling order (the classical PAV theorem), so pool-level atoms
+    * commute with bin-level ones. Comparing pos·n cross-products keeps
+    * the violation test exact-int.
+    */
+  private def pavStack(atoms: Iterator[(List[Long], Long, Long)])
+      : List[(List[Long], Long, Long)] = {
+    var pools = List.empty[(List[Long], Long, Long)] // reversed (head = latest)
+    for (atom <- atoms) {
+      var cur = atom
+      while (pools.nonEmpty && pools.head._3 * cur._2 >= cur._3 * pools.head._2) {
         val p = pools.head; pools = pools.tail
-        cur = Pool(p.n + cur.n, p.pos + cur.pos, p.bins ++ cur.bins)
+        cur = (p._1 ++ cur._1, p._2 + cur._2, p._3 + cur._3)
       }
       pools = cur :: pools
     }
-    pools.reverse.flatMap(p => p.bins.sorted.map(b => (b, p.n, p.pos)))
+    pools.reverse
+  }
+
+  /** DISTRIBUTED PAV fit over a `(domain, bin, n, pos)` frame — the form
+    * that removes [[calibratedFilter]]'s driver collect for tables past
+    * driver size. Domains are independent fits, so the natural 100 TB
+    * shape (millions of domains × a bounded per-domain bin range — the
+    * bins are score/binWidth, an artifact bound, never the corpus) runs
+    * each domain's exact PAV inside one executor task via
+    * `flatMapGroups`; nothing touches the driver. A SINGLE domain whose
+    * bin table outgrows a task uses [[pavPoolsPartitioned]] (the
+    * range-sorted pool-merge). Returns `(domain, bin, cal_ppm)` with the
+    * identical exact-int ppm floor as the driver fit.
+    */
+  def pavFitDistributed(bins: DataFrame): DataFrame = {
+    val s = bins.sparkSession
+    import s.implicits._
+    bins.select(col("domain").cast("string"), col("bin").cast("long"),
+        col("n").cast("long"), col("pos").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (dom, it) =>
+        pavPools(it.map(t => (t._2, t._3, t._4)).toSeq)
+          .iterator.map { case (b, pn, pp) => (dom, b, pp * 1000000L / pn) }
+      }
+      .toDF("domain", "bin", "cal_ppm")
+  }
+
+  /** Single-domain PAV past task size: range-sort the `(bin, n, pos)`
+    * frame, pool every partition locally ([[pavStack]] over its sorted
+    * bins), and stack-merge the per-partition pool runs in partition
+    * order — the segment-tree composition PAV's order-insensitive
+    * pooling licenses. The driver sees only per-partition POOL runs
+    * (each a monotone compression of its partition — bounded by the
+    * partition's bin count, typically far smaller), never the bin table.
+    */
+  def pavPoolsPartitioned(bins: DataFrame): Seq[(Long, Long, Long)] = {
+    val s = bins.sparkSession
+    import s.implicits._
+    val parts = bins.select(col("bin").cast("long"), col("n").cast("long"),
+        col("pos").cast("long"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("bin"))
+      .sortWithinPartitions(col("bin"))
+      .rdd.mapPartitionsWithIndex { (pi, it) =>
+        Iterator.single(pi -> pavStack(it.map { case (b, n, pos) =>
+          (List(b), n, pos)
+        }))
+      }.collect().sortBy(_._1)
+    pavStack(parts.iterator.flatMap(_._2))
+      .flatMap { case (bs, n, pos) => bs.map(b => (b, n, pos)) }
   }
 
   /** The calibration loop CLOSED: per-domain reliability table →
@@ -1228,6 +1287,25 @@ object PipelineOps {
     docs.select(col("doc_id"), domain.as("domain"),
         floor(score.cast("long") / binWidth).cast("long").as("bin"))
       .join(fitDf, Seq("domain", "bin"))
+      .filter(col("cal_ppm") >= thresholdPpm)
+      .select(col("doc_id"), col("domain"), col("bin"), col("cal_ppm"))
+  }
+
+  /** [[calibratedFilter]] with the fit computed DISTRIBUTED
+    * ([[pavFitDistributed]]) and joined back without a forced broadcast
+    * (AQE broadcasts when the fit is small; a fit past broadcast size
+    * shuffle-joins on (domain, bin)) — the form for (domain × bin)
+    * tables past driver size. Output contract is identical to
+    * [[calibratedFilter]]; PipelineOpsSpec pins row equality.
+    */
+  def calibratedFilterDistributed(docs: DataFrame, score: Column, label: Column,
+      domain: Column, binWidth: Int, thresholdPpm: Long): DataFrame = {
+    val fit = pavFitDistributed(
+      reliabilityTable(docs, score, label, domain, binWidth)
+        .select(col("domain"), col("bin"), col("n"), col("pos")))
+    docs.select(col("doc_id"), domain.as("domain"),
+        floor(score.cast("long") / binWidth).cast("long").as("bin"))
+      .join(fit, Seq("domain", "bin"))
       .filter(col("cal_ppm") >= thresholdPpm)
       .select(col("doc_id"), col("domain"), col("bin"), col("cal_ppm"))
   }

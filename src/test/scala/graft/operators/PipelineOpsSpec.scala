@@ -402,6 +402,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed pav: executor fits and partitioned pooling equal the driver fit at scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // randomized (domain x bin) table well past any hand-checked size:
+    // 200 domains x up to 64 bins, adversarial rates — the distributed
+    // executor fit, the range-partitioned pool-merge, and the driver
+    // pooling loop must agree bin-for-bin in exact-int ppm (the driver
+    // loop is itself pinned to the minimax characterization above, so
+    // agreement chains all three to the theorem)
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      d <- 0 until 200
+      b <- 0 until (2 + rnd.nextInt(63))
+    } yield {
+      val n = 1L + rnd.nextInt(50)
+      (s"dom$d", b.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+    }
+    val binsDf = rows.toDF("domain", "bin", "n", "pos")
+      .repartition(16) // scatter domains across tasks
+    val distributed = PipelineOps.pavFitDistributed(binsDf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val driver = rows.groupBy(_._1).flatMap { case (dom, rs) =>
+      PipelineOps.pavPools(rs.map(t => (t._2, t._3, t._4)))
+        .map { case (b, pn, pp) => (dom, b) -> pp * 1000000L / pn }
+    }
+    assert(distributed == driver,
+      "distributed pav fit diverged from the driver pooling loop")
+
+    // single giant domain through the range-partitioned pool merge:
+    // 20k bins across 32 partitions, compared to the driver loop
+    val big = (0 until 20000).map { b =>
+      val n = 1L + rnd.nextInt(50)
+      (b.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+    }
+    val merged = PipelineOps.pavPoolsPartitioned(big.toDF("bin", "n", "pos"))
+    assert(merged == PipelineOps.pavPools(big),
+      "partitioned pool merge diverged from the driver pooling loop")
+
+    // the distributed filter is row-identical to the driver filter
+    val docs = graft.Tables.documents(spark, sfDir)
+    val score = col("n_chars")
+    val label = array_contains(split(col("text"), " "), "merge").cast("long")
+    val a = PipelineOps.calibratedFilter(docs, score, label, col("lang"), 100, 700000L)
+      .collect().map(_.toString).sorted.toSeq
+    val b = PipelineOps.calibratedFilterDistributed(docs, score, label, col("lang"), 100, 700000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "calibratedFilterDistributed diverged from calibratedFilter")
+  }
+
   test("calibrated filter consumes the pav fit and thresholds on exact-int ppm") {
     val out = PipelineOps.qQualityCalibratedFilter(spark, sfDir).collect()
     assert(out.nonEmpty, "calibrated filter kept nothing")
