@@ -457,6 +457,85 @@ object Analytics {
     * overlap with 1/sqrt(k) error from two k-long arrays instead of a
     * distinct-join of the cohorts.
     */
+  /** HyperLogLog register table over a column, fully RELATIONAL — the
+    * constant-memory cardinality sketch as a plain partial-aggregated
+    * groupBy.max on (bucket, rank): no UDAF state crosses the exchange,
+    * just ≤256 (bucket, reg) rows after map-side combine, which is the
+    * 100 TB form (the typed [[graft.plans.HllDistinctAggregator]] is the
+    * single-value library API; this is the plan shape).
+    * bucket = low 8 bits of the shared 60-bit md5-prefix hash; rank =
+    * 53 − bitlen(h >> 8) (the all-zero field caps at 53) — bit lengths
+    * read off `bin()` here and `printf('%b')` in the twin, no
+    * transcendentals anywhere.
+    */
+  def hllRegisters(df: DataFrame, valueCol: String): DataFrame = {
+    val h = conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val rest = shiftrightunsigned(h, 8)
+    df.select((h % 256).as("bucket"),
+        when(rest === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(rest)).cast("long")).as("r"))
+      .groupBy(col("bucket"))
+      .agg(max(col("r")).as("reg"))
+  }
+
+  def qDistinctHll(s: SparkSession, dir: String): DataFrame =
+    hllRegisters(Tables.orders(s, dir), "o_custkey")
+      .orderBy(col("bucket"))
+
+  private val hllRegCteSql: String =
+    """h AS (SELECT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |      FROM orders),
+      |r AS (SELECT h % 256 AS bucket,
+      |        CASE WHEN h // 256 = 0 THEN 53
+      |             ELSE 53 - length(printf('%b', h // 256)) END AS r
+      |      FROM h),
+      |regs AS (SELECT bucket, CAST(max(r) AS BIGINT) AS reg
+      |         FROM r GROUP BY bucket)""".stripMargin
+
+  val qDistinctHllSql: String =
+    s"""WITH $hllRegCteSql
+       |SELECT bucket, reg FROM regs ORDER BY bucket""".stripMargin
+
+  /** The raw HLL estimate derived from the register table in the
+    * replayable exact form: the harmonic denominator is an exact BIGINT
+    * (Σ 2^(53−M_j) ≤ 256·2^53 < 2^62; empty buckets contribute 2^53),
+    * and the estimate is one exact double product (α_ppm·m²·2^53 — the
+    * constants and the power of two are exact) over two correctly-rounded
+    * divisions, floored — both engines evaluate the identical shape on
+    * the identical integer, so the hash gate holds. Raw-estimator regime
+    * only (n > 2.5m — the custkey cardinalities at every gate scale); the
+    * small-range correction needs ln and the exact-there KMV sketch is
+    * the right tool in that regime instead. `exact_distinct` rides along
+    * so the estimate's quality is visible in the artifact.
+    */
+  def qDistinctHllEstimate(s: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisters(Tables.orders(s, dir), "o_custkey")
+    val exact = Tables.orders(s, dir)
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    regs
+      .agg(count(lit(1)).as("nz"),
+        sum(expr("CAST(power(2, 53 - reg) AS BIGINT)")).as("dnz"))
+      .select(((lit(256L) - col("nz")) * lit(1L << 53) + col("dnz")).as("denom"))
+      .select(col("denom"),
+        expr("CAST(floor(718273e0 * 256e0 * 256e0 * power(2e0, 53e0) " +
+          "/ CAST(denom AS DOUBLE) / 1000000e0) AS BIGINT)").as("hll_est"))
+      .crossJoin(exact)
+      .select(col("denom"), col("hll_est"), col("exact_distinct"))
+  }
+
+  val qDistinctHllEstimateSql: String =
+    s"""WITH $hllRegCteSql,
+       |d AS (SELECT count(*) AS nz,
+       |        CAST(sum(CAST(power(2, 53 - reg) AS BIGINT)) AS BIGINT) AS dnz
+       |      FROM regs),
+       |den AS (SELECT (256 - nz) * ${1L << 53} + dnz AS denom FROM d)
+       |SELECT denom,
+       |  CAST(floor(718273e0 * 256e0 * 256e0 * power(2e0, 53e0)
+       |       / CAST(denom AS DOUBLE) / 1000000e0) AS BIGINT) AS hll_est,
+       |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
+       |FROM den""".stripMargin
+
   def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
     val sketch = udaf(new graft.plans.KmvSetAggregator(65536, requireExact = true),
       org.apache.spark.sql.Encoders.STRING)
@@ -610,6 +689,9 @@ object Analytics {
     QueryDef("q_quantiles_approx", qQuantilesApprox, Some(qQuantilesApproxSql)),
     QueryDef("q_quantiles_tdigest", qQuantilesTdigest, Some(qQuantilesTdigestSql)),
     QueryDef("q_distinct_kmv", qDistinctKmv, Some(qDistinctKmvSql)),
+    QueryDef("q_distinct_hll", qDistinctHll, Some(qDistinctHllSql)),
+    QueryDef("q_distinct_hll_estimate", qDistinctHllEstimate,
+      Some(qDistinctHllEstimateSql)),
     QueryDef("q_kmv_overlap", qKmvOverlap, Some(qKmvOverlapSql)),
     QueryDef("q_top_per_group_agg", qTopPerGroupAgg, Some(qTopPerGroupAggSql)),
     QueryDef("q_bloom_prejoin", qBloomPrejoin, Some(qBloomPrejoinSql), bench = true),

@@ -581,6 +581,84 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprisal scoring in EXACT integer bits — the
+    * log-perplexity variant [[qTextFluency]]'s docstring names, made
+    * cross-engine-exact: with add-1 smoothing, a bigram's conditional
+    * probability is the exact rational (c_ab+1)/(c_a+V), so its
+    * surprisal floor(-log2 p) = floor(log2((c_a+V)/(c_ab+1))) — and for
+    * an exact rational ≥ 1, floor(log2(a/b)) == bitlen(a div b) - 1
+    * (powers of two are integers, so the integer quotient lands in the
+    * same dyadic interval). No transcendental is ever evaluated: the
+    * Spark side reads the bit length off `bin()`, the oracle off
+    * `printf('%b')`. Output per doc: bigram count, total surprisal
+    * bits, and the mean in exact milli-bits — the "how surprising is
+    * this document under the corpus LM" quality signal (high = rare
+    * transitions = noisy/foreign text; a trained-LM scorer slots into
+    * the same plan shape with a model UDF).
+    *
+    * Scale: bigram stats partial-agg once (vocab²-bounded by Heaps'
+    * law, never corpus-bounded); unigram PREFIX counts derive from the
+    * bigram table (one more partial agg — self-consistent smoothing,
+    * no second corpus pass); per-doc distinct-bigram counts join the
+    * gram bits on gram keys (AQE broadcasts when the gram side fits);
+    * the only doc-keyed exchange is the final per-doc sum.
+    */
+  def qTextSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val n = size(w)
+    val docBigrams = docs
+      .select(col("doc_id"), w.as("w"),
+        explode(when(n >= 2, sequence(lit(1), n - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + 1).as("b"))
+    val big = docBigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val uni = big.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val vocab = docs.select(explode(w).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val gramBits = big.join(uni, Seq("a")).crossJoin(broadcast(vocab))
+      .select(col("a"), col("b"),
+        (length(bin(expr("(ca + v) div (cab + 1)"))) - 1).cast("long").as("bits"))
+    val perDoc = docBigrams.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(gramBits, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("bits") * col("cnt")).as("total_bits"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        when(col("n_bigrams") > 0, expr("total_bits * 1000 div n_bigrams"))
+          .otherwise(lit(0L)).as("mean_milli_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextSurprisalSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |db AS (SELECT doc_id,
+       |         unnest(list_slice(w, 1, len(w) - 1)) AS a,
+       |         unnest(list_slice(w, 2, len(w))) AS b
+       |       FROM ws),
+       |big AS (SELECT a, b, count(*) AS cab FROM db GROUP BY a, b),
+       |uni AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM big GROUP BY a),
+       |v AS (SELECT count(DISTINCT tt.t) AS v
+       |      FROM (SELECT unnest(w) AS t FROM ws) tt),
+       |gb AS (SELECT a, b,
+       |         CAST(length(printf('%b', (ca + v.v) // (cab + 1))) - 1 AS BIGINT) AS bits
+       |       FROM big JOIN uni USING (a), v),
+       |dbc AS (SELECT doc_id, a, b, count(*) AS cnt FROM db GROUP BY doc_id, a, b),
+       |pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(bits * cnt) AS BIGINT) AS total_bits
+       |       FROM dbc JOIN gb USING (a, b) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(pd.total_bits, 0) AS total_bits,
+       |  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+       |       THEN pd.total_bits * 1000 // pd.n_bigrams ELSE 0 END AS mean_milli_bits
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Posting-list term index — the 100 TB shape of BM25 retrieval, the
     * [[Similarity.writeSigPartitioned]] pattern applied to text. Layout:
     * `dir/postings/tb=XX/` holds (term, doc_id, tf, dl) rows partitioned by
@@ -1007,6 +1085,124 @@ object TextOps {
     * the probe entry below times the probe alone — at 100 TB the build is a
     * scheduled pipeline, the probe is the product.
     */
+  /** IMPACT-ORDERED posting index (the JASS/score-at-index-time family,
+    * completing the dynamic-pruning trio with MaxScore and WAND): each
+    * posting's full query-independent BM25 contribution — tf, dl, df and
+    * the corpus stats are all known at build time — is computed ONCE at
+    * indexing, and postings rank within their term by (impact DESC,
+    * doc_id) into `irk`. A probe that reads only `irk ≤ B` per term
+    * touches O(B·|terms|) rows REGARDLESS of posting-list length — the
+    * early-termination regime for stopword-laden queries where even
+    * WAND's skipping must walk the full lists' skip structure. Layout is
+    * the term index's md5-bucketed one (`tb`), rows sorted by (term, irk)
+    * within files so the B-cap rides into the scan as a row-group
+    * predicate; `termstats/` persists each term's full df (the probe
+    * must not derive df from the truncated read).
+    *
+    * The trade, stated: impacts BAKE the corpus stats — an append shifts
+    * df/avgdl and stales every impact, so append-heavy deployments keep
+    * the maintained term index (+ WAND/MaxScore) and REBUILD this one on
+    * stats drift, the standard impact-index operating model. The
+    * candidate set is exact for any B by construction (ranks replay in
+    * SQL); whether it CONTAINS the true top-k is the B knob —
+    * TextRetrievalSpec pins B = n equals the full scan and measures the
+    * small-B recall.
+    */
+  def writeImpactIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val w = words(col(textCol))
+    val posts = docs.select(col(idCol).as("doc_id"), size(w).as("dl"),
+        explode(w).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = posts.join(dfs, Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("impact", bm25Term(col("tf"), col("dl"), col("n_docs"),
+        col("sum_dl"), col("df")))
+    // one build-time window, partitioned by term — parallel across terms
+    val byImpact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("impact").desc, col("doc_id"))
+    scored.withColumn("irk", row_number().over(byImpact).cast("long"))
+      .select(col("term"), col("irk"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
+      .repartition(col("tb")).sortWithinPartitions(col("term"), col("irk"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    dfs.withColumn("tb", substring(md5(col("term").cast("binary")), 1, 2))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/termstats")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Early-termination BM25 probe of the impact index: candidates = the
+    * union of each term's top-`topB` impacts (a pruned `irk ≤ topB`
+    * read), then ONE more pruned read rescores the candidates EXACTLY
+    * over all their query-term postings (df from `termstats`, stats from
+    * the additive stats rows) — so the returned scores are true BM25,
+    * only the candidate set is B-bounded. Scoring tail is
+    * [[bm25FromPosts]], shared with every other probe.
+    */
+  def bm25ImpactProbe(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int, topB: Int): DataFrame = {
+    val posts0 = prunedPostings(s, indexDir, terms)
+    val cands = posts0.filter(col("irk") <= topB)
+      .select(col("doc_id")).distinct()
+    val posts = posts0.join(broadcast(cands), Seq("doc_id"), "left_semi")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buckets = terms.map { t =>
+      md.reset()
+      md.digest(t.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+    }.distinct
+    val dfs = s.read.parquet(s"$indexDir/termstats")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+  }
+
+  private[graft] def stagedImpactIndex(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val doc = Paths.get(dir, "documents.parquet")
+    val tag = s"${Files.size(doc)}_${Files.getLastModifiedTime(doc).toMillis}"
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Staging.stagedDir(Paths.get(s"/tmp/graft_impact_index_${slug}_$tag")) { tmp =>
+      writeImpactIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), tmp.toString)
+    }
+  }
+
+  private val ImpactTopB = 8
+
+  def qTextBm25Impact(s: SparkSession, dir: String): DataFrame =
+    bm25ImpactProbe(s, stagedImpactIndex(s, dir), QueryTerms, 10, ImpactTopB)
+
+  /** Oracle: per query term, a doc's impact rank is its BM25_t rank among
+    * the docs CONTAINING the term (tf > 0 — the posting list); candidates
+    * are any-term top-[[ImpactTopB]]; the final top-10 rescored exactly
+    * over the candidate set. Every double is the shared [[bm25ScoreSql]]
+    * shape, so impact ORDER agrees bit-for-bit across engines.
+    */
+  val qTextBm25ImpactSql: String = {
+    val irks = QueryTerms.map(t =>
+      s"""CASE WHEN tf_$t > 0 THEN row_number() OVER (
+         |  PARTITION BY tf_$t > 0 ORDER BY bm25_$t DESC, doc_id) END AS irk_$t""".stripMargin)
+    val candCond = QueryTerms.map(t => s"irk_$t <= $ImpactTopB").mkString(" OR ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, dl, ${QueryTerms.map(t => s"base.tf_$t").mkString(", ")},
+       |    ${QueryTerms.map(bm25ScoreSql).mkString(",\n    ")}
+       |  FROM ${termStatsSql(QueryTerms)}),
+       |ranked AS (
+       |  SELECT *,
+       |    ${irks.mkString(",\n    ")}
+       |  FROM scored)
+       |SELECT doc_id, dl, ${QueryTerms.map(t => s"bm25_$t").mkString(", ")},
+       |  ${QueryTerms.map(t => s"bm25_$t").mkString(" + ")} AS bm25
+       |FROM ranked
+       |WHERE $candCond
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   private[graft] def stagedTermIndex(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val doc = Paths.get(dir, "documents.parquet")
@@ -1560,6 +1756,7 @@ object TextOps {
     QueryDef("q_text_bm25_maxscore", qTextBm25MaxScore, Some(qTextBm25IndexedSql)),
     QueryDef("q_text_bm25_msprobe", qTextBm25MsProbe, Some(qTextBm25IndexedSql), bench = true),
     QueryDef("q_text_bm25_wand", qTextBm25Wand, Some(qTextBm25IndexedSql), bench = true),
+    QueryDef("q_text_bm25_impact", qTextBm25Impact, Some(qTextBm25ImpactSql)),
     QueryDef("q_text_bm25_rare", qTextBm25Rare, Some(qTextBm25RareSql), bench = true),
     QueryDef("q_text_bm25_rare_probe", qTextBm25RareProbe, Some(qTextBm25RareProbeSql), bench = true),
     // the doc-sharded layout pair: staged during untimed warmup like every
@@ -1571,6 +1768,7 @@ object TextOps {
     QueryDef("q_rerank_cross", qRerankCross, Some(qRerankCrossSql)),
     QueryDef("q_hybrid_rrf", qHybridRrf, Some(qHybridRrfSql)),
     QueryDef("q_text_fluency", qTextFluency, Some(qTextFluencySql)),
+    QueryDef("q_text_surprisal", qTextSurprisal, Some(qTextSurprisalSql)),
     QueryDef("q_text_collocations", qTextCollocations, Some(qTextCollocationsSql)),
     QueryDef("q_text_phrase", qTextPhrase, Some(qTextPhraseSql)),
     QueryDef("q_text_normalize", qTextNormalize, Some(qTextNormalizeSql)),

@@ -15,6 +15,48 @@ class KmvSpec extends AnyFunSuite {
     assert(new KmvSketch(64).estimate == 0.0)
   }
 
+  test("hll: merge == union build, order-independent, raw estimate inside the bound") {
+    val n = 100000
+    val whole = new HllSketch
+    (0 until n).foreach(i => whole.add(s"item-$i"))
+    // merge of disjoint halves == one-pass build, register-for-register
+    val a = new HllSketch; val b = new HllSketch
+    (0 until n / 2).foreach(i => a.add(s"item-$i"))
+    (n / 2 until n).foreach(i => b.add(s"item-$i"))
+    assert(a.merge(b).regs.toSeq == whole.regs.toSeq,
+      "merged halves diverged from the one-pass registers")
+    // order independence: reversed stream, same registers
+    val rev = new HllSketch
+    (n - 1 to 0 by -1).foreach(i => rev.add(s"item-$i"))
+    assert(rev.regs.toSeq == whole.regs.toSeq)
+    // duplicates change nothing
+    val dup = new HllSketch
+    (0 until n).foreach(i => dup.add(s"item-$i"))
+    (0 until n).foreach(i => dup.add(s"item-$i"))
+    assert(dup.regs.toSeq == whole.regs.toSeq)
+    // raw-estimator regime (n >> 2.5m): stdev ~ 1.04/sqrt(256) = 6.5%; 4 sigma
+    val err = math.abs(whole.estimateRaw.toDouble / n - 1.0)
+    assert(err < 0.26, s"hll estimate ${whole.estimateRaw} for $n (err $err)")
+    // 256 bytes, any cardinality: every register within the 52-bit field cap
+    assert(whole.regs.forall(r => r >= 0 && r <= HllSketch.RankCap))
+  }
+
+  test("hll: the typed aggregator equals the relational register plan") {
+    val spark = graft.vpts.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+    // aggregator estimate == the estimate derived from the relational
+    // register table (identical formula over identical registers)
+    val agg = udaf(new HllDistinctAggregator, org.apache.spark.sql.Encoders.STRING)
+    val viaAgg = orders.agg(agg(col("o_custkey").cast("string")))
+      .head().getLong(0)
+    val viaPlan = graft.operators.Analytics
+      .qDistinctHllEstimate(spark, "/root/testdata/sf0.01")
+      .head().getAs[Long]("hll_est")
+    assert(viaAgg == viaPlan,
+      s"aggregator estimate $viaAgg != relational-plan estimate $viaPlan")
+  }
+
   test("approximate regime: error within the KMV bound, order-independent") {
     val n = 100000
     val k = 256
