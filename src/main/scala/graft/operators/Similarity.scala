@@ -43,6 +43,89 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Maximal-marginal-relevance rerank over a bounded candidate set — the
+    * diversity stage a retrieval pipeline runs after top-k: greedily
+    * select documents maximizing λ·rel − (1−λ)·max-sim-to-selected. With
+    * λ = 1/2 the marginal score is ORDER-equivalent to `rel − maxsim`,
+    * a plain difference of the library's exact cosine doubles, so the
+    * selection replays bit-for-bit in SQL (each greedy step statically
+    * unrolls to one argmax CTE, the hnswDescentSql pattern).
+    *
+    * Cost shape: relevance is the distributed brute-force (or any ANN
+    * probe) top-`depth`; the candidate pairwise sims are ONE bounded
+    * depth²-row job; the greedy loop runs on the driver over ≤ depth
+    * collected scores (k·depth comparisons — a serving-side triviality,
+    * same boundedness class as the batched-probe frontier fold). Nothing
+    * corpus-sized ever reaches the driver.
+    */
+  def mmrRerank(e: DataFrame, queryId: Long, depth: Int, k: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    require(depth >= 1 && k >= 1 && depth <= 4096,
+      s"mmrRerank: depth $depth / k $k out of the bounded-serving range")
+    val cand = bruteForceTopK(e, queryId, depth)
+      .select(col("vec_id"), col("cos").as("rel"))
+      .localCheckpoint()
+    val ce = e.join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val sims = ce.as("a").crossJoin(broadcast(ce.as("b")))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (a, xs) => a -> xs.map(x => x._2 -> x._3).toMap }
+    val rels = cand.as[(Long, Double)].collect().sortBy { case (id, r) => (-r, id) }
+    Staging.releaseLocalCheckpoint(cand)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    selected += rels.head
+    while (selected.size < math.min(k, rels.length)) {
+      val best = rels.iterator
+        .filterNot(c => selected.exists(_._1 == c._1))
+        .map { case (id, r) =>
+          (id, r, r - selected.iterator.map(sv => sims(id)(sv._1)).max)
+        }
+        .reduceLeft((x, y) => if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x)
+      selected += ((best._1, best._2))
+    }
+    selected.zipWithIndex
+      .map { case ((id, r), i) => (i + 1L, id, r) }.toSeq
+      .toDF("rank", "vec_id", "rel")
+  }
+
+  def qAnnMmr(s: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.embeddings(s, dir), 0L, depth = 20, k = 5)
+
+  val qAnnMmrSql: String = {
+    // statically unrolled greedy selection: sel_i = argmax over the
+    // unselected candidates of rel − max(sim to selected), ties → id
+    def step(i: Int): String = {
+      val prev = s"sel${i - 1}"
+      s"""p$i AS (
+         |  SELECT r.vec_id, r.rel, r.rel - max(s.sim) AS mmr
+         |  FROM rel r JOIN sims s ON s.va = r.vec_id
+         |    AND s.vb IN (SELECT vec_id FROM $prev)
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY r.vec_id, r.rel),
+         |pick$i AS (SELECT CAST($i AS BIGINT) AS rank, vec_id, rel FROM p$i
+         |           ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT rank, vec_id, rel FROM sel${i - 1}
+         |          UNION ALL SELECT rank, vec_id, rel FROM pick$i)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rel AS (SELECT vec_id, ${cosineSql("embedding", "qe")} AS rel
+       |        FROM embeddings, q WHERE vec_id <> 0
+       |        ORDER BY rel DESC, vec_id LIMIT 20),
+       |pe AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id IN (SELECT vec_id FROM rel)),
+       |sims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |           ${cosineSql("a.embedding", "b.embedding")} AS sim
+       |         FROM pe a, pe b WHERE a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel FROM rel
+       |         ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT rank, vec_id, rel FROM sel5 ORDER BY rank""".stripMargin
+  }
+
   /** Random-hyperplane LSH: 8-bit signature per vector. Hyperplane j has
     * components h_ji = ±1 derived from md5("j|i"); bit j = sign of the
     * (exact scaled-int) projection.
@@ -2837,5 +2920,6 @@ object Similarity {
     QueryDef("q_ann_hnsw_auto_filtered", qAnnHnswAutoFiltered,
       Some(qAnnHnswAutoFilteredSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
+    QueryDef("q_ann_mmr", qAnnMmr, Some(qAnnMmrSql)),
   )
 }

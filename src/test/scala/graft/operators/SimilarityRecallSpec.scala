@@ -289,6 +289,38 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(trained >= 0.8, s"trained-book walk recall $trained")
   }
 
+  test("mmr rerank: redundant near-duplicates yield to a diverse lower-rel candidate") {
+    import spark.implicits._
+    // query at the origin-ish direction; a1..a3 near-identical high-rel
+    // docs; b dissimilar but still relevant. Plain top-2 = {a1, a2};
+    // MMR(λ=1/2) must pick a1 then b — the whole point of the operator.
+    val dim = 8
+    def v(xs: Double*): Array[Float] = {
+      val a = new Array[Float](dim)
+      xs.zipWithIndex.foreach { case (x, i) => a(i) = x.toFloat }
+      a
+    }
+    val q = v(1, 0, 0, 0)
+    val rows = Seq(
+      (0L, q, 0), // the query itself
+      (1L, v(0.99, 0.10, 0, 0), 0), // a1
+      (2L, v(0.99, 0.11, 0, 0), 0), // a2
+      (3L, v(0.99, 0.12, 0, 0), 0), // a3
+      (4L, v(0.70, 0, 0.71, 0), 1)) // b: lower rel, orthogonal-ish
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val plain = ids(Similarity.bruteForceTopK(e, 0L, 2))
+    val mmr = Similarity.mmrRerank(e, 0L, depth = 4, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == Set(1L, 2L) || plain == Set(1L, 3L) || plain == Set(2L, 3L),
+      s"plain top-2 should be two near-duplicates: $plain")
+    assert(Set(1L, 2L, 3L).contains(mmr(1L)), s"mmr rank-1 should be the top a-doc: $mmr")
+    assert(mmr(2L) == 4L, s"mmr rank-2 should be the diverse doc 4: $mmr")
+    // k = depth degenerates to a permutation of the full candidate set
+    val mmrIds = Similarity.mmrRerank(e, 0L, depth = 4, k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(mmrIds == Set(1L, 2L, 3L, 4L), s"k = depth keeps every candidate: $mmrIds")
+  }
+
   test("ivf nprobe curve: more probed buckets never lose recall (VERDICT r7 #5)") {
     // nprobe is THE knob a 100 TB IVF user turns: the top-nprobe centroid
     // prefixes are NESTED, and the in-bucket scan reranks by exact cosine,
