@@ -2047,6 +2047,94 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[hnswProbeBatchedAuto]] with DATAFRAME frontiers — the unbounded-|Q|
+    * serving form: the Seq-form keeps per-query beam maps on the driver
+    * (bounded by its 65536 cap, ~|Q|·beam·R tuples per round at the cap),
+    * while here `queries` is a frame and EVERY round structure —
+    * frontiers, visited sets, edge expansions, rescores — is a
+    * DataFrame; the only values that ever reach the driver are each
+    * round's ≤[[HnswBuckets]] distinct partition keys. Entry selection
+    * broadcasts the auto artifact's ≤[[HnswTopTarget]]-row entry table
+    * against the query frame (corpus-flat AND |Q|-flat — no aggregation
+    * cap), so a 10⁸-query nightly rerank batch runs as a handful of
+    * shuffles per round. Per-round checkpoints cut the iterative
+    * lineage exactly as [[graft.operators.Dedup.componentLabels]];
+    * superseded rounds release their blocks. Output and descent shape
+    * are row-identical to [[hnswProbeBatchedAuto]] (parity-spec'd);
+    * queries absent from the corpus drop (no vector to descend with).
+    */
+  def hnswProbeBatchedDfAuto(s: SparkSession, graphDir: String, e: DataFrame,
+      queries: DataFrame, k: Int, beam: Int = HnswEf,
+      rounds: Int = GraphBeamRounds): DataFrame = {
+    import s.implicits._
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("nd").desc, col("vec_id"))
+    val qEmb = e.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val entry = broadcast(s.read.parquet(s"$graphDir/entry")
+      .select(col("vec_id").as("e_id"), col("embedding").as("ee")))
+    var vis = qEmb.crossJoin(entry)
+      .filter(col("e_id") =!= col("q_id"))
+      .select(col("q_id"),
+        col("e_id").as("vec_id"),
+        graft.plans.NegSqDistExpr.negSqDist(col("ee"), col("qe")).as("nd"))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= 1).drop("rk")
+      .localCheckpoint()
+    def trim(w: Int): Unit = {
+      val t = vis.withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= w).drop("rk").localCheckpoint()
+      Staging.releaseLocalCheckpoint(vis)
+      vis = t
+    }
+    def layerRounds(layerDir: String, r: Int, w: Int, n: Int): Unit =
+      for (_ <- 1 to n) {
+        val frontier = vis.withColumn("rk", row_number().over(byQ))
+          .filter(col("rk") <= w && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"))
+          .localCheckpoint()
+        // the probe's ONLY driver values: ≤ HnswBuckets partition keys
+        val buckets = frontier
+          .select(pmod(col("vec_id"), lit(HnswBuckets.toLong)).as("b"))
+          .distinct().as[Long].collect()
+        val perU = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("nd").desc, col("v"))
+        val edges = s.read.parquet(layerDir)
+          .filter(col("b").isin(buckets: _*))
+          .join(broadcast(frontier.select(col("vec_id").as("u")).distinct()),
+            Seq("u"), "left_semi")
+          .select(col("u"), col("v"), col("nd"))
+          .withColumn("rk", row_number().over(perU))
+          .filter(col("rk") <= r)
+          .select(col("u"), col("v"))
+        val wanted = frontier.join(edges, frontier("vec_id") === edges("u"))
+          .select(col("q_id"), col("v").as("vec_id")).distinct()
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(vis.select(col("q_id"), col("vec_id")),
+            Seq("q_id", "vec_id"), "left_anti")
+        val scored = e.select(col("vec_id"), col("embedding"))
+          .join(wanted, Seq("vec_id"))
+          .join(broadcast(qEmb), Seq("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            graft.plans.NegSqDistExpr.negSqDist(col("embedding"), col("qe")).as("nd"))
+        val next = vis.unionByName(scored).localCheckpoint()
+        Staging.releaseLocalCheckpoint(vis)
+        Staging.releaseLocalCheckpoint(frontier)
+        vis = next
+      }
+    for (l <- 2 to 1 by -1) {
+      layerRounds(s"$graphDir/layer$l", hnswLayerR(l), HnswMidFanout, 1)
+      trim(HnswMidFanout)
+    }
+    layerRounds(s"$graphDir/layer0", GraphR, beam, rounds)
+    Staging.releaseLocalCheckpoint(qEmb)
+    vis.withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("nd"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The batched probe's per-round rescore as ONE Spark job: the round's
     * (query, candidate) pairs join the corpus (isin-pruned while the
     * candidate set is small — the common serving frontier — a plain
@@ -2377,6 +2465,16 @@ object Similarity {
   def qAnnHnswAutoBatch(s: SparkSession, dir: String): DataFrame =
     hnswProbeBatchedAuto(s, stagedHnswGraphAuto(s, dir),
       Tables.embeddings(s, dir), HnswBatchQueryIds, 5)
+
+  /** The DataFrame-frontier form over the same staged artifact and query
+    * set — same oracle string as the Seq-form batch (the two paths must
+    * be row-identical; the spec pins it at |Q| = 50 too).
+    */
+  def qAnnHnswAutoDfBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hnswProbeBatchedDfAuto(s, stagedHnswGraphAuto(s, dir),
+      Tables.embeddings(s, dir), HnswBatchQueryIds.toDF("vec_id"), 5)
+  }
 
   val qAnnHnswAutoBatchSql: String = {
     val stCte =
@@ -2914,6 +3012,8 @@ object Similarity {
     QueryDef("q_ann_ivf_graph", qAnnIvfGraph, Some(qAnnIvfGraphSql)),
     QueryDef("q_ann_hnsw_auto_batch", qAnnHnswAutoBatch, Some(qAnnHnswAutoBatchSql),
       bench = true),
+    QueryDef("q_ann_hnsw_auto_dfbatch", qAnnHnswAutoDfBatch,
+      Some(qAnnHnswAutoBatchSql)),
     QueryDef("q_ann_pq_graph_walk", qAnnPqGraphWalk, Some(qAnnPqGraphWalkSql)),
     QueryDef("q_ann_pq_graph_walk_auto", qAnnPqGraphWalkAuto,
       Some(qAnnPqGraphWalkAutoSql)),
