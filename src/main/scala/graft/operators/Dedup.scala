@@ -1743,13 +1743,11 @@ object Dedup {
     val total = positions.count()
     val docLen = positions.groupBy(col("doc_id")).agg((max(col("pos")) + 1L).as("len"))
       .localCheckpoint()
-    // rank₁: vocabulary order (distinct tokens, sorted, broadcast back)
-    val vocab = positions.select(col("tok")).distinct().orderBy(col("tok"))
-      .rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
-      .toDF("tok", "rank")
-    var cur = positions.join(broadcast(vocab), Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("rank"))
-      .localCheckpoint()
+    // rank₁: run-start rank of the raw tokens — the same range-sort +
+    // boundary-exchange round as every doubling step, so NO vocabulary
+    // table exists at any |V| (the r12 broadcast form assumed |V|
+    // sublinear; closed)
+    var cur = runStartRankTok(positions)
     var levels = List((1L, cur)) // (width, rank table), head = widest
     var distinct = cur.agg(countDistinct(col("rank"))).head().getLong(0)
     var off = 1L
@@ -1910,25 +1908,56 @@ object Dedup {
   private def runStartRank(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val ds = df.select(col("doc_id"), col("pos"), col("r1"), col("r2"))
+    runStartRankCore(s, df.select(col("doc_id"), col("pos"), col("r1"), col("r2"))
       .as[(Long, Long, Long, Long)]
       .repartitionByRange(col("r1"), col("r2"))
       .sortWithinPartitions(col("r1"), col("r2"))
-    val rdd = ds.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .rdd.map(r => (r._1, r._2, (r._3, r._4))))
+  }
+
+  /** Run-start rank of the raw TOKEN column — rank₁ of the prefix
+    * doubling, by the SAME range-sort + boundary-exchange machinery as
+    * the numeric rounds: no distinct-vocabulary table is ever built or
+    * broadcast, so a corpus whose vocabulary grows with the corpus
+    * (UUIDs, hashes, code identifiers) costs the same one exchange as
+    * every other round. Replaces the r12 broadcast-join form, whose
+    * |V|-sublinear assumption this closes.
+    */
+  private def runStartRankTok(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    runStartRankCore(s, df.select(col("doc_id"), col("pos"), col("tok"))
+      .as[(Long, Long, String)]
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions(col("tok"))
+      .rdd)
+  }
+
+  /** The shared walk over a range-SORTED (doc_id, pos, key) stream: the
+    * boundary exchange ships 2 rows per partition to the driver, and the
+    * per-partition pass assigns each row its run's global start index.
+    * Only key EQUALITY is consulted here (ordering happened in the sort),
+    * so any key type rides through.
+    */
+  private def runStartRankCore[K](s: SparkSession,
+      rdd0: org.apache.spark.rdd.RDD[(Long, Long, K)]): DataFrame = {
+    import s.implicits._
+    val rdd = rdd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per nonempty partition: row count, first/last key, local index of
     // the last run's first row
     val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         var n = 0L
-        var first: (Long, Long) = null
-        var last: (Long, Long) = null
+        var first: K = null.asInstanceOf[K]
+        var last: K = null.asInstanceOf[K]
+        var seen = false
         var lastRunStart = 0L
         while (it.hasNext) {
-          val r = it.next(); val k = (r._3, r._4)
+          val r = it.next(); val k = r._3
           if (n == 0) first = k
-          if (last == null || k != last) lastRunStart = n
-          last = k; n += 1
+          if (!seen || k != last) lastRunStart = n
+          last = k; seen = true; n += 1
         }
         Iterator.single((i, n, first, last, lastRunStart))
       }
@@ -1937,17 +1966,17 @@ object Dedup {
     val startIdx = new Array[Long](nParts) // global index of partition's first row
     val carry = new Array[Long](nParts) // global run start if first key chains; -1
     var cum = 0L
-    var prevLast: (Long, Long) = null
+    var prevLast: Option[K] = None
     var prevLastRunStart = -1L
     for ((i, n, first, last, lrs) <- bounds) {
       startIdx(i) = cum
-      carry(i) = if (prevLast != null && first == prevLast) prevLastRunStart else -1L
+      carry(i) = if (prevLast.contains(first)) prevLastRunStart else -1L
       // this partition's last run may itself be a continuation when the
       // whole partition is one key
       prevLastRunStart =
         if (lrs == 0L && carry(i) >= 0L && first == last) carry(i)
         else cum + lrs
-      prevLast = last
+      prevLast = Some(last)
       cum += n
     }
     val startB = s.sparkContext.broadcast(startIdx)
@@ -1955,13 +1984,13 @@ object Dedup {
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
       var idx = startB.value(pi)
       var runStart = -1L
-      var prevKey: (Long, Long) = null
+      var prevKey: Option[K] = None
       it.map { r =>
-        val k = (r._3, r._4)
-        if (prevKey == null)
+        val k = r._3
+        if (prevKey.isEmpty)
           runStart = if (carryB.value(pi) >= 0L) carryB.value(pi) else idx
-        else if (k != prevKey) runStart = idx
-        prevKey = k
+        else if (!prevKey.contains(k)) runStart = idx
+        prevKey = Some(k)
         idx += 1
         (r._1, r._2, runStart)
       }
