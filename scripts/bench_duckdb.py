@@ -30,7 +30,8 @@ q_skew_join_unsalted q_skew_join_salted q_ann_bruteforce_topk
 q_ann_lsh_signature q_text_quality q_text_tokens q_bloom_prejoin
 q_dedup_segments q_dedup_semantic q_pipeline_prep q_pipeline_full
 q_text_bm25 q_text_bm25_probe q_text_bm25_msprobe
-q_dedup_incremental_indexed q_ann_knn_join_batch q_dedup_suffix_lrs q_ann_nndescent q_text_bm25_wand q_text_bm25_rare q_text_bm25_rare_probe q_ann_hnsw_probe q_ann_hnsw_probe_batch q_text_bm25_ds_probe q_text_bm25_ds_rare q_ann_hnsw_auto q_ann_hnsw_auto_batch""".split()
+q_dedup_incremental_indexed q_ann_knn_join_batch q_dedup_suffix_lrs q_ann_nndescent q_text_bm25_wand q_text_bm25_rare q_text_bm25_rare_probe q_ann_hnsw_probe q_ann_hnsw_probe_batch q_text_bm25_ds_probe q_text_bm25_ds_rare q_ann_hnsw_auto q_ann_hnsw_auto_batch
+q_ann_hnsw_search q_dedup_incremental""".split()
 
 
 def main():

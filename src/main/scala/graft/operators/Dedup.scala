@@ -2359,7 +2359,8 @@ object Dedup {
     QueryDef("q_dedup_minhash_sig", qMinhashSignature, Some(qMinhashSignatureSql), bench = true),
     QueryDef("q_dedup_lsh_candidates", qLshCandidates, Some(qLshCandidatesSql), bench = true),
     QueryDef("q_dedup_lsh_tuned", qLshTuned, Some(qLshTunedSql)),
-    QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql),
+      bench = true),
     // bench = true times the PROBE alone: the staged index is built during
     // the untimed warmup pass (Staging.stagedDir), same protocol as
     // q_text_bm25_probe — the probe is the product at 100 TB

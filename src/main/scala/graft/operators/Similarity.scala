@@ -3000,7 +3000,8 @@ object Similarity {
     QueryDef("q_ann_graph_build", qAnnGraphBuild, Some(qAnnGraphBuildSql)),
     QueryDef("q_ann_nndescent", qAnnNnDescent, Some(qAnnNnDescentSql), bench = true),
     QueryDef("q_ann_graph_search", qAnnGraphSearch, Some(qAnnGraphSearchSql)),
-    QueryDef("q_ann_hnsw_search", qAnnHnswSearch, Some(qAnnHnswSearchSql)),
+    QueryDef("q_ann_hnsw_search", qAnnHnswSearch, Some(qAnnHnswSearchSql),
+      bench = true),
     // bench = true times the PROBE alone: the staged layer graphs are
     // built during the untimed warmup pass (Staging.stagedDir), the
     // q_text_bm25_probe protocol — serving cost is the 100 TB product
