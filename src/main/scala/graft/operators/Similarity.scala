@@ -59,12 +59,30 @@ object Similarity {
     * corpus-sized ever reaches the driver.
     */
   def mmrRerank(e: DataFrame, queryId: Long, depth: Int, k: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4096,
+      s"mmrRerank: depth $depth out of the bounded-serving range")
+    mmrFromCandidates(e, queryId,
+      bruteForceTopK(e, queryId, depth).select(col("vec_id")), k)
+  }
+
+  /** MMR over an EXTERNAL candidate id set — the composition form: any
+    * retrieval stage (an ANN probe's visited set, a BM25 top-k, a
+    * hybrid fusion) supplies the ids; relevance re-derives as the exact
+    * cosine against the query so rel and sim share one scale regardless
+    * of what metric produced the candidates. `q_ann_mmr_hnsw` composes
+    * this with the corpus-flat auto probe.
+    */
+  def mmrFromCandidates(e: DataFrame, queryId: Long, candIds: DataFrame,
+      k: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    require(depth >= 1 && k >= 1 && depth <= 4096,
-      s"mmrRerank: depth $depth / k $k out of the bounded-serving range")
-    val cand = bruteForceTopK(e, queryId, depth)
-      .select(col("vec_id"), col("cos").as("rel"))
+    require(k >= 1, s"mmrFromCandidates: k $k")
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val cand = e.join(broadcast(candIds.select(col("vec_id"))
+          .filter(col("vec_id") =!= queryId)), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("rel"))
       .localCheckpoint()
     val ce = e.join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
@@ -94,6 +112,60 @@ object Similarity {
 
   def qAnnMmr(s: SparkSession, dir: String): DataFrame =
     mmrRerank(Tables.embeddings(s, dir), 0L, depth = 20, k = 5)
+
+  /** MMR composed over the corpus-flat ANN probe: candidates = the auto
+    * probe's top-20 visited set (every stage corpus-flat), diversity
+    * selection over their exact cosines — the two-stage
+    * retrieve-then-diversify pipeline end to end, one oracle.
+    */
+  def qAnnMmrHnsw(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cand = hnswProbeAuto(s, stagedHnswGraphAuto(s, dir), e, 0L, 20)
+      .select(col("vec_id"))
+    mmrFromCandidates(e, 0L, cand, 5)
+  }
+
+  // lazy: defined textually ABOVE the stride/graph constants it
+  // interpolates — a plain val would capture 0s (the r12 object-init
+  // gotcha; NOTES gotcha log)
+  lazy val qAnnMmrHnswSql: String = {
+    val stCte =
+      s"""nn AS (SELECT count(*) AS n FROM e),
+         |st AS (SELECT min(s) AS s FROM range(2, 4097) t(s), nn
+         |       WHERE s*s*s*$HnswTopTarget >= nn.n)""".stripMargin
+    def step(i: Int): String = {
+      val prev = s"msel${i - 1}"
+      s"""mp$i AS (
+         |  SELECT r.vec_id, r.rel, r.rel - max(s.sim) AS mmr
+         |  FROM mrel r JOIN msims s ON s.va = r.vec_id
+         |    AND s.vb IN (SELECT vec_id FROM $prev)
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY r.vec_id, r.rel),
+         |mpick$i AS (SELECT CAST($i AS BIGINT) AS rank, vec_id, rel FROM mp$i
+         |           ORDER BY mmr DESC, vec_id LIMIT 1),
+         |msel$i AS (SELECT rank, vec_id, rel FROM msel${i - 1}
+         |          UNION ALL SELECT rank, vec_id, rel FROM mpick$i)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (${eCapSql("9223372036854775807")}),
+       |$stCte,
+       |${ndReplaySqlExpr("l2", "(SELECT s*s FROM st)", hnswLayerR(2), HnswBuildRounds)},
+       |${ndReplaySqlExpr("l1", "(SELECT s FROM st)", hnswLayerR(1), HnswBuildRounds)},
+       |${ndReplaySql("l0", 1, GraphR, HnswBuildRounds)},
+       |${hnswDescentSql(0L, "", levels = 3, topModExpr = "(SELECT s*s*s FROM st)")},
+       |mcand AS MATERIALIZED (SELECT vec_id FROM w3 ORDER BY nd DESC, vec_id LIMIT 20),
+       |mq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |mrel AS MATERIALIZED (SELECT emb.vec_id, ${cosineSql("emb.embedding", "qe")} AS rel
+       |         FROM embeddings emb JOIN mcand ON emb.vec_id = mcand.vec_id, mq),
+       |mpe AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id IN (SELECT vec_id FROM mcand)),
+       |msims AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |            ${cosineSql("a.embedding", "b.embedding")} AS sim
+       |          FROM mpe a, mpe b WHERE a.vec_id <> b.vec_id),
+       |msel1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel FROM mrel
+       |          ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT rank, vec_id, rel FROM msel5 ORDER BY rank""".stripMargin
+  }
 
   val qAnnMmrSql: String = {
     // statically unrolled greedy selection: sel_i = argmax over the
@@ -3022,5 +3094,6 @@ object Similarity {
       Some(qAnnHnswAutoFilteredSql)),
     QueryDef("q_ann_matryoshka", qAnnMatryoshka, Some(qAnnMatryoshkaSql)),
     QueryDef("q_ann_mmr", qAnnMmr, Some(qAnnMmrSql)),
+    QueryDef("q_ann_mmr_hnsw", qAnnMmrHnsw, Some(qAnnMmrHnswSql)),
   )
 }

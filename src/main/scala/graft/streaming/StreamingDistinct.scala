@@ -38,4 +38,30 @@ object StreamingDistinct {
 
   /** Output mode this operator expects (state rows refresh in place). */
   val outputMode: OutputMode = OutputMode.Update()
+
+  final case class HllRow(key: String, estimate: Long)
+
+  /** The HLL twin — CONSTANT 256 bytes of state per key at ANY
+    * cardinality (the KMV form is exact-until-k but holds k longs):
+    * the dashboard shape for keys whose cardinalities run hot forever.
+    * Register max is order/batching/partitioning-independent, so the
+    * streamed raw estimate EQUALS the batch sketch bit-for-bit
+    * (StreamingDistinctSpec pins it); the regime note on
+    * [[graft.plans.HllSketch.estimateRaw]] applies unchanged.
+    */
+  def hllStream(values: Dataset[KeyedValue]): Dataset[HllRow] = {
+    import values.sparkSession.implicits._
+    implicit val sketchEnc: org.apache.spark.sql.Encoder[graft.plans.HllSketch] =
+      org.apache.spark.sql.Encoders.kryo[graft.plans.HllSketch]
+
+    values.groupByKey(_.key)
+      .mapGroupsWithState[graft.plans.HllSketch, HllRow](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedValue],
+            state: GroupState[graft.plans.HllSketch]) =>
+          val s = state.getOption.getOrElse(new graft.plans.HllSketch)
+          rows.foreach(r => s.add(r.value))
+          state.update(s)
+          HllRow(key, s.estimateRaw)
+      }
+  }
 }
