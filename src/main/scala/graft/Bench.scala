@@ -46,7 +46,25 @@ object Bench {
       try materialize(q) catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
+    // Between-query isolation (optimization guide §1.4): a query's timed
+    // runs must not pay for the PREVIOUS queries' garbage. Per-invocation
+    // lazy localCheckpoints (candidate pair sets, batched-probe frontiers)
+    // are freed by the ContextCleaner only after their frames are GC'd;
+    // without an explicit collection ~200 invocations of dead blocks pile
+    // up in the storage pool and the last-registered queries (the ANN
+    // probes) time 2-4.5x their isolated cost — measured on this host:
+    // q_ann_hnsw_auto_batch 8.5 s inside the full bench vs 1.9 s isolated,
+    // identical plans. The GC runs BETWEEN queries (never inside a timed
+    // run), frees only unreachable state, and leaves the intentional
+    // process-lifetime caches (Tables readers, staged-artifact memos)
+    // untouched, so every timed run still computes from the parquet
+    // inputs exactly as before.
+    def isolate(): Unit = {
+      System.gc()
+      Thread.sleep(50) // let the ContextCleaner drain its reference queue
+    }
     val results = benchQueries.map { q =>
+      isolate()
       val runs = (1 to 3).map(_ => timeOnce(q)).sorted
       (q.name, runs(1), runs(2) - runs(0))
     }
