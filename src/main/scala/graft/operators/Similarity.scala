@@ -1461,7 +1461,8 @@ object Similarity {
       beam: Int = GraphBeamW, rounds: Int = GraphBeamRounds,
       nEntry: Int = GraphEntries, entryIds: Option[Seq[Long]] = None,
       queryVec: Option[Array[Float]] = None,
-      lookup: Option[Seq[Long] => DataFrame] = None): DataFrame = {
+      lookup: Option[Seq[Long] => DataFrame] = None,
+      entryDists: Option[Seq[(Long, Long)]] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     // queryVec lets a layered caller search a SUBSET corpus (an upper
@@ -1484,11 +1485,19 @@ object Similarity {
         .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
     // default entries = smallest non-query ids (the oracle-replayable
     // rule); callers with a coarse layer (cluster heads, a stride sample
-    // — the HNSW upper-levels role) pass entryIds explicitly
-    val entry = entryIds.getOrElse(
-      e.filter(col("vec_id") =!= queryId).select(col("vec_id"))
-        .orderBy(col("vec_id")).limit(nEntry).collect().map(_.getLong(0)).toSeq)
-    val visited = scala.collection.mutable.Map[Long, Long]() ++= distsOf(entry)
+    // — the HNSW upper-levels role) pass entryIds explicitly.
+    // entryDists short-circuits the seed re-score job entirely: a layered
+    // caller already HOLDS the exact (id, nd) pairs from the layer above
+    // (distances are query↔node, layer-independent), so re-deriving them
+    // here was one pure-overhead Spark job per layer — values must be the
+    // same exact scaled-int negSqDist this function computes.
+    val visited = scala.collection.mutable.Map[Long, Long]() ++=
+      entryDists.getOrElse {
+        val entry = entryIds.getOrElse(
+          e.filter(col("vec_id") =!= queryId).select(col("vec_id"))
+            .orderBy(col("vec_id")).limit(nEntry).collect().map(_.getLong(0)).toSeq)
+        distsOf(entry)
+      }
     for (_ <- 1 to rounds) {
       val beamIds = visited.toSeq.sortBy { case (id, nd) => (-nd, id) }
         .take(beam).map(_._1)
@@ -1617,21 +1626,22 @@ object Similarity {
     val l1 = e.filter(col("vec_id") % stride === 0)
     val qvec = e.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    // top layer: outright nearest among ~n/stride^2 nodes
+    // top layer: outright nearest among ~n/stride^2 nodes — (id, nd)
+    // collected so the lower stages never re-score their seeds
     val top = l2.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
         graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
       .orderBy(col("nd").desc, col("vec_id")).limit(1)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // middle layer: short beam over L1's own graph, seeded from above
     val mid = graphBeamSearch(knnGraphEdges(l1, math.max(r / 2, 1)), l1,
         queryId, k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
-        entryIds = Some(top), queryVec = Some(qvec))
-      .collect().map(_.getLong(1)).toSeq
+        queryVec = Some(qvec), entryDists = Some(top))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     // base layer: full-width beam over the L0 graph, seeded from L1
     graphBeamSearch(knnGraphEdges(e, r), e, queryId, k,
-      beam = GraphBeamW, rounds = GraphBeamRounds, entryIds = Some(mid),
-      queryVec = Some(qvec))
+      beam = GraphBeamW, rounds = GraphBeamRounds,
+      queryVec = Some(qvec), entryDists = Some(mid))
   }
 
   private val HnswStride = 4
@@ -1799,12 +1809,14 @@ object Similarity {
     // levels this scan shrinks geometrically (the n/stride² term the
     // 2-level form carries becomes n/stride³, …)
     val topMod = math.pow(stride, levels).toLong
+    // seeds carry (id, nd): every hand-off below passes the exact
+    // distances it already computed, so no layer re-scores its seeds
     var seeds = e.filter(col("vec_id") % topMod === 0 &&
         col("vec_id") =!= queryId)
       .select(col("vec_id"),
         graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
       .orderBy(col("nd").desc, col("vec_id")).limit(1)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // a top layer holding only the query node (tiny/irregular-id corpus)
     // would silently return an empty result — fail by name instead
     require(seeds.nonEmpty,
@@ -1816,13 +1828,15 @@ object Similarity {
       val members = e.filter(col("vec_id") % math.pow(stride, l).toLong === 0)
       seeds = graphBeamSearch(s.emptyDataFrame, members, queryId,
           k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
-          entryIds = Some(seeds), queryVec = Some(qvec),
-          lookup = Some(annGraphLookup(s, s"$graphDir/layer$l", hnswLayerR(l))))
-        .collect().map(_.getLong(1)).toSeq
+          queryVec = Some(qvec),
+          lookup = Some(annGraphLookup(s, s"$graphDir/layer$l", hnswLayerR(l))),
+          entryDists = Some(seeds))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     }
     graphBeamSearch(s.emptyDataFrame, e, queryId, k, beam = beam,
-      rounds = rounds, entryIds = Some(seeds), queryVec = Some(qvec),
-      lookup = Some(annGraphLookup(s, s"$graphDir/layer0", GraphR)))
+      rounds = rounds, queryVec = Some(qvec),
+      lookup = Some(annGraphLookup(s, s"$graphDir/layer0", GraphR)),
+      entryDists = Some(seeds))
   }
 
   def qAnnHnswProbe(s: SparkSession, dir: String): DataFrame =
@@ -1957,23 +1971,28 @@ object Similarity {
       rounds: Int = GraphBeamRounds): DataFrame = {
     val qvec = e.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
+    // seeds carry (id, nd) — each layer hand-off passes the exact
+    // distances the previous stage already computed, so no stage pays a
+    // seed re-score job (3 fewer Spark jobs per probe; values identical)
     var seeds = s.read.parquet(s"$graphDir/entry")
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
         graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
       .orderBy(col("nd").desc, col("vec_id")).limit(1)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     require(seeds.nonEmpty,
       "hnswProbeAuto: entry table holds no non-query node")
     for (l <- 2 to 1 by -1)
       seeds = graphBeamSearch(s.emptyDataFrame, e, queryId,
           k = HnswMidFanout, beam = HnswMidFanout, rounds = 1,
-          entryIds = Some(seeds), queryVec = Some(qvec),
-          lookup = Some(annGraphLookup(s, s"$graphDir/layer$l", hnswLayerR(l))))
-        .collect().map(_.getLong(1)).toSeq
+          queryVec = Some(qvec),
+          lookup = Some(annGraphLookup(s, s"$graphDir/layer$l", hnswLayerR(l))),
+          entryDists = Some(seeds))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     graphBeamSearch(s.emptyDataFrame, e, queryId, k, beam = beam,
-      rounds = rounds, entryIds = Some(seeds), queryVec = Some(qvec),
-      lookup = Some(annGraphLookup(s, s"$graphDir/layer0", GraphR)))
+      rounds = rounds, queryVec = Some(qvec),
+      lookup = Some(annGraphLookup(s, s"$graphDir/layer0", GraphR)),
+      entryDists = Some(seeds))
   }
 
   def qAnnHnswAuto(s: SparkSession, dir: String): DataFrame =
@@ -2940,12 +2959,15 @@ object Similarity {
       .select(col("vec_id"),
         graft.plans.NegSqDistExpr.negSqDist(col("embedding"), typedLit(qvec)).as("nd"))
       .orderBy(col("nd").desc, col("vec_id")).limit(entries)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     require(seeds.nonEmpty,
       s"ivfGraphSearch: probed cell $probeLabel holds no non-query node")
+    // the cell scan already paid for every seed's exact distance —
+    // hand them down so the descent skips its seed re-score job
     graphBeamSearch(s.emptyDataFrame, e, queryId, k, beam = beam,
-      rounds = rounds, entryIds = Some(seeds), queryVec = Some(qvec),
-      lookup = Some(annGraphLookup(s, graphDir, GraphR)))
+      rounds = rounds, queryVec = Some(qvec),
+      lookup = Some(annGraphLookup(s, graphDir, GraphR)),
+      entryDists = Some(seeds))
   }
 
   private val IvfGraphEntries = 4
