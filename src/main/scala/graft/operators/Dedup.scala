@@ -1019,12 +1019,17 @@ object Dedup {
     * no window.
     */
   def semanticDropList(e: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val assigned = Similarity.labelCentroidAssign(e)
-      .select(col("vec_id"), col("assigned"))
-    val sigs = e
+    // signature and cluster assignment are BOTH per-row functions of the
+    // embedding (the centroid table rides a one-row broadcast), so they
+    // compute in ONE projection — the former sig⋈assigned equi-join of
+    // two n-row frames derived from the same scan shuffled the corpus
+    // twice for values already co-resident in the row
+    val ev = e.withColumn("v", scaled(col("embedding")))
+    val sigs = ev.crossJoin(broadcast(Similarity.labelCentroidArr(ev)))
+      .withColumn("best", Similarity.nearestCentStruct)
       .select(col("vec_id"),
-        graft.plans.LshSigExpr.lshSigNative(col("embedding"), NdPlanes, NdDim).as("sig"))
-      .join(assigned, "vec_id")
+        graft.plans.LshSigExpr.lshSigNative(col("embedding"), NdPlanes, NdDim).as("sig"),
+        col("best.c_label").as("assigned"))
     val bandRows = sigs.select(col("vec_id"), col("sig"),
       posexplode(array((0 until NdBands).map { b =>
         concat(col("assigned").cast("string"), lit("|"),

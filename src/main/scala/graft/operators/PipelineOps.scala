@@ -603,19 +603,28 @@ object PipelineOps {
     * real line-dedup stage dropping emptied documents.
     */
   def trainingPrepFull(docs: DataFrame, budget: Long = TokenBudget): DataFrame =
-    trainingPrepFullFrom(trainingPrep(docs), budget)
+    trainingPrepFullFrom(trainingPrep(docs), docs, budget)
 
   /** The post-prep stages over an already-composed [[trainingPrep]] frame —
     * split out so the bench entries can share ONE prep plan (and with it
     * the bounded lazy checkpoints inside: jaccard candidates,
     * decontamination matched-grams) instead of each materializing its own.
+    *
+    * `srcOf` is the BASE corpus frame: `source` re-attaches from its plain
+    * scan rather than from `prep` — the cleaned ids are all prep-train ids
+    * and doc_id is unique in the corpus, so the inner join yields
+    * identical rows, while consuming `prep` a second time would duplicate
+    * the ENTIRE prep subtree in the plan (Catalyst has no cross-branch
+    * subtree sharing: the exact-dup/near-dup/decontaminate chain — five
+    * exchanges — executed twice per action; plan audit r13).
     */
-  private def trainingPrepFullFrom(prep: DataFrame, budget: Long): DataFrame = {
+  private def trainingPrepFullFrom(prep: DataFrame, srcOf: DataFrame,
+      budget: Long): DataFrame = {
     val train = prep.filter(col("split") === "train")
     val cleaned = Dedup.segmentDedup(
         train.select(col("doc_id"), col("text")), broadcastMaxSet = 0)
       .filter(col("n_kept") > 0)
-    val withSrc = cleaned.join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val withSrc = cleaned.join(srcOf.select(col("doc_id"), col("source")), Seq("doc_id"))
     tokenBudget(withSrc.select(col("doc_id"), col("source"),
       col("clean_text").as("text")), "doc_id", "source", budget)
   }
@@ -632,7 +641,8 @@ object PipelineOps {
     prepMemo.getOrElseUpdate((s, dir), trainingPrep(Tables.documents(s, dir)))
 
   def qPipelineFull(s: SparkSession, dir: String): DataFrame =
-    trainingPrepFullFrom(sharedPrep(s, dir), TokenBudget).orderBy(col("doc_id"))
+    trainingPrepFullFrom(sharedPrep(s, dir), Tables.documents(s, dir),
+      TokenBudget).orderBy(col("doc_id"))
 
   val qPipelineFullSql: String = {
     val pairsInner = Dedup.qJaccardPairsSql.replace("ORDER BY doc_a, doc_b", "")
@@ -698,9 +708,10 @@ object PipelineOps {
     * around it still fuse, and ONE oracle checks the whole composition.
     */
   def trainingPrepFullV2(docs: DataFrame, budget: Long = TokenBudget): DataFrame =
-    trainingPrepFullV2From(trainingPrep(docs), budget)
+    trainingPrepFullV2From(trainingPrep(docs), docs, budget)
 
-  private def trainingPrepFullV2From(prep: DataFrame, budget: Long): DataFrame = {
+  private def trainingPrepFullV2From(prep: DataFrame, srcOf: DataFrame,
+      budget: Long): DataFrame = {
     val train = prep.filter(col("split") === "train")
     val stripped = Dedup.boilerplateStrip(train.select(col("doc_id"), col("text")))
       .filter(length(col("clean_text")) > 0)
@@ -708,13 +719,16 @@ object PipelineOps {
         stripped.select(col("doc_id"), col("clean_text").as("text")),
         broadcastMaxSet = 0)
       .filter(col("n_kept") > 0)
-    val withSrc = cleaned.join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // source from the base corpus scan, not a second prep execution —
+    // identical rows, half the plan (see trainingPrepFullFrom)
+    val withSrc = cleaned.join(srcOf.select(col("doc_id"), col("source")), Seq("doc_id"))
     tokenBudget(withSrc.select(col("doc_id"), col("source"),
       col("clean_text").as("text")), "doc_id", "source", budget)
   }
 
   def qPipelineFullV2(s: SparkSession, dir: String): DataFrame =
-    trainingPrepFullV2From(sharedPrep(s, dir), TokenBudget).orderBy(col("doc_id"))
+    trainingPrepFullV2From(sharedPrep(s, dir), Tables.documents(s, dir),
+      TokenBudget).orderBy(col("doc_id"))
 
   val qPipelineFullV2Sql: String = {
     val pairsInner = Dedup.qJaccardPairsSql.replace("ORDER BY doc_a, doc_b", "")

@@ -350,28 +350,43 @@ object Similarity {
     */
   def labelCentroidAssign(e0: DataFrame): DataFrame = {
     val e = e0.withColumn("v", scaled(col("embedding")))
+    e.crossJoin(broadcast(labelCentroidArr(e)))
+      .withColumn("best", nearestCentStruct)
+      .select(col("vec_id"), col("label"),
+        col("best.c_label").as("assigned"), col("best.dist").as("dist"))
+  }
+
+  /** All L label centroids folded into ONE broadcastable row (sorted
+    * (c_label, cv) struct array) over an e-with-`v` frame — the shared
+    * coarse-quantizer table: [[labelCentroidAssign]] composes it with
+    * [[nearestCentStruct]], and [[Dedup.semanticDropList]] rides the same
+    * broadcast so its signature AND assignment are ONE projection (the
+    * former sig⋈assigned equi-join of two n-row frames derived from the
+    * same scan was a pure-overhead exchange).
+    */
+  private[operators] def labelCentroidArr(e: DataFrame): DataFrame = {
     // centroid: per-label elementwise mean of scaled components, re-rounded
     val comp = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
     val cent = comp.groupBy(col("label"), col("i"))
       .agg(round(sum(col("x")) / count(lit(1))).as("c"))
       .groupBy(col("label")).agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
       .select(col("label").as("c_label"), expr("transform(ic, p -> p.c)").as("cv"))
-    // All L centroids folded into ONE broadcast row; the per-vector argmin is
-    // then a narrow projection (array_min over (dist, label) structs — struct
-    // ordering = min by dist, ties by label). The former formulation shuffled
-    // n×L rows through a row_number window just to pick this minimum; this
-    // plan has no exchange on the n-row path at all.
-    val centArr = cent
-      .agg(sort_array(collect_list(struct(col("c_label"), col("cv")))).as("cents"))
-    e.crossJoin(broadcast(centArr))
-      .withColumn("best", array_min(transform(col("cents"), c =>
-        struct(
-          aggregate(zip_with(col("v"), c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
-            lit(0.0d), (acc, x) => acc + x).as("dist"),
-          c.getField("c_label").as("c_label")))))
-      .select(col("vec_id"), col("label"),
-        col("best.c_label").as("assigned"), col("best.dist").as("dist"))
+    cent.agg(sort_array(collect_list(struct(col("c_label"), col("cv")))).as("cents"))
   }
+
+  /** Per-vector nearest-centroid argmin over a row holding `v` and the
+    * broadcast `cents` array — a narrow projection (array_min over
+    * (dist, label) structs — struct ordering = min by dist, ties by
+    * label). The former formulation shuffled n×L rows through a
+    * row_number window just to pick this minimum; this plan has no
+    * exchange on the n-row path at all.
+    */
+  private[operators] def nearestCentStruct: Column =
+    array_min(transform(col("cents"), c =>
+      struct(
+        aggregate(zip_with(col("v"), c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0d), (acc, x) => acc + x).as("dist"),
+        c.getField("c_label").as("c_label"))))
 
   /** DuckDB twin of [[labelCentroidAssign]] as a reusable CTE chain ending
     * in `assigned(vec_id, label, assigned, dist)` — shared by the IVF

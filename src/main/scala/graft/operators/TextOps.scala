@@ -680,6 +680,7 @@ object TextOps {
       .write.partitionBy("tb").mode(mode).parquet(s"$dir/postings")
     docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
       .write.mode(mode).parquet(s"$dir/stats")
+    invalidateIndex(docs.sparkSession, dir)
   }
 
   /** Append NEW documents to a term index: posting rows land in their
@@ -705,9 +706,12 @@ object TextOps {
     */
   def compactTermIndex(s: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024)
-      : (Layout.CompactStats, Layout.CompactStats) =
-    (Layout.compact(s, s"$dir/postings", targetBytes, Seq("tb")),
+      : (Layout.CompactStats, Layout.CompactStats) = {
+    val r = (Layout.compact(s, s"$dir/postings", targetBytes, Seq("tb")),
       Layout.compact(s, s"$dir/stats", targetBytes))
+    invalidateIndex(s, dir)
+    r
+  }
 
   /** Delete documents from a term index — the takedown/erasure path of a
     * long-lived retrieval corpus. The docs' own terms statically prune the
@@ -739,6 +743,7 @@ object TextOps {
         docs.select(col(idCol).cast("long")), Seq("tb"),
         col("tb").isin(tbs: _*)): Unit
     neg.write.mode("append").parquet(s"$dir/stats")
+    invalidateIndex(s, dir)
   }
 
   /** Ids-only term-index delete (text already purged): per-doc lengths are
@@ -767,6 +772,7 @@ object TextOps {
         .toDF("n_docs", "sum_dl")
         .write.mode("append").parquet(s"$dir/stats")
     }
+    invalidateIndex(s, dir)
   }
 
   /** BM25 top-k by probing the term index: only the query terms' md5
@@ -779,23 +785,41 @@ object TextOps {
     * oracle checks.
     */
   def bm25Indexed(s: SparkSession, indexDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    val posts = prunedPostings(s, indexDir, terms)
+      terms: Seq[String], k: Int, cached: Boolean = false): DataFrame = {
+    val posts = prunedPostings(s, indexDir, terms, cached)
     val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k, cached)
+  }
+
+  /** Reader for an index subdir. `cached = true` is the probe-only
+    * entries' opt-in for STAGED IMMUTABLE indexes: [[Tables.at]] holds the
+    * partition listing open across probes, so a serving process pays the
+    * (256-dir here, unbounded at 100 TB) re-list once per index, not once
+    * per query — the same fix [[Dedup.incrementalKeptIndexed]] carries.
+    * Every index mutator below invalidates via [[Tables.dropCached]], so
+    * a cached reader can never serve a stale listing.
+    */
+  private def indexReader(s: SparkSession, path: String,
+      cached: Boolean): DataFrame =
+    if (cached) Tables.at(s, path) else s.read.parquet(path)
+
+  /** Drop any cached readers for an index dir after mutating it. */
+  private def invalidateIndex(s: SparkSession, dir: String): Unit = {
+    Tables.dropCached(s, s"$dir/postings")
+    Tables.dropCached(s, s"$dir/stats")
   }
 
   /** The query terms' md5 buckets of `dir/postings` — static partition
     * pruning shared by the plain and packed probes.
     */
   private def prunedPostings(s: SparkSession, indexDir: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String], cached: Boolean = false): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buckets = terms.map { t =>
       md.reset()
       md.digest(t.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
     }.distinct
-    s.read.parquet(s"$indexDir/postings")
+    indexReader(s, s"$indexDir/postings", cached)
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
   }
 
@@ -804,9 +828,10 @@ object TextOps {
     * the codec can only diverge in the decode step its own oracle checks.
     */
   private def bm25FromPosts(s: SparkSession, indexDir: String, posts: DataFrame,
-      dfs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+      dfs: DataFrame, terms: Seq[String], k: Int,
+      cached: Boolean = false): DataFrame = {
     // stats rows are ADDITIVE (one per write/append) — sum them
-    val stats = s.read.parquet(s"$indexDir/stats")
+    val stats = indexReader(s, s"$indexDir/stats", cached)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val byDoc = posts.join(broadcast(dfs), "term")
       .groupBy(col("doc_id"))
@@ -881,6 +906,7 @@ object TextOps {
       .partitionBy("tb").mode(mode).parquet(s"$dir/postings")
     docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
       .write.mode(mode).parquet(s"$dir/stats")
+    invalidateIndex(docs.sparkSession, dir)
   }
 
   /** Append to a packed index: new docs' blocks land beside the old ones
@@ -898,15 +924,15 @@ object TextOps {
     * blocks unpack, inside the probe's codegen'd projection.
     */
   def bm25Packed(s: SparkSession, indexDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      terms: Seq[String], k: Int, cached: Boolean = false): DataFrame = {
     import graft.plans.PostingsCodec
-    val blocks = prunedPostings(s, indexDir, terms)
+    val blocks = prunedPostings(s, indexDir, terms, cached)
     val dfs = blocks.groupBy(col("term")).agg(sum(col("n")).as("df"))
     val posts = blocks
       .select(col("term"), explode(PostingsCodec.unpack(col("plist"))).as("e"))
       .select(col("term"), col("e.doc_id").as("doc_id"),
         col("e.tf").as("tf"), col("e.dl").as("dl"))
-    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k, cached)
   }
 
   /** Packed-index entry: fresh build + probe; oracle = the same full-scan
@@ -979,9 +1005,9 @@ object TextOps {
   }
 
   private def pruneCtl(s: SparkSession, indexDir: String, blocks: DataFrame,
-      terms: Seq[String], k: Int): Option[PruneCtl] = {
+      terms: Seq[String], k: Int, cached: Boolean = false): Option[PruneCtl] = {
     // one bounded row: global corpus stats
-    val statsRow = s.read.parquet(s"$indexDir/stats")
+    val statsRow = indexReader(s, s"$indexDir/stats", cached)
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
       .collect().head
     val nDocs = statsRow.getLong(0); val sumDl = statsRow.getLong(1)
@@ -1011,10 +1037,10 @@ object TextOps {
   }
 
   def bm25MaxScore(s: SparkSession, indexDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    val blocks = prunedPostings(s, indexDir, terms)
-    val ctl = pruneCtl(s, indexDir, blocks, terms, k) match {
-      case None => return bm25Packed(s, indexDir, terms, k)
+      terms: Seq[String], k: Int, cached: Boolean = false): DataFrame = {
+    val blocks = prunedPostings(s, indexDir, terms, cached)
+    val ctl = pruneCtl(s, indexDir, blocks, terms, k, cached) match {
+      case None => return bm25Packed(s, indexDir, terms, k, cached)
       case Some(c) => c
     }
     val (nDocs, sumDl, present, hdr, theta) =
@@ -1065,7 +1091,7 @@ object TextOps {
     // full `terms` (not `present`) keeps the output schema stable: an
     // index-absent term pivots to tf=0/df=0 and contributes exactly 0
     bm25FromPosts(s, indexDir, livePosts.unionByName(prunedPosts), dfs,
-      terms, k)
+      terms, k, cached)
   }
 
   /** MaxScore entry: fresh packed build + pruned probe; oracle = the same
@@ -1222,7 +1248,7 @@ object TextOps {
     * hash-checked against DuckDB every Verify run too.
     */
   def qTextBm25Probe(s: SparkSession, dir: String): DataFrame =
-    bm25Indexed(s, stagedTermIndex(s, dir), QueryTerms, 10)
+    bm25Indexed(s, stagedTermIndex(s, dir), QueryTerms, 10, cached = true)
 
   /** PACKED index staged once per corpus (same protocol/tag as
     * [[stagedTermIndex]]) for the probe-only MaxScore entry.
@@ -1243,7 +1269,8 @@ object TextOps {
     * alone, the serving cost of the 100 TB retrieval path.
     */
   def qTextBm25MsProbe(s: SparkSession, dir: String): DataFrame =
-    bm25MaxScore(s, stagedPackedTermIndex(s, dir), QueryTerms, 10)
+    bm25MaxScore(s, stagedPackedTermIndex(s, dir), QueryTerms, 10,
+      cached = true)
 
   /** WAND-pruned BM25 top-k over the packed index (Broder et al. 2003,
     * with Lucene-style block-max bounds) — the OTHER classic dynamic
@@ -1278,10 +1305,10 @@ object TextOps {
     * top k.
     */
   def bm25Wand(s: SparkSession, indexDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    val blocks = prunedPostings(s, indexDir, terms)
-    val ctl = pruneCtl(s, indexDir, blocks, terms, k) match {
-      case None => return bm25Packed(s, indexDir, terms, k)
+      terms: Seq[String], k: Int, cached: Boolean = false): DataFrame = {
+    val blocks = prunedPostings(s, indexDir, terms, cached)
+    val ctl = pruneCtl(s, indexDir, blocks, terms, k, cached) match {
+      case None => return bm25Packed(s, indexDir, terms, k, cached)
       case Some(c) => c
     }
     val thetaGuard = ctl.theta * (1.0 - 1e-12)
@@ -1302,7 +1329,7 @@ object TextOps {
       .withColumn("pivot_ub", sum(col("bound")).over(byDoc))
       .filter(col("pivot_ub") >= thetaGuard)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-    bm25FromPosts(s, indexDir, candPosts, dfs, terms, k)
+    bm25FromPosts(s, indexDir, candPosts, dfs, terms, k, cached)
   }
 
   /** Probe-only WAND entry: same staged packed index as
@@ -1310,7 +1337,7 @@ object TextOps {
     * both dynamic-pruning traversals and the full scan agree doc-for-doc.
     */
   def qTextBm25Wand(s: SparkSession, dir: String): DataFrame =
-    bm25Wand(s, stagedPackedTermIndex(s, dir), QueryTerms, 10)
+    bm25Wand(s, stagedPackedTermIndex(s, dir), QueryTerms, 10, cached = true)
 
   /** The SELECTIVE-term retrieval pair — the regime where an inverted
     * index earns its keep. [[QueryTerms]] are deliberately mid-frequency,
@@ -1334,7 +1361,7 @@ object TextOps {
   val qTextBm25RareSql: String = bm25TopKSql(10, RareTerms)
 
   def qTextBm25RareProbe(s: SparkSession, dir: String): DataFrame =
-    bm25Indexed(s, stagedTermIndex(s, dir), RareTerms, 10)
+    bm25Indexed(s, stagedTermIndex(s, dir), RareTerms, 10, cached = true)
 
   val qTextBm25RareProbeSql: String =
     s"SELECT * FROM (${bm25TopKSql(10, RareTerms)}) WHERE bm25 > 0"
@@ -1376,6 +1403,7 @@ object TextOps {
       .write.partitionBy("ds").mode(mode).parquet(s"$dir/postings")
     docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
       .write.mode(mode).parquet(s"$dir/stats")
+    invalidateIndex(docs.sparkSession, dir)
   }
 
   /** BM25 probe of the doc-sharded layout: every shard is visited (the
@@ -1385,11 +1413,11 @@ object TextOps {
     * the layouts can only diverge in the data path the oracle checks.
     */
   def bm25DocSharded(s: SparkSession, indexDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    val posts = s.read.parquet(s"$indexDir/postings")
+      terms: Seq[String], k: Int, cached: Boolean = false): DataFrame = {
+    val posts = indexReader(s, s"$indexDir/postings", cached)
       .filter(col("term").isin(terms: _*))
     val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25FromPosts(s, indexDir, posts, dfs, terms, k)
+    bm25FromPosts(s, indexDir, posts, dfs, terms, k, cached)
   }
 
   /** Append NEW docs to a doc-sharded index — the layout's headline win:
@@ -1407,9 +1435,12 @@ object TextOps {
     */
   def compactDocShardedIndex(s: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024)
-      : (Layout.CompactStats, Layout.CompactStats) =
-    (Layout.compact(s, s"$dir/postings", targetBytes, Seq("ds")),
+      : (Layout.CompactStats, Layout.CompactStats) = {
+    val r = (Layout.compact(s, s"$dir/postings", targetBytes, Seq("ds")),
       Layout.compact(s, s"$dir/stats", targetBytes))
+    invalidateIndex(s, dir)
+    r
+  }
 
   /** Delete documents from a doc-sharded index — completing the layout's
     * maintenance triple (write/append/compact/delete), and the layout's
@@ -1440,6 +1471,7 @@ object TextOps {
       Layout.deleteByKey(s, s"$dir/postings", "doc_id", ids, Seq("ds"),
         col("ds").isin(shards: _*)): Unit
     neg.write.mode("append").parquet(s"$dir/stats")
+    invalidateIndex(s, dir)
   }
 
   /** Doc-sharded index staged once per corpus ([[stagedTermIndex]]
@@ -1461,14 +1493,16 @@ object TextOps {
     * composes per-doc locally…
     */
   def qTextBm25DsProbe(s: SparkSession, dir: String): DataFrame =
-    bm25DocSharded(s, stagedDocShardedIndex(s, dir), QueryTerms, 10)
+    bm25DocSharded(s, stagedDocShardedIndex(s, dir), QueryTerms, 10,
+      cached = true)
 
   /** …and the selective-term regime, where the term layout's partition
     * pruning is unbeatable and the doc layout pays its full-shard-visit
     * structural cost — the honest losing case, measured.
     */
   def qTextBm25DsRare(s: SparkSession, dir: String): DataFrame =
-    bm25DocSharded(s, stagedDocShardedIndex(s, dir), RareTerms, 10)
+    bm25DocSharded(s, stagedDocShardedIndex(s, dir), RareTerms, 10,
+      cached = true)
 
   private val DocShards = 16
 
