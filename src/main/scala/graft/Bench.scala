@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * prune the work). Each query is timed MEDIAN-OF-3 (single runs drifted
   * ±0.2 s round-over-round inside the machine-load noise band, hiding real
   * 0.1 s-scale regressions); per-query spread (max-min over the 3 runs) is
-  * reported as `"spread"` so the noise bound is part of the artifact.
+  * reported as `"spread"` on the full-precision `bench_detail` line so the
+  * noise bound stays part of the artifact while the FINAL line (the
+  * driver's parse target) stays under its tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,35 +38,32 @@ object Bench {
     def materialize(q: QueryDef): Unit =
       q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    // warmup: JVM/codegen/scan caches (not timed)
-    benchQueries.foreach { q =>
-      try materialize(q) catch { case _: Throwable => }
-    }
-
+    // Between-run isolation (optimization guide §1.4/§5): a query's timed
+    // runs must not pay for PREVIOUS invocations' garbage. Every
+    // per-invocation localCheckpoint frame is registered in
+    // CheckpointScope by the operator that created it; draining the scope
+    // after each run frees the blocks explicitly — the lifecycle a
+    // long-lived serving session uses, replacing r13's System.gc() crutch
+    // (which only forced the ContextCleaner to notice GC'd frames). The
+    // drain runs BETWEEN runs (never inside a timed region) and leaves
+    // process-lifetime state (Tables readers, staged artifacts, the
+    // pinned funnel-prep memo) untouched, so every timed run still
+    // computes from the parquet inputs exactly as before.
     def timeOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try materialize(q) catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      CheckpointScope.drain()
+      dt
     }
-    // Between-query isolation (optimization guide §1.4): a query's timed
-    // runs must not pay for the PREVIOUS queries' garbage. Per-invocation
-    // lazy localCheckpoints (candidate pair sets, batched-probe frontiers)
-    // are freed by the ContextCleaner only after their frames are GC'd;
-    // without an explicit collection ~200 invocations of dead blocks pile
-    // up in the storage pool and the last-registered queries (the ANN
-    // probes) time 2-4.5x their isolated cost — measured on this host:
-    // q_ann_hnsw_auto_batch 8.5 s inside the full bench vs 1.9 s isolated,
-    // identical plans. The GC runs BETWEEN queries (never inside a timed
-    // run), frees only unreachable state, and leaves the intentional
-    // process-lifetime caches (Tables readers, staged-artifact memos)
-    // untouched, so every timed run still computes from the parquet
-    // inputs exactly as before.
-    def isolate(): Unit = {
-      System.gc()
-      Thread.sleep(50) // let the ContextCleaner drain its reference queue
+
+    // warmup: JVM/codegen/scan caches (not timed)
+    benchQueries.foreach { q =>
+      try materialize(q) catch { case _: Throwable => }
+      CheckpointScope.drain()
     }
+
     val results = benchQueries.map { q =>
-      isolate()
       val runs = (1 to 3).map(_ => timeOnce(q)).sorted
       (q.name, runs(1), runs(2) - runs(0))
     }
@@ -78,12 +77,25 @@ object Bench {
     }
     floorOnce() // warmup
     val floor = (1 to 3).map(_ => floorOnce()).sorted.apply(1)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+    // Full-precision medians + per-query spread (max-min over the 3 runs,
+    // the noise bound) go on their OWN line: the driver parses only the
+    // LAST line and only within a bounded tail window, and the ~5 KB
+    // 17-digit form exceeded it every round (BENCH_r01..r13 all stored
+    // parsed:null). Humans and the builder's own tooling read this line.
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"floor":$floor,"runs":3,"sf":"$sfDir"}""")
+    println(s"""{"bench_detail":{"total":$total,"queries":$qsFull,"spread":$spreads,"floor":$floor,"runs":3,"sf":"$sfDir"}}""")
+    // THE contract line, last and compact: seconds rounded to 3 decimals
+    // (~0.001 s precision against a ±0.2 s host noise floor) keep the
+    // whole line < 2000 chars — ~1430 for 48 queries, headroom for ~15
+    // more before the driver's tail window truncates it again.
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs3 = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs3,"floor":${f3(floor)},"runs":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

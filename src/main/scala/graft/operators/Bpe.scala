@@ -87,12 +87,20 @@ object Bpe {
       else {
         val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((rank, l, r, c))
-        vocab = vocab
+        val next = vocab
           .select(col("cnt"), mergeSyms(col("syms"), l, r).as("syms"))
           .localCheckpoint()
+        // the eager checkpoint above just materialized FROM the previous
+        // round's blocks — free them now (guide §5) instead of waiting for
+        // frame GC; numMerges rounds would otherwise hold numMerges copies
+        // of the vocab in the storage pool
+        Staging.releaseLocalCheckpoint(vocab)
+        vocab = next
         rank += 1
       }
     }
+    // merges live on the driver; the final vocab's blocks are dead too
+    Staging.releaseLocalCheckpoint(vocab)
     merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
       .orderBy(col("rank"))
   }

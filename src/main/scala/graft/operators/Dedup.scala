@@ -358,7 +358,8 @@ object Dedup {
     // MinHash signatures across both — the probe's dominant batch-side
     // cost). The blocks live until the returned lazy frame is GC'd
     // (ContextCleaner); they hold batch x 4 band rows, never corpus rows.
-    val inRows = bandRowsGeneric(in, idCol, textCol, shingleK).localCheckpoint()
+    val inRows = graft.CheckpointScope.scoped(
+      bandRowsGeneric(in, idCol, textCol, shingleK).localCheckpoint())
     val probed = inRows
       .select(col("band"), keyPrefix(col("key")).as("kp")).distinct()
       .collect().map(r => (r.getInt(0), r.getString(1)))
@@ -816,8 +817,9 @@ object Dedup {
     // the pair stream itself. Without this, both join sides below would
     // shingle the FULL corpus and shuffle the big array columns — measured
     // 14.5s -> 4.4s at sf1 (members are a tiny fraction at any scale).
-    val cand = bucketPairs(minhashBandRowsOf(docs), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
-      .localCheckpoint(eager = false) // lazy: building the PLAN must not
+    val cand = graft.CheckpointScope.scoped(
+      bucketPairs(minhashBandRowsOf(docs), "doc_id", "ak", "doc_a", "doc_b", 4, mhBandMatch)
+      .localCheckpoint(eager = false)) // lazy: building the PLAN must not
     // run the candidate jobs (explain/plan-audit consumers); first action
     // materializes once, both branches below reuse it
     val members = cand.select(col("doc_a").as("doc_id"))
@@ -832,11 +834,11 @@ object Dedup {
     // d is consumed TWICE below (sha and shb sides); without its own lazy
     // checkpoint each join re-runs the corpus text scan + semi-join +
     // shingling — measured ~1.4 s of the 4.3 s sf1 total
-    val d = docs
+    val d = graft.CheckpointScope.scoped(docs
       .join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.plans.ShingleSetExpr.shingleHashSetSorted(col("text"), ShingleK).as("sh"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -1097,12 +1099,14 @@ object Dedup {
     * hub's neighbor set never materializes in one row). The edge set is
     * `localCheckpoint`ed per round to cut lineage; on a cluster the
     * reliable `checkpoint(dir)` variant is the same call. Convergence is an
-    * EXACT edge-set stability check in one action per round (signed
-    * union-groupBy: both sides are distinct sets, so the per-edge ±1 sum is
-    * zero everywhere iff the sets are equal) — the fixpoint of the
-    * alternation is star graphs rooted at component minima, so stability
-    * means labels are final. Round complexity is O(log^2 n) in theory,
-    * 2-4 rounds on near-dup graphs in practice.
+    * EXACT edge-set stability check (signed union-groupBy: both sides are
+    * distinct sets, so the per-edge ±1 sum is zero everywhere iff the sets
+    * are equal) FUSED into the small-star materialization job — the
+    * certificate is an observed metric on the checkpointed diff frame, so
+    * a round costs two actions total (r13 ran the check as a third). The
+    * fixpoint of the alternation is star graphs rooted at component
+    * minima, so stability means labels are final. Round complexity is
+    * O(log^2 n) in theory, 2-4 rounds on near-dup graphs in practice.
     */
   val MaxStarRounds = 30
 
@@ -1112,19 +1116,21 @@ object Dedup {
     * LSH candidate pairs; specs feed synthetic edge lists.
     *
     * ACTION-BEARING BUILDER: unlike every other query builder in this
-    * module, calling this function RUNS Spark jobs (eager per-round
-    * checkpoints plus one `isEmpty` convergence action per star round) —
-    * the label fixpoint cannot be expressed as a static plan because the
-    * round count is data-dependent. Consumers that only need a plan shape
+    * module, calling this function RUNS Spark jobs (two eager per-round
+    * checkpoints; the convergence check rides the second as an observed
+    * metric) — the label fixpoint cannot be expressed as a static plan
+    * because the round count is data-dependent. Consumers that only need
+    * a plan shape
     * (explain, plan audits) should expect construction cost proportional
     * to the clustering itself; the returned frame is the cheap final-round
     * join over already-checkpointed edges.
     */
   def componentLabels(ids: DataFrame, idCol: String,
                       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    var edges = pairs
+    var ckpt = pairs
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var edges = ckpt
     var converged = false
     var round = 0
     while (!converged && round < MaxStarRounds) {
@@ -1144,17 +1150,36 @@ object Dedup {
         .filter(col("u") =!= col("m"))
         .select(col("m").as("u"), col("u").as("v"))
         .union(ssMin.select(col("m").as("u"), col("v")))
-        .distinct().localCheckpoint()
-      // exact set-equality in ONE action: both sides are distinct edge
-      // sets, so the signed per-edge sum is zero everywhere iff equal
-      converged = edges.select(col("u"), col("v"), lit(-1L).as("s"))
+        .distinct()
+      // The round's ONE remaining action fuses the small-star
+      // materialization with the exact set-equality convergence check
+      // (both sides are distinct edge sets, so the signed per-edge sum d
+      // is zero everywhere iff the sets are equal — the same signed
+      // union-groupBy the r13 form ran as a THIRD job per round). The
+      // checkpointed frame carries d: the new edge set is the d >= 0
+      // slice (+1 new-only, 0 in both), and the convergence certificate
+      // rides the same job as an observed metric — count(d != 0) is
+      // exactly-once (CollectMetricsExec, not an RDD accumulator) and 0
+      // on an empty diff, so the check stays EXACT.
+      val merged = edges.select(col("u"), col("v"), lit(-1L).as("s"))
         .union(smallStar.select(col("u"), col("v"), lit(1L).as("s")))
         .groupBy(col("u"), col("v")).agg(sum(col("s")).as("d"))
-        .filter(col("d") =!= 0).isEmpty
-      edges = smallStar
+        .observe(s"conv_$round", count(when(col("d") =!= 0, lit(1))).as("n"))
+      val nextCkpt = merged.localCheckpoint()
+      converged = merged.queryExecution.observedMetrics
+        .get(s"conv_$round").exists(_.getLong(0) == 0L)
+      // the new checkpoint was materialized FROM the old one and the
+      // large-star half — both dead now; free their blocks instead of
+      // waiting for frame GC (guide §5)
+      Staging.releaseLocalCheckpoint(ckpt)
+      Staging.releaseLocalCheckpoint(largeStar)
+      ckpt = nextCkpt
+      edges = nextCkpt.filter(col("d") >= 0).select(col("u"), col("v"))
       round += 1
     }
     require(converged, s"componentLabels did not converge in $MaxStarRounds rounds")
+    // the final round's checkpoint feeds the returned label join
+    graft.CheckpointScope.scoped(ckpt): Unit
     // converged star edges are (root=u, member=v); roots and singletons
     // label themselves
     val memberLabels = edges.groupBy(col("v")).agg(min(col("u")).as("lbl"))
@@ -1366,8 +1391,8 @@ object Dedup {
     // pass would otherwise re-run the reassembly projection (order
     // discipline — sample cached blocks, not the plan); measured ~0.25 s
     // cheaper than recompute at sf1
-    segmentDedup(Tables.documents(s, dir))
-      .localCheckpoint(eager = false)
+    graft.CheckpointScope.scoped(segmentDedup(Tables.documents(s, dir))
+      .localCheckpoint(eager = false))
       .orderBy(col("doc_id"))
 
   val qSegmentDedupSql: String =
@@ -1531,9 +1556,10 @@ object Dedup {
     // the windows scan honestly. The repeated-gram set is tiny (occ > 1
     // hashes only) and executor-local durability is enough — a lost
     // block just fails the query, it never corrupts it.
-    val occs = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val occs = graft.CheckpointScope.scoped(
+      wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
-      .localCheckpoint()
+      .localCheckpoint())
     // degenerate-gram gate: ONE light aggregation job (windows scan +
     // partial count, no token join) decides the plan shape up front —
     // the sorted path's boundary exchange is eager, and unioning it in
@@ -1662,8 +1688,9 @@ object Dedup {
     // would otherwise accumulate cached blocks until the ContextCleaner
     // happens to GC the handle (a lost checkpoint block fails the query,
     // it never corrupts it — the suffixMatchLens durability contract)
-    val res = s.createDataset(out).toDF("doc_id", "pos", "match_len")
-      .localCheckpoint()
+    val res = graft.CheckpointScope.scoped(
+      s.createDataset(out).toDF("doc_id", "pos", "match_len")
+      .localCheckpoint())
     rdd.unpersist(blocking = false)
     res
   }
@@ -1897,8 +1924,9 @@ object Dedup {
         }
       }
     }
-    val res = s.createDataset(out).toDF("doc_a", "pos_a", "doc_b", "pos_b")
-      .localCheckpoint()
+    val res = graft.CheckpointScope.scoped(
+      s.createDataset(out).toDF("doc_a", "pos_a", "doc_b", "pos_b")
+      .localCheckpoint())
     rdd.unpersist(blocking = false)
     res
   }
@@ -2000,8 +2028,9 @@ object Dedup {
         (r._1, r._2, runStart)
       }
     }
-    val res = s.createDataset(out).toDF("doc_id", "pos", "rank")
-      .localCheckpoint()
+    val res = graft.CheckpointScope.scoped(
+      s.createDataset(out).toDF("doc_id", "pos", "rank")
+      .localCheckpoint())
     rdd.unpersist(blocking = false)
     res
   }

@@ -121,7 +121,8 @@ object Multimodal {
       // plan re-runs the decode MapPartitions per reference — cheap for a
       // parquet re-scan, not for image decode at scale
       .localCheckpoint(eager = false)
-    Dedup.embeddingNearDupPairs(feats, "media_id", "features")
+    val featsScoped = graft.CheckpointScope.scoped(feats)
+    Dedup.embeddingNearDupPairs(featsScoped, "media_id", "features")
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("cos"))
       .orderBy(col("media_a"), col("media_b"))
   }

@@ -142,8 +142,9 @@ object PipelineOps {
     // and reused for both the df pre-pass and the per-doc count — the
     // alternative re-scans and re-shingles the whole training corpus for
     // the second aggregation (measured 24s -> 12s at sf1).
-    val matched = trainGrams.join(broadcast(evalGrams), col("tg") === col("eg"))
-      .localCheckpoint(eager = false) // lazy: plan construction stays free
+    val matched = graft.CheckpointScope.scoped(
+      trainGrams.join(broadcast(evalGrams), col("tg") === col("eg"))
+      .localCheckpoint(eager = false)) // lazy: plan construction stays free
 
     val rare = matched
       .groupBy(col("eg")).agg(count(lit(1)).as("df")) // grams pre-distinct per doc
@@ -638,7 +639,11 @@ object PipelineOps {
   private val prepMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedPrep(s: SparkSession, dir: String): DataFrame =
-    prepMemo.getOrElseUpdate((s, dir), trainingPrep(Tables.documents(s, dir)))
+    // pinned: the memoized frame's internal checkpoints (jaccard
+    // candidates, matched grams) outlive any single invocation — a
+    // harness drain must not free blocks the SECOND funnel entry reads
+    prepMemo.getOrElseUpdate((s, dir),
+      graft.CheckpointScope.pinned(trainingPrep(Tables.documents(s, dir))))
 
   def qPipelineFull(s: SparkSession, dir: String): DataFrame =
     trainingPrepFullFrom(sharedPrep(s, dir), Tables.documents(s, dir),

@@ -492,9 +492,9 @@ object Similarity {
     // checkpoint it once so the parquet scan + scale projection run ONCE and
     // later iterations read the materialized rows (MEMORY_AND_DISK) — the
     // 4x re-scan was the whole remaining K-means overhead at sf1
-    val e = Tables.embeddings(s, dir)
+    val e = graft.CheckpointScope.scoped(Tables.embeddings(s, dir)
       .select(col("vec_id"), scaled(col("embedding")).as("v"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
     var cents = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var assigned: DataFrame = null
@@ -522,6 +522,7 @@ object Similarity {
           .select(col("c").as("c_id"), expr("transform(im, p -> p.m)").as("cv"))
           .localCheckpoint(eager = false) // lazy: truncates lineage at first
         // materialization without running jobs at plan-construction time
+        cents = graft.CheckpointScope.scoped(cents)
       }
     }
     assigned.select(col("vec_id"), col("c").as("cluster"), col("dist"))
@@ -626,11 +627,12 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
       m: Int = PqM, k: Int = 8, iters: Int = 3): DataFrame = {
-    val subRows = pqSubRows(df, idCol, vecCol, m).localCheckpoint(eager = false)
+    val subRows = graft.CheckpointScope.scoped(
+      pqSubRows(df, idCol, vecCol, m).localCheckpoint(eager = false))
     var books = subRows.filter(col("__id") < k)
       .select(col("j"), col("__id").as("c_id"), col("subv").as("cv"))
     for (_ <- 1 to iters) {
-      books = pqAssignRaw(subRows, books)
+      books = graft.CheckpointScope.scoped(pqAssignRaw(subRows, books)
         .select(col("j"), col("best.c_id").as("code"),
           posexplode(col("subv")).as(Seq("i", "x")))
         .groupBy(col("j"), col("code"), col("i"))
@@ -638,7 +640,7 @@ object Similarity {
         .groupBy(col("j"), col("code"))
         .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("im"))
         .select(col("j"), col("code").as("c_id"), expr("transform(im, p -> p.mn)").as("cv"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = false))
     }
     books
   }
@@ -2235,6 +2237,9 @@ object Similarity {
     }
     layerRounds(s"$graphDir/layer0", GraphR, beam, rounds)
     Staging.releaseLocalCheckpoint(qEmb)
+    // the FINAL visited frame feeds the returned plan — only the harness
+    // knows when its consuming action is done
+    graft.CheckpointScope.scoped(vis): Unit
     vis.withColumn("rank", row_number().over(byQ).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("nd"))

@@ -80,6 +80,21 @@ object Staging {
     s"/tmp/${prefix}_p$self"
   }
 
+  /** `RDD.unpersist` WARNs ("... was locally checkpointed, its lineage has
+    * been truncated and cannot be recomputed after unpersisting") on every
+    * locally-checkpointed RDD it releases. Releasing DEAD per-invocation
+    * checkpoints is exactly this module's lifecycle — the frame is never
+    * read again by design — so the warning is expected and pure noise
+    * (thousands of lines per `sbt test` run before this). Raise that ONE
+    * logger to ERROR, once, on first release; everything else in
+    * org.apache.spark.rdd still logs normally.
+    */
+  private[graft] lazy val quietCheckpointRelease: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** Free the blocks behind a `localCheckpoint`ed frame once it is dead
     * (superseded by a later checkpoint, or the caller's result no longer
     * reads it). `Dataset.unpersist` only clears CacheManager entries —
@@ -88,12 +103,14 @@ object Staging {
     * frame is a no-op. Never call this on a frame a returned LAZY plan
     * still depends on — a lost checkpoint block fails the query.
     */
-  private[graft] def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    quietCheckpointRelease
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false): Unit
       case _ => ()
     }
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
